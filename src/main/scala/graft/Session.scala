@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for Verify / Bench / tests.
+  *
+  * - `shuffle.partitions` = core count: right-sized for local mode; on a
+  *   real cluster AQE coalesces post-shuffle partitions anyway.
+  * - `nanosAsLong`: the driver's `events.parquet` carries TIMESTAMP(NANOS),
+  *   unreadable by Spark 4 without this legacy flag ([[sources.Tables.events]]
+  *   converts back to µs timestamps).
+  * - Session timezone pinned UTC to match both the reference's tz-aware
+  *   UTC handling (crypto_collector.py:84–91) and the DuckDB oracle.
+  */
+object Session {
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet is naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (LTZ, session UTC) not TIMESTAMP_NTZ so epoch functions
+      // (unix_micros etc.) apply and semantics match the DuckDB oracle.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query registry is assembled from the per-surface operator objects; each
+  * object keeps its Spark implementation and DuckDB oracle SQL side by side.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q05StarJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ EventOps.queries ++ TextOps.queries ++ VectorOps.queries ++
+      Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
+        "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
+        "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
+        "q43_ann_lsh" -> (AnnLsh.q43AnnLsh _),
+        "q50_blob_meta" -> (Multimodal.q50BlobMeta _),
+        "q51_image_pipeline" -> (Multimodal.q51ImagePipeline _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
+      Map("q50_blob_meta" -> Multimodal.q50Sql)
 }

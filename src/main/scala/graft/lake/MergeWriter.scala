@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.KeepLast
+
+/** Partitioned Parquet upsert sink — the reference's `save_to_parquet`
+  * merge (crypto_collector.py:523–558) re-expressed for a distributed
+  * lake (SURVEY.md §2.2 K1/K2, §7 phase 2).
+  *
+  * Semantics preserved: last-writer-wins per `timestamp` key within a
+  * (symbol, interval, data_type, exchange, date) partition; re-ingestion
+  * of overlapping windows is idempotent.
+  *
+  * Spark shape: plain Parquet has no in-place upsert, so merge =
+  * read-affected-partitions → unionByName → keep-last dedup → overwrite
+  * with `partitionOverwriteMode=dynamic` (only touched partitions are
+  * replaced — siblings survive, unlike a naive overwrite). Determinism:
+  * the winner is picked by an explicit, monotonically increasing
+  * `ingest_seq` carried on every batch — `dropDuplicates` alone is
+  * shuffle-order-dependent (SURVEY.md §7 hard part 3).
+  *
+  * At 100 TB: the merge only ever reads/writes the partitions present in
+  * the incoming batch (typically a handful of dates × exchanges), so cost
+  * scales with batch size, not lake size; the dedup shuffle key
+  * (partition cols + timestamp) is high-cardinality and unskewed.
+  */
+object MergeWriter {
+  private val Keys = Seq("symbol", "interval", "data_type", "exchange", "date")
+
+  /** Add the lake partition columns derived per the reference: `date` from
+    * the candle timestamp (crypto_collector.py:533), constant interval +
+    * data_type tags (611–613).
+    */
+  def withPartitionCols(batch: DataFrame, interval: String, dataType: String): DataFrame =
+    batch
+      .withColumn("interval", lit(interval))
+      .withColumn("data_type", lit(dataType))
+      .withColumn("date", date_format(col("timestamp"), "yyyyMMdd"))
+
+  /** Merge `batch` (canonical candles + partition cols) into the lake at
+    * `path`. `ingestSeq` orders writers: higher seq wins on key collision.
+    */
+  def merge(spark: SparkSession, batch: DataFrame, path: String, ingestSeq: Long): DataFrame = {
+    val tagged = batch.withColumn("ingest_seq", lit(ingestSeq))
+    val lakeExists = new java.io.File(path).exists()
+    val combined =
+      if (!lakeExists) tagged
+      else {
+        val existing = spark.read.parquet(path)
+        // Prune the read to partitions the batch actually touches: the
+        // semi join on partition keys prunes at the scan (partition cols
+        // are directory levels, so this is metadata-only pruning).
+        val touched = tagged.select(Keys.map(col): _*).distinct()
+        val affected = existing.join(broadcast(touched), Keys, "left_semi")
+          // Materialize and cut lineage: Spark refuses to overwrite a path
+          // its own read plan references. Affected partitions are batch-
+          // sized, so executor-local checkpoint storage is bounded.
+          .localCheckpoint()
+        affected.unionByName(tagged)
+      }
+    val deduped = KeepLast.dedup(
+      combined,
+      (Keys :+ "timestamp").map(col),
+      Seq(col("ingest_seq")))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    deduped.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(Keys: _*)
+      .parquet(path)
+    deduped
+  }
+}

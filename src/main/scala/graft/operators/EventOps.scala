@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.dsum
+import graft.sources.Tables._
+
+/** Event-stream operator surface over the `events` table: the reference's
+  * streaming/merge semantics (SURVEY.md §2.2 K2, §2.8, §2.9) re-expressed
+  * as deterministic batch queries — keyed keep-last dedup, gap detection
+  * via lag, OHLC resampling (candle aggregation), as-of join, JSON
+  * extraction (F11), and the reference's derive-date partition key (P3).
+  */
+object EventOps {
+
+  /** K2 merge semantic: keep the last event per (user_id, event_type) key,
+    * ordered by (ts, event_id). This is exactly the sink dedup of
+    * crypto_collector.py:548–553 with a deterministic tie-break.
+    */
+  def q20KeepLastDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    KeepLast.dedup(events(s, d), Seq($"user_id", $"event_type"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, event_type, event_id, EPOCH_US(ts) AS ts_us, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Gap detection via lag (§2.8): inter-event gaps over 30 minutes per
+    * user — the natural QA query over a candle series.
+    */
+  def q21GapDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") - $"prev_us")
+      .filter($"gap_us" > 30L * 60 * 1000000)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"gap_us")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, event_id, EPOCH_US(ts) AS ts_us, gap_us FROM (
+      |  SELECT user_id, event_id, ts,
+      |    EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |WHERE gap_us > 30 * 60 * 1000000
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** OHLC resampling (SURVEY §2.5 note): tumbling 1-day windows per
+    * event_type — first/max/min/last/sum over `value`, i.e. the candle
+    * aggregation the reference re-fetches from APIs instead of computing.
+    * open/close use min_by/max_by ordered by ts (unique per table): exact
+    * first/last in one shuffle, no window sort.
+    */
+  def q22ResampleOhlc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(
+        min_by($"value", $"ts").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"ts").as("close"),
+        dsum($"value").as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val q22Sql: String =
+    """SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  ARG_MIN(value, ts) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  ARG_MAX(value, ts) AS close,
+      |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS volume,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  /** As-of join (§2.4): each purchase event picks up the most recent
+    * click at-or-before it by the same user. Oracle: DuckDB native ASOF.
+    */
+  def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_event_id"), $"value".as("c_value"))
+    AsOfJoin.join(purchases, clicks,
+        keyL = "user_id", keyR = "c_user", timeL = "ts", timeR = "c_ts",
+        payload = Seq("c_event_id", "c_value"), tieBreak = "c_event_id")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value",
+        $"asof_c_event_id".as("click_event_id"), $"asof_c_value".as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  // DuckDB ASOF JOIN matches t_r <= t_l (latest such row). Equal-timestamp
+  // ties on the right cannot occur here (event ts are unique per table).
+  val q23Sql: String =
+    """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us, p.value,
+      |  c.event_id AS click_event_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** JSON extraction (F11): pull `k` out of the props JSON payload —
+    * the reference's response-payload decode re-expressed.
+    */
+  def q24JsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum($"k".cast("double")).as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q24Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(FLOOR(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The reference's sink pipeline end-to-end (E3 lifecycle): derive the
+    * yyyyMMdd partition key (P3), keyed keep-last dedup within each
+    * (date, event_type) "partition file" (K2), then count rows routed to
+    * each partition (A1/A3) — crypto_collector.py:523–558 over testdata.
+    */
+  def q25SinkMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withDate = events(s, d)
+      .withColumn("date", date_format($"ts", "yyyyMMdd"))
+    KeepLast.dedup(withDate, Seq($"date", $"event_type", $"user_id"), Seq($"ts", $"event_id"))
+      .groupBy($"date", $"event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+      .orderBy($"date", $"event_type")
+  }
+
+  val q25Sql: String =
+    """SELECT date, event_type, COUNT(*) AS n_rows,
+      |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM (
+      |  SELECT STRFTIME(ts, '%Y%m%d') AS date, event_type, user_id, ts, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY STRFTIME(ts, '%Y%m%d'), event_type, user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |GROUP BY date, event_type
+      |ORDER BY date, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_keeplast_dedup" -> (q20KeepLastDedup _),
+    "q21_gap_detect" -> (q21GapDetect _),
+    "q22_resample_ohlc" -> (q22ResampleOhlc _),
+    "q23_asof_join" -> (q23AsofJoin _),
+    "q24_json_extract" -> (q24JsonExtract _),
+    "q25_sink_merge" -> (q25SinkMerge _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_keeplast_dedup" -> q20Sql,
+    "q21_gap_detect" -> q21Sql,
+    "q22_resample_ohlc" -> q22Sql,
+    "q23_asof_join" -> q23Sql,
+    "q24_json_extract" -> q24Sql,
+    "q25_sink_merge" -> q25Sql,
+  )
+}

@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{davg, dsum}
+import graft.sources.Tables._
+
+/** Relational operator surface (SURVEY.md §2.3–§2.8): scans, projections,
+  * filters, joins (broadcast/shuffle/semi/anti), aggregations, rollup,
+  * distinct, sorts, limits, top-k, set ops, window functions.
+  *
+  * Scale posture: dimension joins carry an explicit `broadcast()` hint
+  * (region/nation/supplier/part/customer are O(SF) small vs the lineitem
+  * fact table); fact-fact joins shuffle on their join key and rely on AQE
+  * for skew. Every query ends in a deterministic ORDER BY over a unique key
+  * so results hash-match the DuckDB oracle under any partitioning.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg (partial+final) →
+    * sort. Reference analog: A2/A3 aggregation over candles (SURVEY §2.5).
+    */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_qty,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_base_price,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_charge,
+      |  CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_qty,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_price,
+      |  CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection (P1/P6). The predicate and the
+    * 4-column ReadSchema both reach the Parquet scan (PushedFilters).
+    */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_quantity" < 24.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 24.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-k revenue orders: customer ⋈ orders ⋈ lineitem → agg → top 10.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. The final
+    * orderBy+limit is a TakeOrderedAndProject — no full sort at scale.
+    */
+  def q03TopRevenueOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Broadcast dimension join: lineitem ⋈ part, per-brand stats. */
+  def q04BrandStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_quantity").as("sum_qty"),
+        davg($"p_retailprice").as("avg_retail"))
+      .orderBy($"p_brand")
+  }
+
+  val q04Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_qty,
+      |  CAST(FLOOR(SUM(CAST(p_retailprice AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Star join across the full dimension chain (region→nation→customer→
+    * orders→lineitem): revenue per nation. All dims broadcast; the only
+    * shuffle is the final aggregation.
+    */
+  def q05StarJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = customer(s, d)
+      .join(nation(s, d), $"c_nationkey" === $"n_nationkey")
+      .join(region(s, d), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name", $"r_name")
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q05Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join: customers that placed an order in 1997. */
+  def q06SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o97 = orders(s, d).filter(
+      $"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    customer(s, d)
+      .join(o97, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no 'P'-status order. */
+  def q07AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = orders(s, d).filter($"o_orderstatus" === "P")
+    customer(s, d)
+      .join(op, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Schema-aligned bag union of two overlapping slices + distinct (O4 +
+    * K2's dedup half): the reference unions per-exchange batches then
+    * dedups at the sink.
+    */
+  def q08UnionDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = orders(s, d).filter($"o_orderdate" < lit("1998-07-01").cast("timestamp"))
+    val b = orders(s, d).filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp"))
+    a.unionByName(b)
+      .select($"o_orderkey", $"o_orderstatus")
+      .distinct()
+      .orderBy($"o_orderkey")
+  }
+
+  val q08Sql: String =
+    """SELECT DISTINCT o_orderkey, o_orderstatus
+      |FROM (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+      |      UNION ALL
+      |      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Grouped rollup (subtotals + grand total) over return flag/status. */
+  def q09Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q09Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Exact distinct aggregation: distinct customers and orders per priority. */
+  def q10DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Windowed top-k per group: 3 highest-value orders per order status.
+    * row_number (not rank) + orderkey tie-break for determinism.
+    */
+  def q11TopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderstatus", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderstatus", $"rn")
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
+  /** Set operations: customers ordering in both windows (INTERSECT) minus a
+    * further EXCEPT — exercised as one query returning the surviving keys.
+    */
+  def q12SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val in96 = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1997-01-01").cast("timestamp")).select($"o_custkey")
+    val in97 = o.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1998-01-01").cast("timestamp")).select($"o_custkey")
+    val pStatus = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    in96.intersect(in97).except(pStatus).orderBy($"o_custkey")
+  }
+
+  val q12Sql: String =
+    """(SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      | INTERSECT
+      | SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Scalar string functions (F1–F4): split / replace / case-fold /
+    * concat / formatting over part attributes — the reference's
+    * symbol-rewrite chain re-expressed over testdata.
+    *
+    * Case folding uses `translate` (exact per-char map), not `lower`:
+    * Spark 4's `lower` routes through ICU collation-aware case mapping
+    * whose one-time static init costs minutes of CPU — a fresh-JVM tax
+    * Bench can't afford — and the data is ASCII anyway.
+    */
+  private val Uc = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val Lc = "abcdefghijklmnopqrstuvwxyz"
+
+  def q13StringFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .select(
+        $"p_partkey",
+        translate(regexp_replace($"p_name", " ", "-"), Uc, Lc).as("slug"),
+        split($"p_name", " ").getItem(0).as("first_word"),
+        concat($"p_brand", lit(":"), translate($"p_type", Uc, Lc)).as("brand_type"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  val q13Sql: String =
+    """SELECT p_partkey,
+      |  LOWER(REPLACE(p_name, ' ', '-')) AS slug,
+      |  STR_SPLIT(p_name, ' ')[1] AS first_word,
+      |  CONCAT(p_brand, ':', LOWER(p_type)) AS brand_type,
+      |  LENGTH(p_name) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time functions (F5–F7): epoch conversions, formatting, truncation
+    * — the reference's timestamp-unit normalization re-expressed.
+    */
+  def q14DateFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros($"o_orderdate")).as("min_epoch_us"),
+        max(unix_micros($"o_orderdate")).as("max_epoch_us"))
+      .orderBy($"order_month")
+  }
+
+  val q14Sql: String =
+    """SELECT STRFTIME(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n,
+      |  MIN(EPOCH_US(o_orderdate)) AS min_epoch_us,
+      |  MAX(EPOCH_US(o_orderdate)) AS max_epoch_us
+      |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin
+
+  /** min_by/max_by arg-aggregates: cheapest and priciest part per brand.
+    * (brand, price) pairs repeat, so ordering uses a single scalar
+    * (price-decidecents × 10^8 + partkey) — DuckDB 1.0's arg_min can't
+    * order by a struct, and a composite scalar stays deterministic in both.
+    */
+  def q15ArgAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = round($"p_retailprice" * 10).cast("long") * 100000000L + $"p_partkey"
+    part(s, d)
+      .groupBy($"p_brand")
+      .agg(min_by($"p_partkey", ord).as("cheapest_part"),
+        max_by($"p_partkey", ord).as("priciest_part"))
+      .orderBy($"p_brand")
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand,
+      |  ARG_MIN(p_partkey, CAST(ROUND(p_retailprice * 10, 0) AS BIGINT) * 100000000 + p_partkey) AS cheapest_part,
+      |  ARG_MAX(p_partkey, CAST(ROUND(p_retailprice * 10, 0) AS BIGINT) * 100000000 + p_partkey) AS priciest_part
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_top_revenue_orders" -> (q03TopRevenueOrders _),
+    "q04_brand_stats" -> (q04BrandStats _),
+    "q05_star_join" -> (q05StarJoin _),
+    "q06_semi_join" -> (q06SemiJoin _),
+    "q07_anti_join" -> (q07AntiJoin _),
+    "q08_union_distinct" -> (q08UnionDistinct _),
+    "q09_rollup" -> (q09Rollup _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_topk_per_group" -> (q11TopKPerGroup _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_string_funcs" -> (q13StringFuncs _),
+    "q14_date_funcs" -> (q14DateFuncs _),
+    "q15_arg_agg" -> (q15ArgAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_top_revenue_orders" -> q03Sql,
+    "q04_brand_stats" -> q04Sql,
+    "q05_star_join" -> q05Sql,
+    "q06_semi_join" -> q06Sql,
+    "q07_anti_join" -> q07Sql,
+    "q08_union_distinct" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_topk_per_group" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_date_funcs" -> q14Sql,
+    "q15_arg_agg" -> q15Sql,
+  )
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Text-analysis + deduplication surface over `documents` — the
+  * operations a large-scale LLM training-data pipeline runs per document
+  * (builder prompt; BASELINE.json north star). All are plain DataFrame
+  * transformations: per-document ops are embarrassingly parallel (no
+  * shuffle at all), pairwise ops bound their candidate space (per-source
+  * blocking / LSH banding) so nothing is O(n²) over the full corpus.
+  *
+  * No `lower()`/`upper()`: Spark 4 routes those through ICU collation case
+  * mapping whose static init costs minutes in a fresh JVM; `translate`
+  * (exact char map) folds ASCII for free and matches DuckDB `LOWER` on
+  * this corpus.
+  */
+object TextOps {
+  private val Uc = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val Lc = "abcdefghijklmnopqrstuvwxyz"
+
+  /** ASCII-fold + whitespace-split token array. */
+  def tokens(text: Column): Column = split(trim(translate(text, Uc, Lc)), "\\s+")
+
+  /** Word w-shingles (w consecutive tokens joined by one space). Guarded:
+    * Spark's `sequence(1, n)` with n < 1 counts DOWN, so short docs get an
+    * explicit empty array.
+    */
+  def shingles(toks: Column, w: Int): Column =
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + k)): _*)))
+
+  /** Per-document stats: token count, distinct tokens, type-token ratio,
+    * mean token length, regex (BPE-ish) token count. Pure map — no shuffle.
+    */
+  def q30TextStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id", $"lang",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        (size(array_distinct($"toks")).cast("double") / size($"toks")).as("ttr"),
+        (length(concat_ws("", $"toks")).cast("double") / size($"toks")).as("mean_tok_len"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+")).cast("long").as("n_bpeish"))
+      .orderBy($"doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id, lang,
+      |  LEN(toks) AS n_tokens,
+      |  LEN(LIST_DISTINCT(toks)) AS n_distinct,
+      |  CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+      |  CAST(LEN(ARRAY_TO_STRING(toks, '')) AS DOUBLE) / LEN(toks) AS mean_tok_len,
+      |  LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS n_bpeish
+      |FROM (SELECT doc_id, lang, text,
+      |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/stopword/digit signals + a composite score —
+    * the filter stage of a training-data pipeline. Pure map.
+    */
+  def q31QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val toks = tokens($"text")
+    val stopHits = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    documents(s, d)
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("stop_ratio", stopHits / $"n_toks")
+      .withColumn("digit_ratio",
+        (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("double") / length($"text"))
+      .withColumn("quality",
+        when($"n_toks" < 5, 0.0).otherwise(
+          least(lit(1.0), $"n_toks" / lit(100.0)) * (lit(1.0) - $"digit_ratio") *
+            least(lit(1.0), $"stop_ratio" * 5.0)))
+      .select($"doc_id", $"n_toks", $"stop_ratio", $"digit_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id, n_toks,
+      |  stop_hits / n_toks AS stop_ratio,
+      |  digit_ratio,
+      |  CASE WHEN n_toks < 5 THEN 0.0
+      |       ELSE LEAST(1.0, n_toks / 100.0) * (1.0 - digit_ratio) * LEAST(1.0, (stop_hits / n_toks) * 5.0)
+      |  END AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    LEN(toks) AS n_toks,
+      |    CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE) AS stop_hits,
+      |    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+      |  FROM (SELECT doc_id, text, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID by stopword-marker voting (n-gram heuristic): count
+    * per-language marker-token hits, predict the argmax (ties broken by
+    * fixed language order via the CASE chain). Pure map.
+    */
+  def q32LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "de" -> Seq("der", "die", "und", "das"))
+    val toks = tokens($"text")
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    documents(s, d)
+      .withColumn("en_hits", hits(markers("en")))
+      .withColumn("es_hits", hits(markers("es")))
+      .withColumn("fr_hits", hits(markers("fr")))
+      .withColumn("de_hits", hits(markers("de")))
+      .withColumn("pred_lang",
+        when($"en_hits" >= $"es_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" >= $"de_hits", "en")
+          .when($"es_hits" >= $"fr_hits" && $"es_hits" >= $"de_hits", "es")
+          .when($"fr_hits" >= $"de_hits", "fr")
+          .otherwise("de"))
+      .select($"doc_id", $"lang", $"pred_lang", $"en_hits", $"es_hits", $"fr_hits", $"de_hits")
+      .orderBy($"doc_id")
+  }
+
+  val q32Sql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+      |       WHEN fr_hits >= de_hits THEN 'fr'
+      |       ELSE 'de' END AS pred_lang,
+      |  en_hits, es_hits, fr_hits, de_hits
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','and','of','is'], t))) AS en_hits,
+      |    LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','de','que'], t))) AS es_hits,
+      |    LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','et','les'], t))) AS fr_hits,
+      |    LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','und','das'], t))) AS de_hits
+      |  FROM (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bag-of-words fingerprint (order-insensitive content hash) + exact
+    * dedup on it: md5 over the sorted distinct token set; keep the lowest
+    * doc_id per fingerprint, count members. One shuffle on the 16-byte
+    * fingerprint — the canonical exact-dedup shape at 100 TB (hash, not
+    * raw text, shuffles).
+    */
+  def q33FingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(tokens($"text"))))))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_members"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  val q33Sql: String =
+    """SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_members
+      |FROM (SELECT doc_id,
+      |        MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))), ' ')) AS fp
+      |      FROM documents)
+      |GROUP BY fp
+      |ORDER BY keeper_doc_id""".stripMargin
+
+  /** Exact duplicate removal on raw text hash (the simplest dedup tier):
+    * survivors only, with the duplicate count they absorbed.
+    */
+  def q34DedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"text_md5", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  val q34Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_md5, COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY doc_id""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs, blocked by `source`: explode distinct
+    * word-3-shingles, self-join within source, Jaccard ≥ 0.5. Blocking
+    * bounds the pair space (the 100 TB pattern: never all-pairs; LSH
+    * banding in [[MinHashLsh]] is the unblocked-corpus variant).
+    */
+  def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", $"source", array_distinct(shingles(tokens($"text"), 3)).as("sh"))
+      .withColumn("n_sh", size($"sh").cast("long"))
+    val exploded = docs.select($"doc_id", $"source", $"n_sh", explode($"sh").as("shingle"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.source" === $"b.source" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q35Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks FROM documents)
+      |), exploded AS (
+      |  SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM docs
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+      |  CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+      |FROM exploded a JOIN exploded b
+      |  ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> (q30TextStats _),
+    "q31_quality_score" -> (q31QualityScore _),
+    "q32_lang_id" -> (q32LangId _),
+    "q33_fingerprint_dedup" -> (q33FingerprintDedup _),
+    "q34_dedup_exact" -> (q34DedupExact _),
+    "q35_ngram_jaccard" -> (q35NgramJaccard _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" -> q30Sql,
+    "q31_quality_score" -> q31Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_fingerprint_dedup" -> q33Sql,
+    "q34_dedup_exact" -> q34Sql,
+    "q35_ngram_jaccard" -> q35Sql,
+  )
+}

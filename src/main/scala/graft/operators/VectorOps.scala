@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Cross-engine float determinism: a dot product summed in different orders
+  * differs in the last bits, so every reduction here floors the per-element
+  * double product at 1e-10 into an exact long and sums those
+  * (order-independent, identical under any partitioning and in DuckDB —
+  * see [[xsum]]). Element products themselves are identical everywhere:
+  * float widens to double exactly and IEEE multiplication is
+  * deterministic.
+  *
+  * Scale shape: brute-force top-k ([[q41CosineTopk]]) is the correctness
+  * baseline — O(|Q|·n·d) with a small query set, exploded to (vec, pos)
+  * pairs so it is one shuffle-join + one aggregation, no driver loops.
+  * The 100 TB path is LSH bucketing ([[AnnLsh]]): sign-random-projection
+  * signatures bound candidates per bucket, then exact re-rank inside the
+  * bucket.
+  */
+object VectorOps {
+
+  /** (vec_id, pos, v_double) exploded view — the join-friendly layout. */
+  private def exploded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"pos", $"v".cast("double").as("v"))
+  }
+
+  /** Deterministic sum of a double expression: each term is floored at
+    * 1e-10 into an exact long (floor has no rounding ties, unlike a
+    * double→decimal cast — DuckDB truncates those where Spark rounds
+    * HALF_UP), summed exactly, and divided back once. Quantization error
+    * ≤ 1e-10 per term, identical in both engines and under any
+    * partitioning.
+    */
+  private def xsum(c: Column): Column =
+    sum(floor(c * 1e10)).cast("double") / 1e10
+
+  /** Per-label centroid: elementwise mean per (label, pos). One shuffle on
+    * (label, pos) — d·|labels| cells regardless of row count.
+    */
+  def q40Centroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((xsum($"v".cast("double")) / count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n"))
+      .select($"label", $"pos".cast("long").as("pos"), $"mean_v", $"n")
+      .orderBy($"label", $"pos")
+  }
+
+  val q40Sql: String =
+    """SELECT label, pos, CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS mean_v, COUNT(*) AS n
+      |FROM (SELECT label, UNNEST(embedding) AS v, UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  /** Brute-force cosine top-3 per query (vec_id < 20 as the query set),
+    * self excluded. Dot products and norms via [[xsum]]; the
+    * top-k pick is a per-query row_number window over (cos DESC, vec_id).
+    */
+  def q41CosineTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = exploded(s, d)
+    val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
+    val dots = q.join(e.as("c"), Seq("pos"))
+      .filter($"qid" =!= $"c.vec_id")
+      .groupBy($"qid", $"c.vec_id".as("cid"))
+      .agg(xsum($"qv" * $"c.v").as("dot"))
+    val scored = dots
+      .join(broadcast(norms.select($"vec_id".as("qid"), $"n2".as("qn2"))), Seq("qid"))
+      .join(broadcast(norms.select($"vec_id".as("cid"), $"n2".as("cn2"))), Seq("cid"))
+      .withColumn("cos", $"dot" / (sqrt($"qn2") * sqrt($"cn2")))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"cos")
+      .orderBy($"qid", $"rk")
+  }
+
+  val q41Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2 FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), scored AS (
+      |  SELECT d.qid, d.cid, d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) AS cos
+      |  FROM dots d JOIN norms qn ON d.qid = qn.vec_id JOIN norms cn ON d.cid = cn.vec_id
+      |)
+      |SELECT qid, rk, cid, cos FROM (
+      |  SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
+  /** Nearest centroid per vector (an IVF assignment step): broadcast the
+    * tiny centroid table, deterministic dot against each, pick argmax.
+    * Demonstrates the classify/partition stage of IVF-style ANN at scale:
+    * centroids broadcast, one pass over the data, no all-pairs.
+    */
+  def q42NearestCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
+    val cents = e.groupBy($"label", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("cv"))
+      .select($"label".as("c_label"), $"pos", $"cv")
+    val scored = e.join(broadcast(cents), Seq("pos"))
+      .groupBy($"vec_id", $"label", $"c_label")
+      .agg(xsum($"v" * $"cv").as("dot"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"c_label")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"dot")
+      .orderBy($"vec_id")
+  }
+
+  val q42Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT label AS c_label, pos, CAST(SUM(CAST(FLOOR(v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS cv
+      |  FROM e GROUP BY label, pos
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, c.c_label, CAST(SUM(CAST(FLOOR(e.v * c.cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e JOIN cents c ON e.pos = c.pos
+      |  GROUP BY e.vec_id, e.label, c.c_label
+      |)
+      |SELECT vec_id, label, c_label AS nearest_label, dot FROM (
+      |  SELECT vec_id, label, c_label, dot, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c_label) AS rk
+      |  FROM scored)
+      |WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_centroids" -> (q40Centroids _),
+    "q41_cosine_topk" -> (q41CosineTopk _),
+    "q42_nearest_centroid" -> (q42NearestCentroid _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_centroids" -> q40Sql,
+    "q41_cosine_topk" -> q41Sql,
+    "q42_nearest_centroid" -> q42Sql,
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.MergeWriter
+import graft.model.Candle
+
+/** Merge-upsert semantics (K2): keep-last per key, idempotence, partition
+  * isolation under dynamic overwrite (FIXTURES.md §2 merge fixtures).
+  */
+class MergeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candles(rows: (Long, Double, String)*): DataFrame =
+    rows.map { case (tsMs, close, exch) =>
+      Candle(new Timestamp(tsMs), 1.0, 2.0, 0.5, close, 10.0, "BTC-USDT", exch)
+    }.toDF()
+
+  private def tmpLake(): String =
+    Files.createTempDirectory("graft_lake").toString + "/lake"
+
+  private val T0 = 1609459200000L // 2021-01-01
+  private val Day = 86400000L
+
+  test("fresh write then overlapping merge keeps last writer per timestamp") {
+    val lake = tmpLake()
+    val b1 = MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase"), (T0 + 900000, 101.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b1, lake, ingestSeq = 1)
+    // second batch overlaps the first timestamp with a corrected close
+    val b2 = MergeWriter.withPartitionCols(
+      candles((T0, 999.0, "coinbase"), (T0 + 1800000, 102.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b2, lake, ingestSeq = 2)
+
+    val out = spark.read.parquet(lake).orderBy("timestamp").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("close") == 999.0) // last writer won
+    assert(out(1).getAs[Double]("close") == 101.0)
+    assert(out(2).getAs[Double]("close") == 102.0)
+  }
+
+  test("merge is idempotent: re-ingesting the same batch changes nothing") {
+    val lake = tmpLake()
+    val b = MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase"), (T0 + 900000, 101.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b, lake, 1)
+    val before = spark.read.parquet(lake).orderBy("timestamp")
+      .drop("ingest_seq").collect().toSeq
+    MergeWriter.merge(spark, b, lake, 2)
+    val after = spark.read.parquet(lake).orderBy("timestamp")
+      .drop("ingest_seq").collect().toSeq
+    assert(before == after)
+  }
+
+  test("dynamic overwrite leaves untouched partitions intact") {
+    val lake = tmpLake()
+    val day1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+    val day2 = MergeWriter.withPartitionCols(candles((T0 + Day, 200.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, day1, lake, 1)
+    MergeWriter.merge(spark, day2, lake, 2)
+    // merging into day2 must not touch day1's partition
+    val fix = MergeWriter.withPartitionCols(candles((T0 + Day, 201.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, fix, lake, 3)
+    val out = spark.read.parquet(lake).orderBy("timestamp").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("close") == 100.0)
+    assert(out(1).getAs[Double]("close") == 201.0)
+  }
+
+  test("cross-exchange rows never collide (exchange is a merge key)") {
+    val lake = tmpLake()
+    val b = MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase"), (T0, 100.5, "kucoin")), "15m", "spot")
+    MergeWriter.merge(spark, b, lake, 1)
+    assert(spark.read.parquet(lake).count() == 2)
+  }
+
+  test("lake layout has the five reference partition levels") {
+    val lake = tmpLake()
+    val b = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b, lake, 1)
+    val path = new java.io.File(
+      s"$lake/symbol=BTC-USDT/interval=15m/data_type=spot/exchange=coinbase/date=20210101")
+    assert(path.isDirectory, s"expected hive layout, got ${path.getParent}")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operator unit tests: keep-last dedup, as-of join vs naive reference
+  * implementation, shingles, MinHash/SimHash planted-duplicate recall,
+  * ANN-LSH vs brute force, multimodal stub plumbing.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KeepLast.dedup keeps exactly the greatest-order row per key") {
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 3L, "b"), ("k1", 2L, "c"),
+      ("k2", 5L, "d")).toDF("k", "ord", "v")
+    val out = KeepLast.dedup(df, Seq($"k"), Seq($"ord"))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("k1", "b"), ("k2", "d")))
+  }
+
+  test("AsOfJoin matches a naive per-row scan on random-ish data") {
+    val left = (1 to 50).map(i => (i.toLong, (i * 7 % 13).toLong, i * 100L))
+      .toDF("l_id", "k", "t")
+    val right = (1 to 80).map(j => (j.toLong, (j * 5 % 13).toLong, j * 61L, j * 1.5))
+      .toDF("r_id", "rk", "rt", "payload")
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt",
+        payload = Seq("r_id", "payload"), tieBreak = "r_id")
+      .select($"l_id", $"asof_r_id").as[(Long, Option[Long])]
+      .collect().toMap
+
+    val rightRows = right.as[(Long, Long, Long, Double)].collect()
+    val leftRows = left.as[(Long, Long, Long)].collect()
+    for ((lId, k, t) <- leftRows) {
+      val want = rightRows.filter(r => r._2 == k && r._3 <= t)
+        .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      assert(got(lId) == want, s"l_id=$lId k=$k t=$t")
+    }
+  }
+
+  test("shingles produce w-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+    val out = df.select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+    assert(out(2).isEmpty)
+  }
+
+  test("MinHash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token40", "changed") // ~95% shingle overlap
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val cand = MinHashLsh.candidates(MinHashLsh.signatures(docs), "doc_id")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), "planted near-dup must be a candidate")
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)),
+      "unrelated doc must not pair")
+  }
+
+  test("SimHash: identical docs at hamming 0; near-dup within 3; unrelated far") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id", SimHash.simhash(TextOps.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("AnnLsh buckets identical vectors together; cosine of self-dup = 1") {
+    val v1 = Array.tabulate(16)(i => 0.1f * i - 0.5f)
+    val v2 = v1.clone()
+    val v3 = Array.tabulate(16)(i => -0.1f * i + 0.7f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val out = AnnLsh.ann(df, k = 3).select($"qid", $"cid", $"cos")
+      .as[(Long, Long, Double)].collect()
+    val pair = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, "identical vectors must share a bucket")
+    assert(math.abs(pair.get._3 - 1.0) < 1e-12)
+  }
+
+  test("multimodal stub decode: schema, per-partition execution, determinism") {
+    val df = Seq((1L, "hello world"), (2L, "bytes here"))
+      .toDF("doc_id", "text").withColumn("blob", $"text".cast("binary"))
+    val out = Multimodal.withImageMeta(df, "blob")
+    assert(out.schema("image_meta").dataType == Multimodal.ImageMetaSchema)
+    val rows = out.select($"doc_id", $"image_meta.width", $"image_meta.format")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(rows(0)._2 == 64 + "hello world".length % 512)
+    assert(rows.forall(_._3 == "fake/rgb8"))
+    // determinism across runs
+    val again = Multimodal.withImageMeta(df, "blob")
+      .select($"doc_id", $"image_meta.width").as[(Long, Int)].collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq == rows.map(_._2).toSeq)
+  }
+
+  test("resample OHLC agrees with a direct window computation") {
+    val q = EventOps.q22ResampleOhlc(spark, sf)
+    val events = graft.sources.Tables.events(spark, sf)
+    // cross-check one group: global high/low/count for one (day, type)
+    val g = q.filter($"day" === "2024-01-01" && $"event_type" === "click").collect()
+    assert(g.length == 1)
+    val ref = events.filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-01" &&
+        $"event_type" === "click")
+      .agg(max($"value"), min($"value"), count(lit(1))).collect()(0)
+    assert(g(0).getAs[Double]("high") == ref.getDouble(0))
+    assert(g(0).getAs[Double]("low") == ref.getDouble(1))
+    assert(g(0).getAs[Long]("n") == ref.getLong(2))
+  }
+}
