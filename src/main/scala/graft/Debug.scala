@@ -1,0 +1,20 @@
+package graft
+
+/** Dev harness: run one named query from [[SparkEntry.queries]], print
+  * its formatted physical plan and wall time.
+  *
+  * Usage: runMain graft.Debug <query_name> <sfDir> [explain]
+  */
+object Debug {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = Session.build("graft-debug")
+    val fn = SparkEntry.queries(name)
+    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    val t0 = System.nanoTime()
+    val n = fn(spark, sfDir).count()
+    println(f"[debug] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

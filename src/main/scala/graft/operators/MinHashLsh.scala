@@ -10,8 +10,8 @@ import graft.sources.Tables._
   *
   * Pipeline (all relational, no driver-side state):
   *  1. shingle → distinct word-3-shingles per doc
-  *  2. minhash: k=32 signatures; hash_i(sh) = xxhash64(shingle, seed=i),
-  *     signature_i = min over shingles — computed columnar with
+  *  2. minhash: k=32 signatures from ONE xxhash64 per shingle + k affine
+  *     rehashes; signature_i = min over shingles — computed columnar with
   *     `transform` + `array_min` over the shingle array, no explode of the
   *     k× space.
   *  3. banding: 8 bands × 4 rows; docs sharing a band signature become
@@ -33,20 +33,35 @@ object MinHashLsh {
   val Bands = 8       // bands (K / Bands rows per band)
   val RowsPerBand: Int = K / Bands
 
-  /** doc_id + minhash signature array (length K). */
-  def signatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))
-    val sig = transform(sequence(lit(0), lit(K - 1)),
-      i => array_min(transform(col("__sh"), s => xxhash64(s, i))))
-    docs.withColumn("__sh", sh)
-      .withColumn("sig", when(size(col("__sh")) === 0, lit(null)).otherwise(sig))
-      .drop("__sh")
+  /** id + minhash signature array (length K).
+    *
+    * Hash family: ONE xxhash64 per distinct shingle, then K affine
+    * rehashes `a_i·h + b_i` (odd multipliers, splitmix-style constants) —
+    * the standard one-hash-K-permutations MinHash construction. Shape:
+    * exploded shingle rows ([[TextOps.explodedShingles]]) → one grouped
+    * aggregation computing all K mins as codegen'd `min` columns → packed
+    * into the signature array. Docs with no shingles (under 3 tokens)
+    * produce no signature row.
+    */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    // 31-bit arithmetic: ANSI mode (Spark 4 default) raises on long
+    // overflow, so keep a·h + b < 2^62 (h, a ≤ 2^31; b ≤ 2^30).
+    val ex = TextOps.explodedShingles(docs, Seq(idCol), textCol, 3)
+      .withColumn("__h", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+    val mins = (0 until K).map { i =>
+      val a = (((2L * i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L
+      val b = (i * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL
+      min(col("__h") * lit(a) + lit(b)).as(s"__m$i")
+    }
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until K).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** Candidate near-dup pairs (doc_a < doc_b) via banding; each pair also
     * gets `n_shared_bands`. `maxBucket` drops pathological buckets.
     */
-  def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+  def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
     val banded = sigs.filter(col("sig").isNotNull)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(Bands - 1)),
@@ -69,17 +84,21 @@ object MinHashLsh {
   def q36MinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-    val sh = docs.select($"doc_id",
-      array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)).as("sh"))
+    val ex = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
+    val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = candidates(signatures(docs), "doc_id")
-    val verified = cand
-      .join(sh.select($"doc_id".as("a"), $"sh".as("sh_a")), Seq("a"))
-      .join(sh.select($"doc_id".as("b"), $"sh".as("sh_b")), Seq("b"))
-      .withColumn("common", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-      .withColumn("jaccard",
-        $"common".cast("double") / (size($"sh_a") + size($"sh_b") - $"common"))
+    // exact Jaccard re-verify on candidates, via exploded shingle rows
+    val common = cand
+      .join(ex.select($"doc_id".as("a"), $"shingle"), Seq("a"))
+      .join(ex.select($"doc_id".as("b"), $"shingle"), Seq("b", "shingle"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("a", "b"))
+      .join(nSh.select($"doc_id".as("a"), $"n_sh".as("n_a")), Seq("a"))
+      .join(nSh.select($"doc_id".as("b"), $"n_sh".as("n_b")), Seq("b"))
+      .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
       .filter($"jaccard" >= 0.5)
-    verified.select($"a".as("doc_a"), $"b".as("doc_b"), $"n_shared_bands", $"common", $"jaccard")
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"n_shared_bands", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 }
@@ -94,31 +113,48 @@ object MinHashLsh {
 object SimHash {
   private val Bits = 64
 
-  /** 64-bit simhash of the token array: sum ±1 votes per bit position,
-    * weighted by token frequency, sign → bit. Columnar: per-token
-    * xxhash64, then 64 `when` sums — no explode.
+  /** Per-doc 64-bit simhash: explode per-token hashes to rows, then one
+    * hash aggregation computing all 64 bit votes as `sum(when…)` columns
+    * (whole-stage-codegen'd, single pass), then fold votes into the
+    * signature. An earlier formulation ran 64 separate `aggregate()`
+    * lambdas over the token array per row — 64 interpreted array walks,
+    * measured 14× slower at sf0.1.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until Bits).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val votes = (0 until Bits).map { b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L)).as(s"__v$b")
     }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+    val agg = h.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until Bits)
+      .map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    agg.select(col(idCol), sig.as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with Hamming ≤ 3, blocked on 16-bit chunks. */
+  /** Near-dup pairs with Hamming ≤ 3, blocked on 16-bit chunks. Hot
+    * chunk buckets (> maxBucket docs sharing one 16-bit value — near-
+    * boilerplate corpora) are dropped before pairing: the same quadratic-
+    * bucket guard as [[MinHashLsh.candidates]], trading a little recall
+    * on pathological buckets for a bounded join.
+    */
   def q37SimhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, d)
-      .select($"doc_id", simhash(TextOps.tokens($"text")).as("sig"))
-    val chunked = docs.select($"doc_id", $"sig",
+    val maxBucket = 100
+    val docs = signatures(documents(s, d), "doc_id", "text")
+    val chunkedAll = docs.select($"doc_id", $"sig",
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+    val coolChunks = chunkedAll.groupBy($"chunk_idx", $"chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter($"__n".between(2, maxBucket))
+      .select($"chunk_idx", $"chunk")
+    val chunked = chunkedAll.join(coolChunks, Seq("chunk_idx", "chunk"))
     val pairs = chunked.as("x")
       .join(chunked.as("y"),
         $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk" === $"y.chunk" &&

@@ -84,19 +84,19 @@ object Relational {
     val l = lineitem(s, d)
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .groupBy($"o_orderkey", $"o_orderdate")
+      .groupBy($"o_orderkey", unix_micros($"o_orderdate").as("odate_us"))
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
   }
 
   val q03Sql: String =
-    """SELECT o_orderkey, o_orderdate,
+    """SELECT o_orderkey, EPOCH_US(o_orderdate) AS odate_us,
       |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
-      |GROUP BY o_orderkey, o_orderdate
+      |GROUP BY o_orderkey, EPOCH_US(o_orderdate)
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+
+/** Second relational batch: cube/grouping sets, pivot, sessionization,
+  * running totals, the rank family, scalar-function pack, theta join,
+  * exact median — rounding out SURVEY.md §2.5–§2.8 coverage.
+  */
+object Relational2 {
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations. */
+  def q16Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"), $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q16Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Pivot event counts per user into one column per event type. */
+  def q17Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  val q17Sql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sessionization: a new session starts after a >30-minute gap; one row
+    * per (user, session) with bounds and size. The batch formulation of
+    * streaming session windows (§2.9): gap flag via lag, session id via
+    * running sum — two window passes over one shuffle by user.
+    */
+  def q18Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapMs = 30L * 60 * 1000000
+    val flagged = events(s, d)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when(($"ts_us" - lag($"ts_us", 1).over(byUser)) > gapMs || lag($"ts_us", 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q18Sql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+      |      CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                > 30 * 60 * 1000000
+      |           OR LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Running revenue total per customer (cumulative window sum). Exact
+    * decimal accumulation + FLOOR-at-2-decimals output: cumulative double
+    * sums would depend on each engine's window-sum algorithm (DuckDB uses
+    * segment trees — different summation order).
+    */
+  def q19RunningTotal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total",
+        floor(sum($"o_totalprice".cast(DecimalType(38, 10))).over(w) * 100).cast("double") / 100.0)
+      .select($"o_custkey", $"o_orderkey", unix_micros($"o_orderdate").as("odate_us"), $"running_total")
+      .orderBy($"o_custkey", $"odate_us", $"o_orderkey")
+  }
+
+  val q19Sql: String =
+    """SELECT o_custkey, o_orderkey, EPOCH_US(o_orderdate) AS odate_us,
+      |  CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS UNBOUNDED PRECEDING) * 100) AS DOUBLE) / 100.0 AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, odate_us, o_orderkey""".stripMargin
+
+  /** Rank family: rank/dense_rank (real ties on priority), percent_rank,
+    * and ntile over a unique ordering (ties would make ntile assignment
+    * order-dependent).
+    */
+  def q26WindowRanks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byPriority = Window.partitionBy($"o_orderstatus").orderBy($"o_orderpriority")
+    val unique = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    orders(s, d)
+      .select($"o_orderstatus", $"o_orderkey", $"o_orderpriority",
+        rank().over(byPriority).cast("long").as("rk"),
+        dense_rank().over(byPriority).cast("long").as("drk"),
+        percent_rank().over(byPriority).as("prk"),
+        ntile(4).over(unique).cast("long").as("quartile"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderstatus, o_orderkey, o_orderpriority,
+      |  RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rk,
+      |  DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drk,
+      |  PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS prk,
+      |  NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** Scalar-function pack (F9/F10 + math): clamps, abs, sqrt (IEEE
+    * correctly-rounded — transcendentals are deliberately absent, libm
+    * implementations differ in the last bit), floor/ceil, integer mod,
+    * sign, conditional NULLIF/COALESCE.
+    */
+  def q27ScalarPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_orderkey" < 500)
+      .select($"l_orderkey", $"l_linenumber",
+        least($"l_quantity", lit(25.0)).as("clamped_lo"),
+        greatest($"l_quantity", lit(10.0)).as("clamped_hi"),
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        sqrt($"l_quantity").as("sqrt_qty"),
+        floor($"l_extendedprice" / 1000.0).cast("long").as("price_k"),
+        ceil($"l_quantity" / 7.0).cast("long").as("qty_ceil7"),
+        ($"l_orderkey" % 7).as("key_mod7"),
+        signum($"l_discount" - 0.05).cast("long").as("disc_sign"),
+        coalesce(nullif($"l_returnflag", lit("N")), lit("kept")).as("flag_or_kept"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q27Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  LEAST(l_quantity, 25.0) AS clamped_lo,
+      |  GREATEST(l_quantity, 10.0) AS clamped_hi,
+      |  ABS(l_discount - 0.05) AS disc_dev,
+      |  SQRT(l_quantity) AS sqrt_qty,
+      |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+      |  CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+      |  l_orderkey % 7 AS key_mod7,
+      |  CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
+      |  COALESCE(NULLIF(l_returnflag, 'N'), 'kept') AS flag_or_kept
+      |FROM lineitem
+      |WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Theta self-join: nation pairs within the same region (non-equi
+    * condition on keys; the equality on region makes it a hash join with
+    * a range residual, not a cartesian).
+    */
+  def q28ThetaJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = nation(s, d)
+    n.as("a").join(n.as("b"),
+        $"a.n_regionkey" === $"b.n_regionkey" && $"a.n_nationkey" < $"b.n_nationkey")
+      .select($"a.n_regionkey".as("regionkey"),
+        $"a.n_name".as("nation_a"), $"b.n_name".as("nation_b"))
+      .orderBy($"regionkey", $"nation_a", $"nation_b")
+  }
+
+  val q28Sql: String =
+    """SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a, b.n_name AS nation_b
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |ORDER BY regionkey, nation_a, nation_b""".stripMargin
+
+  /** Exact median (percentile_cont 0.5) of quantity per return flag —
+    * safe cross-engine because quantities are small integral doubles, so
+    * both interpolation formulas hit exact midpoints.
+    */
+  def q29Median(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q29Sql: String =
+    """SELECT l_returnflag, QUANTILE_CONT(l_quantity, 0.5) AS median_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_cube" -> (q16Cube _),
+    "q17_pivot" -> (q17Pivot _),
+    "q18_sessionize" -> (q18Sessionize _),
+    "q19_running_total" -> (q19RunningTotal _),
+    "q26_window_ranks" -> (q26WindowRanks _),
+    "q27_scalar_pack" -> (q27ScalarPack _),
+    "q28_theta_join" -> (q28ThetaJoin _),
+    "q29_median" -> (q29Median _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q16_cube" -> q16Sql,
+    "q17_pivot" -> q17Sql,
+    "q18_sessionize" -> q18Sql,
+    "q19_running_total" -> q19Sql,
+    "q26_window_ranks" -> q26Sql,
+    "q27_scalar_pack" -> q27Sql,
+    "q28_theta_join" -> q28Sql,
+    "q29_median" -> q29Sql,
+  )
+}

@@ -26,11 +26,37 @@ object TextOps {
   /** Word w-shingles (w consecutive tokens joined by one space). Guarded:
     * Spark's `sequence(1, n)` with n < 1 counts DOWN, so short docs get an
     * explicit empty array.
+    *
+    * NOTE: array-lambda form — fine for tests/small inputs, but Catalyst
+    * inlines the `toks` expression into every `element_at`, so with
+    * `toks = tokens(text)` the text is re-tokenized O(positions) times,
+    * interpreted. Hot paths use [[explodedShingles]] instead.
     */
   def shingles(toks: Column, w: Int): Column =
     when(size(toks) < w, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
         i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + k)): _*)))
+
+  /** DISTINCT word w-shingles as exploded rows `(idCols…, shingle)` — the
+    * whole-stage-codegen formulation: posexplode tokens once, build each
+    * shingle from window `lead`s over (doc, position). One shuffle on the
+    * doc id; every operator stays codegen'd (profiling the lambda form
+    * showed interpreted `translate`+`split` dominating — 90+ s at sf0.1
+    * vs ~4 s for this shape).
+    */
+  def explodedShingles(df: DataFrame, idCols: Seq[String], textCol: String, w: Int): DataFrame = {
+    val ex = df.select(idCols.map(col) :+
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCols.map(col): _*).orderBy(col("__pos"))
+    val withLeads = (1 until w).foldLeft(ex) { (acc, k) =>
+      acc.withColumn(s"__lead$k", lead(col("__tok"), k).over(win))
+    }
+    val sh = concat_ws(" ", col("__tok") +: (1 until w).map(k => col(s"__lead$k")): _*)
+    withLeads.filter(col(s"__lead${w - 1}").isNotNull)
+      .select(idCols.map(col) :+ sh.as("shingle"): _*)
+      .distinct()
+  }
 
   /** Per-document stats: token count, distinct tokens, type-token ratio,
     * mean token length, regex (BPE-ish) token count. Pure map — no shuffle.
@@ -180,25 +206,46 @@ object TextOps {
     """SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_md5, COUNT(*) AS n_copies
       |FROM documents GROUP BY MD5(text) ORDER BY doc_id""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs, blocked by `source`: explode distinct
-    * word-3-shingles, self-join within source, Jaccard ≥ 0.5. Blocking
-    * bounds the pair space (the 100 TB pattern: never all-pairs; LSH
-    * banding in [[MinHashLsh]] is the unblocked-corpus variant).
+  /** N-gram Jaccard near-dup pairs, blocked by `source` AND by rare
+    * shingles: candidate pairs must share at least one shingle whose
+    * within-source document frequency is in [2, 50]; candidates are then
+    * re-verified with EXACT Jaccard over the full shingle sets.
+    *
+    * The df cap is the load-bearing scale decision: a naive
+    * shingle-equality self-join blows up as Σ df² — on this corpus's
+    * small vocabulary it produced tens of millions of intermediate pairs
+    * (80 s at sf0.1); stop-shingles (df > 50) carry no discriminative
+    * signal, so dropping them from CANDIDATE GENERATION (not from the
+    * jaccard itself) bounds each bucket at 50² while reported scores stay
+    * exact. Same standard trick as [[MinHashLsh.candidates]]' bucket cap.
     */
   def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, d)
-      .select($"doc_id", $"source", array_distinct(shingles(tokens($"text"), 3)).as("sh"))
-      .withColumn("n_sh", size($"sh").cast("long"))
-    val exploded = docs.select($"doc_id", $"source", $"n_sh", explode($"sh").as("shingle"))
-    val pairs = exploded.as("a")
-      .join(exploded.as("b"),
+    // Fully exploded formulation ([[explodedShingles]]): all joins and
+    // counts run codegen'd over (doc, shingle) rows; no array lambdas.
+    val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
+    val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = ex.groupBy($"source", $"shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, 50))
+      .select($"source", $"shingle")
+    val rareEx = ex.join(rare, Seq("source", "shingle"))
+    val cand = rareEx.as("a")
+      .join(rareEx.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.source" === $"b.source" &&
           $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact common-shingle count per candidate pair, again via exploded
+    // rows: candidates ⋈ a-shingles ⋈ b-shingles on shingle equality
+    val common = cand
+      .join(ex.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(ex.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
-    pairs
+    common
+      .join(nSh.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(nSh.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
       .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
@@ -211,15 +258,29 @@ object TextOps {
       |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |  FROM (SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks FROM documents)
-      |), exploded AS (
-      |  SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM docs
+      |), ex AS (
+      |  SELECT doc_id, source, UNNEST(sh) AS shingle FROM docs
+      |), rare AS (
+      |  SELECT source, shingle FROM ex GROUP BY source, shingle
+      |  HAVING COUNT(*) BETWEEN 2 AND 50
+      |), rare_ex AS (
+      |  SELECT e.doc_id, e.source, e.shingle
+      |  FROM ex e JOIN rare r ON e.source = r.source AND e.shingle = r.shingle
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare_ex a JOIN rare_ex b
+      |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
       |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
-      |  CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-      |FROM exploded a JOIN exploded b
-      |  ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-      |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+      |SELECT doc_a, doc_b, common,
+      |  CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+      |FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    LEN(LIST_FILTER(da.sh, x -> LIST_CONTAINS(db.sh, x))) AS common,
+      |    LEN(da.sh) AS n_a, LEN(db.sh) AS n_b
+      |  FROM cand c
+      |  JOIN docs da ON da.doc_id = c.doc_a
+      |  JOIN docs db ON db.doc_id = c.doc_b)
+      |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,7 +67,7 @@ class OperatorsSpec extends SparkSpec {
     val docs = Seq(
       (1L, base), (2L, base),
       (3L, (1 to 60).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
-    val sigs = docs.select($"doc_id", SimHash.simhash(TextOps.tokens($"text")).as("sig"))
+    val sigs = SimHash.signatures(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)

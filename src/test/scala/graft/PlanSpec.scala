@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan assertions (100 TB posture, SURVEY.md §4): predicates
+  * and projections reach the Parquet scan, small dimensions broadcast,
+  * aggregations run partial+final, and nothing falls back to a cartesian
+  * product. These guard the *plan shape*, which correctness tests can't
+  * see — a regression here is a silent 100× at scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter+projection push into the parquet scan") {
+    val p = plan(Relational.q02FilterProject(spark, sf))
+    // plan strings truncate long lists — assert on the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    // column pruning: l_partkey/l_suppkey sit early in the schema and
+    // would appear (pre-truncation) if the scan read them
+    assert(!p.contains("l_partkey"), "pruned column must not be read")
+    assert(!p.contains("l_suppkey"), "pruned column must not be read")
+  }
+
+  test("q04 dimension join broadcasts (no shuffle join for part)") {
+    val p = plan(Relational.q04BrandStats(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("q05 star join: all dimensions broadcast, single agg shuffle") {
+    val p = plan(Relational.q05StarJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "star-schema dims must not sort-merge at this size")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("partial_"), "expect partial aggregate before the shuffle")
+  }
+
+  test("q03 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q03TopRevenueOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("no query plan contains a cartesian product or nested-loop join") {
+    val all = SparkEntry.queries
+    for ((name, fn) <- all) {
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("whole-stage codegen covers the q01 hot path") {
+    // AQE prints codegen stages only in the FINAL plan — execute first
+    val df = Relational.q01PricingSummary(spark, sf)
+    df.collect()
+    // compact plan strings mark codegen stages with "*(n)"
+    assert(plan(df).contains("*(1)"), "agg pipeline must codegen")
+  }
+}
