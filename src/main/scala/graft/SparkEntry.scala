@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ EventOps.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++
       Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
@@ -26,7 +26,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ EventOps.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql)
 }

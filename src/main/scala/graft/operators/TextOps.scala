@@ -223,7 +223,11 @@ object TextOps {
     import s.implicits._
     // Fully exploded formulation ([[explodedShingles]]): all joins and
     // counts run codegen'd over (doc, shingle) rows; no array lambdas.
+    // Persisted: the subtree feeds candidate generation, df-counting and
+    // exact re-verification — without it Spark recomputes the tokenize+
+    // shingle pipeline once per reference.
     val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = ex.groupBy($"source", $"shingle")
       .agg(count(lit(1)).as("df"))
