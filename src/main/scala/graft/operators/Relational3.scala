@@ -75,14 +75,80 @@ object Relational3 {
       .orderBy($"l_returnflag")
   }
 
+  /** String-function pack 2: pad/substr/position/trim variants/repeat —
+    * the rest of the F1–F4 family.
+    */
+  def q47StringPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .select($"c_custkey",
+        lpad($"c_custkey".cast("string"), 8, "0").as("padded_key"),
+        substring($"c_name", 10, 5).as("name_mid"),
+        instr($"c_name", "#").cast("long").as("hash_pos"),
+        rtrim(rpad($"c_mktsegment", 12, " ")).as("seg_roundtrip"),
+        repeat(lit("ab"), 3).as("rep"),
+        reverse($"c_mktsegment").as("seg_rev"),
+        left($"c_name", lit(8)).as("name_left"),
+        right($"c_name", lit(4)).as("name_right"))
+      .orderBy($"c_custkey")
+  }
+
+  val q47Sql: String =
+    """SELECT c_custkey,
+      |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+      |  SUBSTRING(c_name, 10, 5) AS name_mid,
+      |  CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos,
+      |  RTRIM(RPAD(c_mktsegment, 12, ' ')) AS seg_roundtrip,
+      |  REPEAT('ab', 3) AS rep,
+      |  REVERSE(c_mktsegment) AS seg_rev,
+      |  LEFT(c_name, 8) AS name_left,
+      |  RIGHT(c_name, 4) AS name_right
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Date-arithmetic pack: datediff, add/sub intervals, truncation,
+    * extraction, last_day — F5–F7 rounded out.
+    */
+  def q48DatePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .filter($"o_orderkey" < 400)
+      .select($"o_orderkey",
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).cast("long").as("days_to_2002"),
+        unix_micros(add_months($"o_orderdate", 2).cast("timestamp")).as("plus2m_us"),
+        unix_micros(date_trunc("month", $"o_orderdate")).as("month_start_us"),
+        dayofweek($"o_orderdate").cast("long").as("dow"),
+        dayofyear($"o_orderdate").cast("long").as("doy"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        unix_micros(last_day($"o_orderdate").cast("timestamp")).as("month_end_us"))
+      .orderBy($"o_orderkey")
+  }
+
+  // DuckDB: DAYOFWEEK is 0-based (Sunday=0); Spark's is 1-based (Sunday=1).
+  val q48Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |  EPOCH_US(CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP)) AS plus2m_us,
+      |  EPOCH_US(DATE_TRUNC('month', o_orderdate)) AS month_start_us,
+      |  CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow,
+      |  CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+      |  EPOCH_US(CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_us
+      |FROM orders
+      |WHERE o_orderkey < 400
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
     "q46_approx_distinct" -> (q46ApproxDistinct _),
+    "q47_string_pack" -> (q47StringPack _),
+    "q48_date_pack" -> (q48DatePack _),
   )
 
   val oracles: Map[String, String] = Map(
     "q44_grouping_sets" -> q44Sql,
     "q45_map_array_funcs" -> q45Sql,
+    "q47_string_pack" -> q47Sql,
+    "q48_date_pack" -> q48Sql,
   )
 }

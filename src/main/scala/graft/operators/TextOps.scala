@@ -227,8 +227,11 @@ object TextOps {
     // exact re-verification — without it Spark recomputes the tokenize+
     // shingle pipeline once per reference.
     val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
+      // n_sh as a window count rides along on the exploded rows — the
+      // final jaccard needs no extra joins against a per-doc aggregate
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = ex.groupBy($"source", $"shingle")
       .agg(count(lit(1)).as("df"))
       .filter($"df".between(2, 50))
@@ -241,15 +244,13 @@ object TextOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     // exact common-shingle count per candidate pair, again via exploded
-    // rows: candidates ⋈ a-shingles ⋈ b-shingles on shingle equality
-    val common = cand
-      .join(ex.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
-      .join(ex.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b")
+    // rows: candidates ⋈ a-shingles ⋈ b-shingles on shingle equality;
+    // n_a/n_b ride along from the window count
+    cand
+      .join(ex.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(ex.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("n_b")), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).as("common"))
-    common
-      .join(nSh.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-      .join(nSh.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
       .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
