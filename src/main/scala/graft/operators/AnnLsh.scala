@@ -67,13 +67,12 @@ object AnnLsh {
         col("bkt").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
     val pairs = probes.as("q").join(b.as("c"),
       col("q.probe") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
-    val dot = aggregate(zip_with(col("q.embedding"), col("c.embedding"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
-    def n2(e: Column) = aggregate(transform(e, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, x) => a + x)
+    // exact re-rank with the codegen'd CosineSim expression (one fused
+    // loop; the aggregate/zip_with formulation evaluates interpreted)
+    graft.plans.GraftExtensions.register(embs.sparkSession)
     val scored = pairs.select(
       col("q.vec_id").as("qid"), col("c.vec_id").as("cid"), col("c.bkt").as("bkt"),
-      (dot / (sqrt(n2(col("q.embedding"))) * sqrt(n2(col("c.embedding"))))).as("cos"))
+      expr("cosine_sim(q.embedding, c.embedding)").as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

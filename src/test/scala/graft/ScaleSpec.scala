@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SaltedJoin
+
+/** Scale-technique tests: salted skew join correctness + partition
+  * spread, and bucketed tables joining without a shuffle exchange.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data and spreads the hot key") {
+    // 10k rows of one hot key + 1k spread over 100 keys
+    val large = ((1 to 10000).map(i => (0L, i.toDouble)) ++
+      (1 to 1000).map(i => ((i % 100 + 1).toLong, i.toDouble)))
+      .toDF("k", "v")
+    val small = (0 to 100).map(k => (k.toLong, s"dim$k")).toDF("sk", "name")
+
+    val plain = large.join(small, $"k" === $"sk")
+      .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = SaltedJoin.join(large, small, "k", "sk", salts = 8)
+      .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(plain("dim0") == 10000)
+
+    // hot key occupies several salt buckets (spread check)
+    val spread = large.filter($"k" === 0)
+      .withColumn("__salt", pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread >= 6, s"hot key should spread over most of 8 salts, got $spread")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf — use the session default (test CWD)
+    val n = 5000
+    val facts = (1 to n).map(i => (i.toLong % 500, i.toDouble)).toDF("k", "v")
+    val dims = (0 until 500).map(i => (i.toLong, s"name$i")).toDF("k", "label")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("facts_bkt")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("dims_bkt")
+
+    val joined = spark.table("facts_bkt").join(spark.table("dims_bkt"), "k")
+    // co-located bucketed join: no Exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j2 = spark.table("facts_bkt").join(spark.table("dims_bkt"), "k")
+      val plan = j2.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(j2.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    assert(joined.count() == n)
+  }
+}
