@@ -84,9 +84,7 @@ object MinHashLsh {
   def q36MinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-    // persisted: referenced by signatures-side jaccard verify twice + n_sh
     val ex = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = candidates(signatures(docs), "doc_id")
     // exact Jaccard re-verify on candidates, via exploded shingle rows

@@ -226,12 +226,14 @@ object TextOps {
     // Persisted: the subtree feeds candidate generation, df-counting and
     // exact re-verification — without it Spark recomputes the tokenize+
     // shingle pipeline once per reference.
+    // n_sh as a window count rides along on the exploded rows — the
+    // final jaccard needs no extra joins against a per-doc aggregate.
+    // (No persist: per-invocation caches accumulate across a 48-query
+    // session and the resulting GC pauses cost more than the recompute;
+    // ReusedExchange already dedups the distinct()'s shuffle.)
     val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
-      // n_sh as a window count rides along on the exploded rows — the
-      // final jaccard needs no extra joins against a per-doc aggregate
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ex.groupBy($"source", $"shingle")
       .agg(count(lit(1)).as("df"))
       .filter($"df".between(2, 50))

@@ -33,7 +33,17 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    // warehouse dir is a static conf — use the session default (test CWD)
+    // warehouse dir is a static conf — use the session default (test CWD).
+    // A previous JVM's table directories survive without catalog entries,
+    // so clear both catalog and location for re-runnability.
+    for (t <- Seq("facts_bkt", "dims_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val n = 5000
     val facts = (1 to n).map(i => (i.toLong % 500, i.toDouble)).toDF("k", "v")
     val dims = (0 until 500).map(i => (i.toLong, s"name$i")).toDF("k", "label")
