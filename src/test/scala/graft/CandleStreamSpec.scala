@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.LiveIngest
+
+/** Streaming V2 source → merge lake end-to-end: offsets advance only to
+  * completed interval boundaries, restart resumes from the checkpoint,
+  * and the lake receives exactly one candle per closed interval.
+  */
+class CandleStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1609459200000L // 2021-01-01 00:00 UTC
+
+  private def stream(nowMs: Long) =
+    spark.readStream.format("graft.sources.CandleStreamSource")
+      .option("symbol", "BTC-USDT").option("interval", "15m")
+      .option("startMs", T0.toString)
+      .option("nowMs", nowMs.toString)
+      .load()
+
+  test("micro-batch pulls exactly the closed candles; restart resumes offsets") {
+    val dir = Files.createTempDirectory("graft_cstream").toString
+    // frozen clock: 3 closed 15m intervals + 5 minutes of an open one
+    val q = LiveIngest.start(spark, stream(T0 + 3 * 900000 + 300000),
+      s"$dir/lake", s"$dir/ckpt", interval = "15m",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$dir/lake")
+    assert(rows.count() == 3, "only completed intervals may land")
+    val ts = rows.select(unix_micros($"timestamp") / 1000).as[Double]
+      .collect().map(_.toLong).sorted
+    assert(ts.toSeq == Seq(T0, T0 + 900000, T0 + 1800000))
+
+    // clock advances 2 more intervals: restart fetches ONLY the delta
+    val q2 = LiveIngest.start(spark, stream(T0 + 5 * 900000 + 10000),
+      s"$dir/lake", s"$dir/ckpt", interval = "15m",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    val after = spark.read.parquet(s"$dir/lake")
+    assert(after.count() == 5, s"expected 5 rows after resume, got ${after.count()}")
+  }
+
+}
