@@ -137,12 +137,68 @@ object Relational3 {
       |WHERE o_orderkey < 400
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Correlated scalar subquery + IN subquery (Catalyst decorrelates both
+    * into joins): orders above their customer's average, restricted to
+    * machinery-segment customers.
+    */
+  def q49Subqueries(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_sq")
+    customer(s, d).createOrReplaceTempView("customer_sq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_sq o
+        |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders_sq o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // Float note: AVG's last bits can differ between engines (summation
+  // order), but the predicate compares prices against 2×avg — a row only
+  // flips if its price sits within ~1e-9 relative of the threshold, which
+  // dollar-valued data never does. (Aggregate OUTPUTS would need the
+  // Exact/FLOOR treatment; a filter threshold does not.)
+  val q49Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Deterministic array aggregation: per-status sorted order-key list
+    * (capped) + sorted distinct priorities.
+    */
+  def q52ArrayAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .filter($"o_orderkey" < 200)
+      .groupBy($"o_orderstatus")
+      .agg(
+        concat_ws(",", sort_array(collect_list($"o_orderkey"))).as("keys_csv"),
+        concat_ws(",", sort_array(collect_set($"o_orderpriority"))).as("priorities_csv"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q52Sql: String =
+    """SELECT o_orderstatus,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS keys_csv,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities_csv,
+      |  COUNT(*) AS n
+      |FROM orders
+      |WHERE o_orderkey < 200
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
     "q46_approx_distinct" -> (q46ApproxDistinct _),
     "q47_string_pack" -> (q47StringPack _),
     "q48_date_pack" -> (q48DatePack _),
+    "q49_subqueries" -> (q49Subqueries _),
+    "q52_array_agg" -> (q52ArrayAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,5 +206,7 @@ object Relational3 {
     "q45_map_array_funcs" -> q45Sql,
     "q47_string_pack" -> q47Sql,
     "q48_date_pack" -> q48Sql,
+    "q49_subqueries" -> q49Sql,
+    "q52_array_agg" -> q52Sql,
   )
 }
