@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits one class per stage across a ~50-query
+  // session; the JDK default 240 MB code cache fills a few minutes in,
+  // the JIT shuts off, and Janino compilation (now interpreted) goes
+  // from ~1 s to 60–120 s per class — observed as random query stalls
+  // with every task parked on CodeGenerator.compile's KeyLock.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,8 +13,12 @@ object Debug {
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     val t0 = System.nanoTime()
+    // same execution shape as Bench: noop write runs the full plan
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val t2 = System.nanoTime()
     val n = fn(spark, sfDir).count()
-    println(f"[debug] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    println(f"[debug] $name rows=$n noop=$t1%.2fs count=${(System.nanoTime() - t2) / 1e9}%.2fs")
     spark.stop()
   }
 }

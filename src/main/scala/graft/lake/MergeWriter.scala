@@ -43,7 +43,11 @@ object MergeWriter {
     */
   def merge(spark: SparkSession, batch: DataFrame, path: String, ingestSeq: Long): DataFrame = {
     val tagged = batch.withColumn("ingest_seq", lit(ingestSeq))
-    val lakeExists = new java.io.File(path).exists()
+    // Scheme-aware existence check: java.io.File is silently false for
+    // hdfs:///s3a:// paths, which would blind-overwrite a remote lake.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lakeExists = fs.exists(hPath)
     val combined =
       if (!lakeExists) tagged
       else {
@@ -63,9 +67,12 @@ object MergeWriter {
       combined,
       (Keys :+ "timestamp").map(col),
       Seq(col("ingest_seq")))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Per-write option, NOT session conf: a session-global mutation here
+    // would leak dynamic-overwrite semantics to every concurrent writer
+    // sharing the session.
     deduped.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Keys: _*)
       .parquet(path)
     deduped

@@ -36,8 +36,20 @@ object AnnLsh {
   private def weight(p: Int, i: Column): Column =
     (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** SRP bucket id (one bit per plane) for an `array<float>` embedding. */
-  def bucket(emb: Column, planes: Int = DefaultPlanes): Column = {
+  /** SRP bucket id (one bit per plane) for an `array<float>` embedding —
+    * the codegen'd [[graft.functions.SrpBucket]] expression (callers must
+    * have graft functions registered; [[ann]] does). One fused loop per
+    * row instead of `planes` interpreted array walks.
+    */
+  def bucket(emb: Column, planes: Int = DefaultPlanes): Column =
+    call_function("srp_bucket", emb, lit(planes))
+
+  /** Reference lambda formulation of [[bucket]] — interpreted (Catalyst
+    * evaluates higher-order functions per element and re-inlines the
+    * child into every lambda reference). Kept as the parity oracle for
+    * SrpBucketSpec; never used on the hot path.
+    */
+  def bucketLambda(emb: Column, planes: Int = DefaultPlanes): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
     val bits = (0 until planes).map { p =>
       val dot = aggregate(
@@ -57,6 +69,9 @@ object AnnLsh {
     */
   def ann(embs: DataFrame, k: Int = 3, maxBucket: Int = 2000,
           planes: Int = DefaultPlanes): DataFrame = {
+    // srp_bucket + cosine_sim live in the function registry; DataFrame
+    // analysis is eager, so register before the first select
+    graft.plans.GraftExtensions.register(embs.sparkSession)
     val b = embs.select(col("vec_id"), col("embedding"),
         bucket(col("embedding"), planes).as("bkt"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkt"))))
@@ -69,7 +84,6 @@ object AnnLsh {
       col("q.probe") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
     // exact re-rank with the codegen'd CosineSim expression (one fused
     // loop; the aggregate/zip_with formulation evaluates interpreted)
-    graft.plans.GraftExtensions.register(embs.sparkSession)
     val scored = pairs.select(
       col("q.vec_id").as("qid"), col("c.vec_id").as("cid"), col("c.bkt").as("bkt"),
       expr("cosine_sim(q.embedding, c.embedding)").as("cos"))

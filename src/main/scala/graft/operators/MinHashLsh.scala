@@ -44,17 +44,24 @@ object MinHashLsh {
     * produce no signature row.
     */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    signaturesFromExploded(
+      TextOps.explodedShingles(docs, Seq(idCol), textCol, 3), idCol)
+
+  /** Signatures from an already-exploded `(idCol, shingle)` relation —
+    * lets callers that need the shingle rows for other joins (e.g. exact
+    * re-verify in [[q36MinhashDedup]]) compute the shingle pipeline ONCE.
+    */
+  def signaturesFromExploded(ex: DataFrame, idCol: String): DataFrame = {
     // 31-bit arithmetic: ANSI mode (Spark 4 default) raises on long
     // overflow, so keep a·h + b < 2^62 (h, a ≤ 2^31; b ≤ 2^30).
-    val ex = TextOps.explodedShingles(docs, Seq(idCol), textCol, 3)
-      .withColumn("__h", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+    val hashed = ex.withColumn("__h", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
     val mins = (0 until K).map { i =>
       val a = (((2L * i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L
       val b = (i * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL
       min(col("__h") * lit(a) + lit(b)).as(s"__m$i")
     }
-    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until K).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
@@ -84,18 +91,32 @@ object MinHashLsh {
   def q36MinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
+    // Single-pass per-doc formulation (same shape as q35): ONE grouped
+    // aggregation over the exploded shingle rows computes the K signature
+    // mins AND the distinct 64-bit shingle-hash array AND its count.
+    // Downstream (banding, exact verify) reads that aggregation's
+    // Exchange, which ReuseExchange materializes once — no persist/
+    // localCheckpoint (explicit caching here caused multi-minute kernel
+    // stalls in long sessions) and no recompute of the shingle pipeline
+    // (28.5 s at sf0.1 in round 1). Verify = `array_intersect` on the
+    // hash arrays: O(|doc|) per candidate pair, zero extra shuffles.
     val ex = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
-    val nSh = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val cand = candidates(signatures(docs), "doc_id")
-    // exact Jaccard re-verify on candidates, via exploded shingle rows
-    val common = cand
-      .join(ex.select($"doc_id".as("a"), $"shingle"), Seq("a"))
-      .join(ex.select($"doc_id".as("b"), $"shingle"), Seq("b", "shingle"))
-      .groupBy($"a", $"b")
-      .agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("a", "b"))
-      .join(nSh.select($"doc_id".as("a"), $"n_sh".as("n_a")), Seq("a"))
-      .join(nSh.select($"doc_id".as("b"), $"n_sh".as("n_b")), Seq("b"))
+      .withColumn("__h64", xxhash64($"shingle"))
+      .withColumn("__h", $"__h64".bitwiseAND(lit(0x7FFFFFFFL)))
+    val mins = (0 until K).map { i =>
+      val a = (((2L * i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L
+      val b = (i * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL
+      min($"__h" * lit(a) + lit(b)).as(s"__m$i")
+    }
+    val aggs = collect_list($"__h64").as("hs") +: count(lit(1)).as("n_sh") +: mins
+    val perDoc = ex.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = perDoc.select($"doc_id",
+      array((0 until K).map(i => col(s"__m$i")): _*).as("sig"))
+    val cand = candidates(sigs, "doc_id")
+    cand
+      .join(perDoc.select($"doc_id".as("a"), $"hs".as("hs_a"), $"n_sh".as("n_a")), Seq("a"))
+      .join(perDoc.select($"doc_id".as("b"), $"hs".as("hs_b"), $"n_sh".as("n_b")), Seq("b"))
+      .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
       .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"n_shared_bands", $"common", $"jaccard")

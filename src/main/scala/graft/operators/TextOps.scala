@@ -168,26 +168,39 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   /** Bag-of-words fingerprint (order-insensitive content hash) + exact
-    * dedup on it: md5 over the sorted distinct token set; keep the lowest
-    * doc_id per fingerprint, count members. One shuffle on the 16-byte
-    * fingerprint — the canonical exact-dedup shape at 100 TB (hash, not
-    * raw text, shuffles).
+    * dedup on it: the fingerprint is the SUM of per-distinct-token 48-bit
+    * hashes (md5 prefix), which is order-independent by commutativity —
+    * no per-row `array_sort(array_distinct(...))` materialization (that
+    * formulation cost 8.6 s at sf0.1: interpreted collection ops over
+    * large token arrays). This shape is one codegen'd explode + two hash
+    * aggs; at 100 TB only 8-byte hashes shuffle, never text. 48-bit token
+    * hashes keep the sum < 2^63 under ANSI mode (≤ ~2^14 tokens/doc) and
+    * make the construction reproducible in any engine with md5.
     */
   def q33FingerprintDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(tokens($"text"))))))
-      .groupBy($"fp")
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+      .groupBy($"doc_id")
+      .agg(sum(conv(substring(md5($"tok"), 1, 12), 16, 10).cast("long")).as("fp"),
+        count(lit(1)).as("n_tokens"))
+      .groupBy($"fp", $"n_tokens")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_members"))
+      .select($"fp", $"keeper_doc_id", $"n_members")
       .orderBy($"keeper_doc_id")
   }
 
   val q33Sql: String =
     """SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_members
-      |FROM (SELECT doc_id,
-      |        MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))), ' ')) AS fp
-      |      FROM documents)
-      |GROUP BY fp
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 12)) AS BIGINT)) AS BIGINT) AS fp,
+      |    COUNT(*) AS n_tokens
+      |  FROM (SELECT doc_id,
+      |          UNNEST(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id)
+      |GROUP BY fp, n_tokens
       |ORDER BY keeper_doc_id""".stripMargin
 
   /** Exact duplicate removal on raw text hash (the simplest dedup tier):
@@ -221,38 +234,44 @@ object TextOps {
     */
   def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Fully exploded formulation ([[explodedShingles]]): all joins and
-    // counts run codegen'd over (doc, shingle) rows; no array lambdas.
-    // Persisted: the subtree feeds candidate generation, df-counting and
-    // exact re-verification — without it Spark recomputes the tokenize+
-    // shingle pipeline once per reference.
-    // n_sh as a window count rides along on the exploded rows — the
-    // final jaccard needs no extra joins against a per-doc aggregate.
-    // (No persist: per-invocation caches accumulate across a 48-query
-    // session and the resulting GC pauses cost more than the recompute;
-    // ReusedExchange already dedups the distinct()'s shuffle.)
+    // Single-pass per-doc formulation: the expensive tokenize+shingle
+    // subtree ([[explodedShingles]]) is consumed by exactly ONE grouped
+    // aggregation that packs everything downstream needs — the distinct
+    // shingle-hash array `hs` and its count `n_sh`. Every later stage
+    // (df-capped blocking, candidate self-join, exact verify) reads the
+    // output of that aggregation's Exchange, which Spark's ReuseExchange
+    // rule materializes once and shares across all references — no
+    // persist()/localCheckpoint() (explicit caching here caused both the
+    // round-1 GC-variance failure AND multi-minute single-threaded kernel
+    // stalls in long sessions), and no recompute (the round-1 alternative
+    // that cost 24.5 s at sf0.1 from 5 references to the subtree).
+    //
+    // The exact verify is `array_intersect` on per-doc 64-bit shingle
+    // hashes instead of a shingle-level join: per-candidate-pair O(|doc|)
+    // work with no extra shuffle. Collision risk per pair is
+    // n_a·n_b/2^64 ≈ 1e-15 — far below the oracle-compare tolerance.
+    // At 100 TB the per-doc array is the same order as the text column
+    // itself, so the shuffle is no heavier than shuffling the corpus.
     val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-    val rare = ex.groupBy($"source", $"shingle")
+      .withColumn("h", xxhash64($"shingle"))
+    val perDoc = ex.groupBy($"doc_id", $"source")
+      .agg(collect_list($"h").as("hs"), count(lit(1)).as("n_sh"))
+    val hashRows = perDoc.select($"doc_id", $"source", explode($"hs").as("h"))
+    val rare = hashRows.groupBy($"source", $"h")
       .agg(count(lit(1)).as("df"))
       .filter($"df".between(2, 50))
-      .select($"source", $"shingle")
-    val rareEx = ex.join(rare, Seq("source", "shingle"))
+      .select($"source", $"h")
+    val rareEx = hashRows.join(rare, Seq("source", "h"))
     val cand = rareEx.as("a")
       .join(rareEx.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.source" === $"b.source" &&
+        $"a.h" === $"b.h" && $"a.source" === $"b.source" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // exact common-shingle count per candidate pair, again via exploded
-    // rows: candidates ⋈ a-shingles ⋈ b-shingles on shingle equality;
-    // n_a/n_b ride along from the window count
     cand
-      .join(ex.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("n_a")), Seq("doc_a"))
-      .join(ex.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("n_b")), Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
-      .agg(count(lit(1)).as("common"))
+      .join(perDoc.select($"doc_id".as("doc_a"), $"hs".as("hs_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"hs".as("hs_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
       .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")

@@ -72,7 +72,12 @@ object VectorOps {
     val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
-    val dots = q.join(e.as("c"), Seq("pos"))
+    // Explicit broadcast of the (tiny) exploded query set: its size is a
+    // post-filter estimate Spark can't trust, and a fallback shuffle join
+    // would key on `pos` — 64 distinct values, so ≤64 useful partitions
+    // no matter the cluster size. Broadcasting keeps the corpus side
+    // partition-parallel at any scale.
+    val dots = broadcast(q).join(e.as("c"), Seq("pos"))
       .filter($"qid" =!= $"c.vec_id")
       .groupBy($"qid", $"c.vec_id".as("cid"))
       .agg(xsum($"qv" * $"c.v").as("dot"))

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSim, SrpBucket}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -17,7 +18,7 @@ import graft.functions.CosineSim
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -26,8 +27,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSim(children(0), children(1)): Expression)
 
+  private val srpBucketDescriptor = (
+    new FunctionIdentifier("srp_bucket"),
+    new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+    (children: Seq[Expression]) => {
+      // plane count must be a compile-time literal: it shapes the
+      // generated loop, so a runtime column makes no sense here
+      val planes = children.lift(1) match {
+        case None => graft.operators.AnnLsh.DefaultPlanes
+        case Some(Literal(v: Int, IntegerType)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"srp_bucket: planes must be an integer literal, got $other")
+      }
+      SrpBucket(children.head, planes): Expression
+    })
+
+  private val descriptors = Seq(cosineSimDescriptor, srpBucketDescriptor)
+
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q41 query side broadcasts (no shuffle join keyed on 64-value pos)") {
+    val p = plan(VectorOps.q41CosineTopk(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join on pos caps parallelism at 64 partitions")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints codegen stages only in the FINAL plan — execute first
     val df = Relational.q01PricingSummary(spark, sf)
