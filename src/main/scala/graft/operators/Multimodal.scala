@@ -36,22 +36,37 @@ object Multimodal {
     Row(64 + n % 512, 64 + (n * 7) % 512, 3, "fake/rgb8")
   }
 
-  /** Attach blob + decoded metadata via a per-partition batch pass
-    * (`mapPartitions` — the Scala analog of `mapInPandas` batch decode):
-    * rows stream through one partition at a time, the decoder amortizes
-    * per-batch setup, and no driver collection happens anywhere.
+  /** Decoded metadata via a per-partition batch pass (`mapPartitions` —
+    * the Scala analog of `mapInPandas` batch decode): rows stream through
+    * one partition at a time, the decoder amortizes per-batch setup, and
+    * no driver collection happens anywhere.
+    *
+    * Only the projected columns cross the Row-encoder boundary — the
+    * full-width formulation round-tripped EVERY column through
+    * deserialization and broke codegen for the whole projection; here the
+    * rest of the row never leaves Tungsten format. Callers that need
+    * other columns keep them outside (as [[q51ImagePipeline]] does) or
+    * join the result back on `idCol`.
     */
-  def withImageMeta(df: DataFrame, blobCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ StructField("image_meta", ImageMetaSchema))
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    df.mapPartitions { it =>
+  def imageMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val slim = df.select(df.col(idCol), df.col(blobCol))
+    val outSchema = StructType(slim.schema.fields :+ StructField("image_meta", ImageMetaSchema))
+    slim.mapPartitions { it =>
       // per-partition setup (a real decoder would init its codec here)
       it.map { row =>
-        val bytes = row.get(blobIdx).asInstanceOf[Array[Byte]]
+        val bytes = row.get(1).asInstanceOf[Array[Byte]]
         Row.fromSeq(row.toSeq :+ fakeDecodeImage(bytes))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Full-width convenience: all original columns plus `image_meta`,
+    * via [[imageMeta]] and a join back on `idCol`. The join shuffles the
+    * wide side — prefer [[imageMeta]] directly when the downstream only
+    * needs (id, blob, meta).
+    */
+  def withImageMeta(df: DataFrame, blobCol: String, idCol: String = "doc_id"): DataFrame =
+    df.join(imageMeta(df, idCol, blobCol).drop(blobCol), Seq(idCol))
 
   /** Frame-sample analog: take every `stride`-th byte of the blob (stands
     * in for sampling video frames); pure columnar expression.
@@ -91,7 +106,7 @@ object Multimodal {
   def q51ImagePipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val withBlob = documents(s, d).withColumn("blob", $"text".cast("binary"))
-    withImageMeta(withBlob, "blob")
+    imageMeta(withBlob, "doc_id", "blob")
       .select($"doc_id",
         $"image_meta.width".cast("long").as("width"),
         $"image_meta.height".cast("long").as("height"),

@@ -191,6 +191,42 @@ object Relational3 {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** TPC-H Q5-shaped local-supplier revenue: lineitem ⋈ orders ⋈ customer
+    * ⋈ supplier ⋈ nation, keeping only line items whose supplier sits in
+    * the customer's own nation. supplier and nation broadcast (dims);
+    * the fact-fact joins shuffle on their keys; the only other shuffle is
+    * the final per-nation aggregate. Exercises the one testdata table
+    * (`supplier`) no other query touches.
+    */
+  def q53SupplierRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q53Sql: String =
+    """SELECT n_name,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
@@ -199,6 +235,7 @@ object Relational3 {
     "q48_date_pack" -> (q48DatePack _),
     "q49_subqueries" -> (q49Subqueries _),
     "q52_array_agg" -> (q52ArrayAgg _),
+    "q53_supplier_revenue" -> (q53SupplierRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +245,6 @@ object Relational3 {
     "q48_date_pack" -> q48Sql,
     "q49_subqueries" -> q49Sql,
     "q52_array_agg" -> q52Sql,
+    "q53_supplier_revenue" -> q53Sql,
   )
 }

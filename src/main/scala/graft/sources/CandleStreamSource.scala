@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.normalize.Intervals
@@ -54,16 +54,48 @@ class CandleStreamTable(options: CaseInsensitiveStringMap) extends Table with Su
     }
 }
 
-/** Offset = candle-aligned epoch millis (watermark semantics). */
-case class CandleOffset(ms: Long) extends Offset {
-  override def json(): String = ms.toString
+/** One tailed series: the reference's live loop covers the full
+  * symbols × intervals × exchanges matrix in a single cycle
+  * (crypto_collector.py:678–679); here each tuple is one offset entry.
+  */
+case class CandleSeries(symbol: String, interval: String, exchange: String) {
+  def key: String = s"$symbol:$interval:$exchange"
 }
 
-class CandleMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
-  private val symbol = options.getOrDefault("symbol", "BTC-USDT")
-  private val interval = options.getOrDefault("interval", "15m")
-  private val exchange = options.getOrDefault("exchange", "coinbase")
-  private val stepMs = Intervals.intervalMs(interval)
+/** Offset = per-series map of candle-aligned epoch-ms watermarks — the
+  * durable `last_collected_ts[symbol][interval]` table (§2.9 T4), so ONE
+  * streaming query tails the whole matrix and each series resumes
+  * independently from the shared checkpoint. JSON is a flat sorted map
+  * (`{"BTC-USDT:15m:coinbase":1609459200000,…}`); a legacy bare-long
+  * checkpoint (the old single-series format) deserializes onto the sole
+  * configured series.
+  */
+case class CandleOffset(offsets: Map[String, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+}
+
+class CandleMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  /** `series` = comma-separated `symbol:interval:exchange` triples; the
+    * single-series options (`symbol`/`interval`/`exchange`) remain as the
+    * one-tuple fallback.
+    */
+  private val series: Seq[CandleSeries] =
+    Option(options.get("series")).filter(_.nonEmpty) match {
+      case Some(spec) => spec.split(',').toSeq.map { s =>
+        s.split(':') match {
+          case Array(sym, iv, ex) => CandleSeries(sym.trim, iv.trim, ex.trim)
+          case _ => throw new IllegalArgumentException(
+            s"series entry must be symbol:interval:exchange, got '$s'")
+        }
+      }
+      case None => Seq(CandleSeries(
+        options.getOrDefault("symbol", "BTC-USDT"),
+        options.getOrDefault("interval", "15m"),
+        options.getOrDefault("exchange", "coinbase")))
+    }
   private val startMs = options.getOrDefault("startMs", "1609459200000").toLong
   private val rateMs = options.getOrDefault("rateLimitMs", "0").toLong
 
@@ -71,21 +103,68 @@ class CandleMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBat
     Option(options.get("nowMs")).map(_.toLong)
       .getOrElse(System.currentTimeMillis())
 
-  override def initialOffset(): Offset = CandleOffset(alignDown(startMs))
+  private def alignDown(ms: Long, interval: String): Long = {
+    val step = Intervals.intervalMs(interval)
+    (ms / step) * step
+  }
 
-  /** Last completed interval boundary — only closed candles are visible. */
-  override def latestOffset(): Offset = CandleOffset(alignDown(nowMs))
+  override def initialOffset(): Offset = CandleOffset(
+    series.map(s => s.key -> alignDown(startMs, s.interval)).toMap)
 
-  private def alignDown(ms: Long): Long = (ms / stepMs) * stepMs
+  private def currentLatest: CandleOffset = CandleOffset(
+    series.map(s => s.key -> alignDown(nowMs, s.interval)).toMap)
 
-  override def deserializeOffset(json: String): Offset = CandleOffset(json.toLong)
+  /** `Trigger.AvailableNow` support: the end offset is pinned ONCE at
+    * query start (the aligned scheduler's boundary snapshot), so the
+    * catch-up run drains exactly what was closed then and terminates even
+    * if the clock keeps advancing mid-run.
+    */
+  private var availableNowEnd: Option[CandleOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentLatest)
+  override def reportLatestOffset(): Offset = currentLatest
+
+  /** Admission-control variant (SupportsTriggerAvailableNow extends
+    * SupportsAdmissionControl): no per-batch cap — a batch is already
+    * bounded by closed-candle boundaries, and chunking splits it into
+    * ≤300-candle input partitions.
+    */
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  /** Last completed interval boundary per series — only closed candles
+    * are visible (a 1d series advances once a day while its 15m sibling
+    * advances every quarter hour).
+    */
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(currentLatest)
+
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (!t.startsWith("{")) CandleOffset(Map(series.head.key -> t.toLong))
+    else {
+      val body = t.stripPrefix("{").stripSuffix("}").trim
+      val entries =
+        if (body.isEmpty) Map.empty[String, Long]
+        else body.split(',').map { kv =>
+          val Array(k, v) = kv.split(":(?=[^:]*$)", 2) // split on LAST colon
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        }.toMap
+      CandleOffset(entries)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CandleOffset].ms
-    val e = end.asInstanceOf[CandleOffset].ms
-    if (e <= s) Array.empty
-    else Intervals.chunkWindows(s, e, interval).map { case (cs, ce) =>
-      CandleInputPartition(symbol, interval, exchange, cs, ce, rateMs): InputPartition
+    val s = start.asInstanceOf[CandleOffset].offsets
+    val e = end.asInstanceOf[CandleOffset].offsets
+    series.flatMap { ser =>
+      val from = s.getOrElse(ser.key, alignDown(startMs, ser.interval))
+      val to = e.getOrElse(ser.key, from)
+      if (to <= from) Seq.empty
+      else Intervals.chunkWindows(from, to, ser.interval).map { case (cs, ce) =>
+        CandleInputPartition(ser.symbol, ser.interval, ser.exchange, cs, ce, rateMs): InputPartition
+      }
     }.toArray
   }
 

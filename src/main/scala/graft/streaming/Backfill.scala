@@ -36,6 +36,41 @@ object Backfill {
       (s, e) <- Intervals.chunkWindows(startMs, endMs, iv)
     } yield Chunk(sym, iv, s, e)
 
+  /** 2021-01-01 UTC — the reference's default backfill start for symbols
+    * without a custom entry (crypto_collector.py:502).
+    */
+  val DefaultStartMs: Long = 1609459200000L
+
+  /** Per-symbol chunk plan: each symbol backfills from its own start time
+    * (`symbol_start_times` with a default for unlisted symbols —
+    * crypto_collector.py:502, 506–512, 776–778).
+    */
+  def planPerSymbol(symbols: Seq[String], intervals: Seq[String],
+                    symbolStartMs: Map[String, Long], endMs: Long,
+                    defaultStartMs: Long = DefaultStartMs): Seq[Chunk] =
+    symbols.flatMap { sym =>
+      plan(Seq(sym), intervals, symbolStartMs.getOrElse(sym, defaultStartMs), endMs)
+    }
+
+  /** Per-(exchange, symbol) listing cutoffs: BinanceUS has no BTC-USDT
+    * history before 2020-01-01 UTC (crypto_collector.py:565–572).
+    */
+  val DefaultAvailabilityCutoffs: Map[(String, String), Long] =
+    Map(("binanceus", "BTC-USDT") -> 1577836800000L)
+
+  /** Availability clamp for one exchange's view of a window: `None` when
+    * the whole window precedes the listing (the reference's `continue`),
+    * otherwise the window with its start raised to the cutoff.
+    */
+  def clampWindow(exchange: String, symbol: String, startMs: Long, endMs: Long,
+                  cutoffs: Map[(String, String), Long] = DefaultAvailabilityCutoffs)
+      : Option[(Long, Long)] =
+    cutoffs.get((exchange, symbol)) match {
+      case Some(cut) if endMs < cut => None
+      case Some(cut)                => Some((math.max(startMs, cut), endMs))
+      case None                     => Some((startMs, endMs))
+    }
+
   /** Execute a backfill: fetch every chunk, union, tag, merge into the
     * lake partitioned by (symbol, interval, data_type, exchange, date).
     * Chunks of the same interval merge in one pass (one shuffle per
@@ -48,6 +83,32 @@ object Backfill {
       val unioned = ivChunks.map(fetch).reduce(_ unionByName _)
       val tagged = MergeWriter.withPartitionCols(unioned, interval, dataType)
       MergeWriter.merge(spark, tagged, lakePath, ingestSeq)
+    }
+  }
+
+  /** Execute a backfill with the reference's per-chunk exchange fan-out
+    * (`collect_spot_data`, crypto_collector.py:563–585): every chunk is
+    * fetched from every exchange — availability-clamped per (exchange,
+    * symbol) — and the 5-venue results union into one merge per interval.
+    * `fetch(chunk, exchange)` must return canonical candles already
+    * tagged with their `exchange` column (the normalizers in
+    * [[graft.normalize.Exchanges]] do this).
+    */
+  def runFanOut(spark: SparkSession, chunks: Seq[Chunk], exchanges: Seq[String],
+                fetch: (Chunk, String) => DataFrame, lakePath: String,
+                ingestSeq: Long, dataType: String = "spot",
+                cutoffs: Map[(String, String), Long] = DefaultAvailabilityCutoffs): Unit = {
+    chunks.groupBy(_.interval).foreach { case (interval, ivChunks) =>
+      val frames = for {
+        c <- ivChunks
+        ex <- exchanges
+        (s, e) <- clampWindow(ex, c.symbol, c.startMs, c.endMs, cutoffs)
+      } yield fetch(c.copy(startMs = s, endMs = e), ex)
+      if (frames.nonEmpty) {
+        val tagged = MergeWriter.withPartitionCols(
+          frames.reduce(_ unionByName _), interval, dataType)
+        MergeWriter.merge(spark, tagged, lakePath, ingestSeq)
+      }
     }
   }
 }

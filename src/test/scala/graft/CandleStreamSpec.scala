@@ -43,4 +43,42 @@ class CandleStreamSpec extends SparkSpec {
     assert(after.count() == 5, s"expected 5 rows after resume, got ${after.count()}")
   }
 
+  private def multiStream(nowMs: Long) =
+    spark.readStream.format("graft.sources.CandleStreamSource")
+      .option("series", "BTC-USDT:15m:coinbase,ETH-USDT:1h:kucoin")
+      .option("startMs", T0.toString)
+      .option("nowMs", nowMs.toString)
+      .load()
+
+  test("one query tails multiple (symbol,interval,exchange) series; each resumes independently") {
+    val dir = Files.createTempDirectory("graft_mstream").toString
+    def runOnce(nowMs: Long): Unit = {
+      val q = multiStream(nowMs).writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // frozen clock at T0+2h05m: the 15m series has 8 closed candles,
+    // the 1h series 2 — different per-series watermarks in ONE offset
+    runOnce(T0 + 125 * 60000)
+    val first = spark.read.parquet(s"$dir/out")
+      .groupBy($"symbol").count().as[(String, Long)].collect().toMap
+    assert(first("BTC-USDT") == 8, s"15m series: $first")
+    assert(first("ETH-USDT") == 2, s"1h series: $first")
+
+    // advance 1h: restart fetches ONLY each series' delta from the shared
+    // checkpoint (4 more 15m candles, 1 more 1h candle)
+    runOnce(T0 + 185 * 60000)
+    val after = spark.read.parquet(s"$dir/out")
+      .groupBy($"symbol").count().as[(String, Long)].collect().toMap
+    assert(after("BTC-USDT") == 12, s"after resume: $after")
+    assert(after("ETH-USDT") == 3, s"after resume: $after")
+    // and the exchanges tag through per series
+    val ex = spark.read.parquet(s"$dir/out")
+      .select($"symbol", $"exchange").distinct().as[(String, String)].collect().toSet
+    assert(ex == Set("BTC-USDT" -> "coinbase", "ETH-USDT" -> "kucoin"))
+  }
 }
