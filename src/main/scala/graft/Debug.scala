@@ -12,6 +12,12 @@ object Debug {
     val spark = Session.build("graft-debug")
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("explainFinal")) {
+      // AQE rewrites (incl. ReusedExchange) appear only in the FINAL plan
+      val df = fn(spark, sfDir)
+      df.collect()
+      df.explain("formatted")
+    }
     val t0 = System.nanoTime()
     // same execution shape as Bench: noop write runs the full plan
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -90,34 +90,39 @@ object MinHashLsh {
     */
   def q36MinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    // the explicit doc_id null-filter matches the isnotnull predicate the
+    // verify joins infer on their key — without it the signature branch's
+    // scan differs canonically from the verify branches' scans and
+    // exchange reuse can't unify them (observed: 3 scans instead of 1)
     val docs = documents(s, d).select($"doc_id", $"text")
-    // Single-pass per-doc formulation (same shape as q35): ONE grouped
-    // aggregation over the exploded shingle rows computes the K signature
-    // mins AND the distinct 64-bit shingle-hash array AND its count.
-    // Downstream (banding, exact verify) reads that aggregation's
-    // Exchange, which ReuseExchange materializes once — no persist/
-    // localCheckpoint (explicit caching here caused multi-minute kernel
-    // stalls in long sessions) and no recompute of the shingle pipeline
-    // (28.5 s at sf0.1 in round 1). Verify = `array_intersect` on the
-    // hash arrays: O(|doc|) per candidate pair, zero extra shuffles.
+      .filter($"doc_id".isNotNull)
+    // Single-pass per-doc formulation: ONE grouped aggregation collects
+    // each doc's distinct 64-bit shingle hashes; EVERYTHING downstream
+    // derives from that one `(doc_id, hs)` relation — the signature via
+    // the codegen'd [[graft.functions.MinHashSig]] expression, the
+    // shingle count via `size(hs)`, the exact verify via
+    // `array_intersect`. One payload column means every branch consumes
+    // IDENTICAL columns, so column pruning can't specialize the subplans
+    // and Spark's exchange reuse materializes the expensive shingle
+    // pipeline exactly once (divergent pruning previously split it into
+    // per-branch copies; caching instead caused multi-minute kernel
+    // stalls in long sessions, and recompute cost 28.5 s at sf0.1).
     val ex = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
-      .withColumn("__h64", xxhash64($"shingle"))
-      .withColumn("__h", $"__h64".bitwiseAND(lit(0x7FFFFFFFL)))
-    val mins = (0 until K).map { i =>
-      val a = (((2L * i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L
-      val b = (i * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL
-      min($"__h" * lit(a) + lit(b)).as(s"__m$i")
-    }
-    val aggs = collect_list($"__h64").as("hs") +: count(lit(1)).as("n_sh") +: mins
-    val perDoc = ex.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val perDoc = ex.groupBy($"doc_id")
+      .agg(collect_list(xxhash64($"shingle")).as("hs"))
     val sigs = perDoc.select($"doc_id",
-      array((0 until K).map(i => col(s"__m$i")): _*).as("sig"))
+      call_function("minhash_sig", $"hs", lit(K)).as("sig"))
     val cand = candidates(sigs, "doc_id")
-    cand
-      .join(perDoc.select($"doc_id".as("a"), $"hs".as("hs_a"), $"n_sh".as("n_a")), Seq("a"))
-      .join(perDoc.select($"doc_id".as("b"), $"hs".as("hs_b"), $"n_sh".as("n_b")), Seq("b"))
+    // candidates broadcast (tiny survivor set); perDoc — corpus-sized —
+    // always probes, so both verify branches and the signature branch
+    // read the same reused pre-aggregation shuffle
+    broadcast(broadcast(cand)
+        .join(perDoc.select($"doc_id".as("a"), $"hs".as("hs_a")), Seq("a")))
+      .join(perDoc.select($"doc_id".as("b"), $"hs".as("hs_b")), Seq("b"))
       .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
-      .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
+      .withColumn("jaccard", $"common".cast("double") /
+        (size($"hs_a") + size($"hs_b") - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"n_shared_bands", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
@@ -168,18 +173,22 @@ object SimHash {
     import s.implicits._
     val maxBucket = 100
     val docs = signatures(documents(s, d), "doc_id", "text")
-    val chunkedAll = docs.select($"doc_id", $"sig",
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
-    val coolChunks = chunkedAll.groupBy($"chunk_idx", $"chunk")
-      .agg(count(lit(1)).as("__n"))
-      .filter($"__n".between(2, maxBucket))
-      .select($"chunk_idx", $"chunk")
-    val chunked = chunkedAll.join(coolChunks, Seq("chunk_idx", "chunk"))
-    val pairs = chunked.as("x")
-      .join(chunked.as("y"),
-        $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk" === $"y.chunk" &&
-          $"x.doc_id" < $"y.doc_id")
+    // Candidate pairs WITHOUT a self-join: collect each chunk bucket's
+    // members — (doc_id, sig) structs, capped at `maxBucket` by the
+    // quadratic guard — and pair them by double-explode. The signature
+    // pipeline (explode + 64-vote agg) is consumed exactly once; the old
+    // formulation referenced it four times (df-count + both self-join
+    // sides) and divergent column pruning recomputed it per reference.
+    val pairs = docs
+      .select($"doc_id", $"sig",
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+      .groupBy($"chunk_idx", $"chunk")
+      .agg(collect_list(struct($"doc_id", $"sig")).as("members"))
+      .filter(size($"members").between(2, maxBucket))
+      .select(explode($"members").as("x"), $"members")
+      .select($"x", explode($"members").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
       .distinct()

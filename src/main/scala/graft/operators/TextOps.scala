@@ -236,15 +236,15 @@ object TextOps {
     import s.implicits._
     // Single-pass per-doc formulation: the expensive tokenize+shingle
     // subtree ([[explodedShingles]]) is consumed by exactly ONE grouped
-    // aggregation that packs everything downstream needs — the distinct
-    // shingle-hash array `hs` and its count `n_sh`. Every later stage
-    // (df-capped blocking, candidate self-join, exact verify) reads the
-    // output of that aggregation's Exchange, which Spark's ReuseExchange
-    // rule materializes once and shares across all references — no
-    // persist()/localCheckpoint() (explicit caching here caused both the
-    // round-1 GC-variance failure AND multi-minute single-threaded kernel
-    // stalls in long sessions), and no recompute (the round-1 alternative
-    // that cost 24.5 s at sf0.1 from 5 references to the subtree).
+    // aggregation whose sole payload is the distinct shingle-hash array
+    // `hs` (count = `size(hs)`). Every later stage (df-capped blocking,
+    // candidate pairing, exact verify) reads that aggregation's Exchange
+    // with the SAME columns, so Spark's exchange reuse materializes the
+    // pipeline once and shares it — no persist()/localCheckpoint()
+    // (explicit caching here caused both the round-1 GC-variance failure
+    // AND multi-minute single-threaded kernel stalls in long sessions),
+    // and no recompute (the round-1 alternative cost 24.5 s at sf0.1
+    // from 5 references to the subtree).
     //
     // The exact verify is `array_intersect` on per-doc 64-bit shingle
     // hashes instead of a shingle-level join: per-candidate-pair O(|doc|)
@@ -252,27 +252,44 @@ object TextOps {
     // n_a·n_b/2^64 ≈ 1e-15 — far below the oracle-compare tolerance.
     // At 100 TB the per-doc array is the same order as the text column
     // itself, so the shuffle is no heavier than shuffling the corpus.
-    val ex = explodedShingles(documents(s, d), Seq("doc_id", "source"), "text", 3)
-      .withColumn("h", xxhash64($"shingle"))
+    // explicit join-key null-filters on the base relation: the verify
+    // joins infer isnotnull(source, doc_id) on their inputs, and unless
+    // every branch carries the same predicate the scans differ
+    // canonically and exchange reuse splits the pipeline per branch
+    val docs = documents(s, d)
+      .filter($"doc_id".isNotNull && $"source".isNotNull)
+    val ex = explodedShingles(docs, Seq("doc_id", "source"), "text", 3)
     val perDoc = ex.groupBy($"doc_id", $"source")
-      .agg(collect_list($"h").as("hs"), count(lit(1)).as("n_sh"))
-    val hashRows = perDoc.select($"doc_id", $"source", explode($"hs").as("h"))
-    val rare = hashRows.groupBy($"source", $"h")
-      .agg(count(lit(1)).as("df"))
-      .filter($"df".between(2, 50))
-      .select($"source", $"h")
-    val rareEx = hashRows.join(rare, Seq("source", "h"))
-    val cand = rareEx.as("a")
-      .join(rareEx.as("b"),
-        $"a.h" === $"b.h" && $"a.source" === $"b.source" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(collect_list(xxhash64($"shingle")).as("hs"))
+    // df-capped blocking WITHOUT a hash-level self-join: collect the docs
+    // sharing each rare hash (df ∈ [2,50], so ≤50 per bucket) and pair
+    // them by double-explode — candidate generation touches the exploded
+    // hash rows exactly once.
+    val cand = perDoc
+      .select($"doc_id", $"source", explode($"hs").as("h"))
+      .groupBy($"source", $"h")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs").between(2, 50))
+      .select($"source", explode($"docs").as("doc_a"), $"docs")
+      .select($"source", $"doc_a", explode($"docs").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
       .distinct()
-    cand
-      .join(perDoc.select($"doc_id".as("doc_a"), $"hs".as("hs_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-      .join(perDoc.select($"doc_id".as("doc_b"), $"hs".as("hs_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+    // verify joins carry `source` in the key so all three perDoc
+    // references consume the identical (doc_id, source, hs) columns —
+    // that keeps their pruned subplans canonically equal, which is the
+    // precondition for exchange reuse (drop `source` and the pruner
+    // specializes each branch into its own copy of the pipeline).
+    // The CANDIDATE side broadcasts, never perDoc: candidate pairs are
+    // a tiny survivor set, while perDoc is corpus-sized (its hash
+    // arrays ~ the text itself) — and with perDoc always on the probe
+    // side, every branch reads the SAME pre-aggregation shuffle, so the
+    // shingle pipeline runs once.
+    broadcast(broadcast(cand)
+        .join(perDoc.select($"source", $"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("source", "doc_a")))
+      .join(perDoc.select($"source", $"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("source", "doc_b"))
       .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
-      .withColumn("jaccard", $"common".cast("double") / ($"n_a" + $"n_b" - $"common"))
+      .withColumn("jaccard", $"common".cast("double") /
+        (size($"hs_a") + size($"hs_b") - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, SrpBucket}
+import graft.functions.{CosineSim, MinHashSig, SrpBucket}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -42,7 +42,22 @@ object GraftExtensions {
       SrpBucket(children.head, planes): Expression
     })
 
-  private val descriptors = Seq(cosineSimDescriptor, srpBucketDescriptor)
+  private val minhashSigDescriptor = (
+    new FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      // k must be a literal: it sizes the generated signature loop
+      val k = children.lift(1) match {
+        case None => graft.operators.MinHashLsh.K
+        case Some(Literal(v: Int, IntegerType)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"minhash_sig: k must be an integer literal, got $other")
+      }
+      MinHashSig(children.head, k): Expression
+    })
+
+  private val descriptors =
+    Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
