@@ -59,6 +59,13 @@ object Intervals {
       case _     => None
     }
 
+  /** Default scan-window start when a caller gives no explicit start —
+    * the Kucoin synthesis (crypto_collector.py:334–340): the window ends
+    * now (or at the given end) and spans `maxCandles` intervals back.
+    */
+  def defaultWindowStartMs(endMs: Long, interval: String, maxCandles: Int = 300): Long =
+    endMs - intervalMs(interval) * maxCandles
+
   /** Next wall-clock boundary ≥ now for the 15-minute base cycle
     * (crypto_collector.py:664–667: `ceil(now / period) * period`).
     */

@@ -90,8 +90,14 @@ class CandleScan(options: CaseInsensitiveStringMap, limit: Int, required: Struct
     val symbol = options.getOrDefault("symbol", "BTC-USDT")
     val interval = options.getOrDefault("interval", "1h")
     val exchange = options.getOrDefault("exchange", "coinbase")
-    val startMs = options.getOrDefault("startMs", "1609459200000").toLong
-    val endMs = options.getOrDefault("endMs", String.valueOf(startMs + 86400000L)).toLong
+    // absent window options get the Kucoin default-window synthesis
+    // (crypto_collector.py:334–340): end = now, start = end − 300
+    // intervals. `nowMs` is the frozen-clock test hook.
+    val nowMs = options.getOrDefault("nowMs",
+      String.valueOf(System.currentTimeMillis())).toLong
+    val endMs = Option(options.get("endMs")).map(_.toLong).getOrElse(nowMs)
+    val startMs = Option(options.get("startMs")).map(_.toLong)
+      .getOrElse(Intervals.defaultWindowStartMs(endMs, interval))
     val rateMs = options.getOrDefault("rateLimitMs", "0").toLong
     Intervals.chunkWindows(startMs, endMs, interval).map { case (s, e) =>
       CandleInputPartition(symbol, interval, exchange, s, e, rateMs): InputPartition

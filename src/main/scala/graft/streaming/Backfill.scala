@@ -86,6 +86,32 @@ object Backfill {
     }
   }
 
+  /** Derivatives (perpetual futures) lifecycle — part of the reference's
+    * declared contract, but EVERY venue returns empty
+    * (`get_perpetual_ohlcv` → `[]`, crypto_collector.py:48–54, 140–146;
+    * `collect_derivatives_data` → `[]`, 590–593). The engine keeps the
+    * same surface: canonical candle schema, `data_type = "perpetual"`
+    * partition tagging, zero rows — so a lake can hold spot/perpetual/
+    * options side by side and a venue that later supports them only needs
+    * a fetch implementation, not a schema change.
+    */
+  def collectDerivatives(spark: SparkSession, symbol: String, interval: String,
+                         startMs: Long, endMs: Long): DataFrame =
+    emptyCanonical(spark)
+
+  /** Options lifecycle — same declared-but-empty contract
+    * (`get_options_data` → `None`, crypto_collector.py:52–54, 144–146;
+    * `collect_options_data` → `[]`, 595–598).
+    */
+  def collectOptions(spark: SparkSession, symbol: String,
+                     startMs: Long, endMs: Long): DataFrame =
+    emptyCanonical(spark)
+
+  private def emptyCanonical(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.sources.CandleSource.Schema)
+
   /** Execute a backfill with the reference's per-chunk exchange fan-out
     * (`collect_spot_data`, crypto_collector.py:563–585): every chunk is
     * fetched from every exchange — availability-clamped per (exchange,

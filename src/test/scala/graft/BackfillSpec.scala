@@ -120,6 +120,18 @@ class BackfillSpec extends SparkSpec {
     assert(out.count() == 24 * 5)
   }
 
+  test("derivatives/options surface: canonical schema, declared-but-empty like the reference") {
+    val der = Backfill.collectDerivatives(spark, "BTC-USDT", "1h", T0, T0 + DayMs)
+    val opt = Backfill.collectOptions(spark, "BTC-USDT", T0, T0 + DayMs)
+    assert(der.schema == graft.sources.CandleSource.Schema)
+    assert(opt.schema == graft.sources.CandleSource.Schema)
+    assert(der.isEmpty && opt.isEmpty)
+    // the data_type partition tagging composes: a perpetual lake write is
+    // schema-valid even while every venue returns empty
+    val tagged = graft.lake.MergeWriter.withPartitionCols(der, "1h", "perpetual")
+    assert(tagged.columns.contains("data_type") && tagged.isEmpty)
+  }
+
   test("fan-out applies the BinanceUS clamp: pre-2020 hours missing there only") {
     val lake = Files.createTempDirectory("graft_fanout2").toString + "/lake"
     val cut = 1577836800000L

@@ -23,6 +23,16 @@ class CandleSourceSpec extends SparkSpec {
     assert(ts.head == T0 && ts.last == T0 + 47 * 3600000L)
   }
 
+  test("absent window gets the Kucoin default synthesis: 300 intervals back from now") {
+    // only a frozen clock — no startMs/endMs
+    val df = read("symbol" -> "BTC-USDT", "interval" -> "1h",
+      "nowMs" -> (T0 + 300L * 3600000L).toString)
+    assert(df.count() == 300, "window spans exactly maxCandles intervals")
+    val ts = df.select(unix_micros($"timestamp") / 1000).as[Double]
+      .collect().map(_.toLong).sorted
+    assert(ts.head == T0, "start = end − 300 × interval")
+  }
+
   test("partition planning matches reference chunk math (one per ≤300-candle window)") {
     // 40 days of 1h candles: chunkDays(1h)=12 → 4 partitions
     val df = read("interval" -> "1h",

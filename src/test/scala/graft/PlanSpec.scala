@@ -61,6 +61,29 @@ class PlanSpec extends SparkSpec {
       "a sort-merge join on pos caps parallelism at 64 partitions")
   }
 
+  test("dedup pipelines scan documents exactly once (exchange reuse holds)") {
+    // the single-scan shape appears only in the FINAL adaptive plan —
+    // execute first, then read the plan
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q35" -> TextOps.q35NgramJaccard(spark, sf),
+      "q36" -> MinHashLsh.q36MinhashDedup(spark, sf),
+      "q37" -> SimHash.q37SimhashDedup(spark, sf))
+    cases.foreach { case (name, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        // unwrap to the post-execution adaptive plan; the wrapper's
+        // toString renders pre-reuse subtrees too
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1,
+        s"$name: expected exactly 1 documents scan (reuse broke — " +
+          s"pruning or inferred filters made branches canonically unequal), got $scans")
+    }
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints codegen stages only in the FINAL plan — execute first
     val df = Relational.q01PricingSummary(spark, sf)
