@@ -26,7 +26,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // SMALL fixed heap, deliberately: this virtualized guest intermittently
+  // degrades to ~8 MB/s page-fault-in (measured; one allocating thread
+  // burns pure kernel time while every other thread parks on its codegen
+  // KeyLock — no GC, no throttle). The total fault tax per JVM is
+  // bounded by the pages the heap ever touches, and G1 cycles eden
+  // through the WHOLE committed pool, so a 16 GB heap eventually faults
+  // 16 GB (≈ 30 min in degraded mode) while a 6 GB heap caps the worst
+  // case at ~12 min and usually pays nothing. Live data peaks ≈ 2.5 GB
+  // at sf0.1; extra GC cycles reuse RESIDENT pages, which are ~free
+  // compared to faulting new ones. Xms = Xmx so G1 never uncommits
+  // (uncommit + re-fault was the original stall trigger). AlwaysPreTouch
+  // is deliberately NOT used — touching the full heap up front can
+  // itself take minutes in the degraded mode.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
   // Whole-stage codegen emits one class per stage across a ~50-query
   // session; the JDK default 240 MB code cache fills a few minutes in,
   // the JIT shuts off, and Janino compilation (now interpreted) goes

@@ -154,15 +154,70 @@ object VectorOps {
       |WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Embedding-cosine near-dup (the vector tier of the dedup family):
+    * pairs within the same coarse cell whose exact cosine clears the
+    * threshold. The cell here is the `label` column — the IVF blocking
+    * attribute this table ships with (q42 computes assignments when no
+    * cell id exists). Exact verify runs only inside cells, so the pair
+    * space is Σ|cell|², never n² — the same bounded-candidates discipline
+    * as the text dedup tiers; at 100 TB cells come from a k-means
+    * codebook sized so cells stay small. Threshold 0.35 keeps a real
+    * survivor set on this synthetic corpus (no planted near-identical
+    * vectors; max within-cell cosine ≈ 0.47).
+    */
+  def q54EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
+    val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
+    val dots = e.as("a")
+      .join(e.as("b"),
+        $"a.pos" === $"b.pos" && $"a.label" === $"b.label" &&
+          $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.label".as("cell"), $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .agg(xsum($"a.v" * $"b.v").as("dot"))
+    dots
+      .join(norms.select($"vec_id".as("vec_a"), $"n2".as("na")), Seq("vec_a"))
+      .join(norms.select($"vec_id".as("vec_b"), $"n2".as("nb")), Seq("vec_b"))
+      .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
+      .filter($"cos" >= 0.35)
+      .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q54Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2 FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT a.label AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY a.label, a.vec_id, b.vec_id
+      |)
+      |SELECT vec_a, vec_b, cell, cos FROM (
+      |  SELECT d.vec_a, d.vec_b, CAST(d.cell AS BIGINT) AS cell,
+      |    d.dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cos
+      |  FROM dots d
+      |  JOIN norms na ON d.vec_a = na.vec_id
+      |  JOIN norms nb ON d.vec_b = nb.vec_id)
+      |WHERE cos >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
     "q42_nearest_centroid" -> (q42NearestCentroid _),
+    "q54_embedding_dedup" -> (q54EmbeddingDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q40_centroids" -> q40Sql,
     "q41_cosine_topk" -> q41Sql,
     "q42_nearest_centroid" -> q42Sql,
+    "q54_embedding_dedup" -> q54Sql,
   )
 }
