@@ -207,11 +207,88 @@ object VectorOps {
       |WHERE cos >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (squared distance = |v|² − 2·v·c + |c|²; |v|² is constant per vector
+    * so argmin needs only −2·dot + |c|²), then recompute centroids as
+    * per-cell elementwise means. Centroids broadcast (k·d values);
+    * everything else is one pass + one agg shuffle over the corpus —
+    * Lloyd at 100 TB is exactly `iters` such passes. All reductions via
+    * [[xsum]] and ties broken on centroid id, so the trajectory is
+    * bit-identical in any engine and under any partitioning.
+    */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val cn2 = cents.groupBy($"c_id").agg(xsum($"cv" * $"cv").as("cn2"))
+    val scored = e.join(broadcast(cents), Seq("pos"))
+      .groupBy($"vec_id", $"c_id")
+      .agg(xsum($"v" * $"cv").as("dot"))
+      .join(broadcast(cn2), Seq("c_id"))
+      .withColumn("ndist", lit(-2.0) * $"dot" + $"cn2")
+    val w = Window.partitionBy($"vec_id").orderBy($"ndist", $"c_id")
+    val assign = scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"vec_id", $"c_id")
+    e.join(assign, Seq("vec_id"))
+      .groupBy($"c_id", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("cv"))
+  }
+
+  /** K-means codebook builder for IVF (Lloyd's algorithm, fixed
+    * iteration count — the loop is over ITERATIONS, driver-side and
+    * data-independent; each step is fully distributed). Deterministic
+    * seeding: the first k vectors by id are the initial centroids.
+    * Two iterations here so the DuckDB oracle can mirror the exact
+    * trajectory; production would run to movement-epsilon.
+    */
+  def q55Kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val e = exploded(s, d)
+    val init = e.filter($"vec_id" < k)
+      .select($"vec_id".as("c_id"), $"pos", $"v".as("cv"))
+    val after = (1 to 2).foldLeft(init)((c, _) => lloydStep(e, c))
+    after
+      .select($"c_id", $"pos".cast("long").as("pos"), $"cv")
+      .orderBy($"c_id", $"pos")
+  }
+
+  private def sqlLloydStep(e: String, cents: String, out: String): String =
+    s"""${out}_cn2 AS (
+       |  SELECT c_id, CAST(SUM(CAST(FLOOR(cv * cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS cn2
+       |  FROM $cents GROUP BY c_id
+       |), ${out}_scored AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    -2.0 * (CAST(SUM(CAST(FLOOR(e.v * c.cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10) AS m2dot
+       |  FROM $e e JOIN $cents c ON e.pos = c.pos
+       |  GROUP BY e.vec_id, c.c_id
+       |), ${out}_assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT s.vec_id, s.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.m2dot + n.cn2, s.c_id) AS rk
+       |    FROM ${out}_scored s JOIN ${out}_cn2 n ON s.c_id = n.c_id)
+       |  WHERE rk = 1
+       |), $out AS (
+       |  SELECT a.c_id, e.pos,
+       |    CAST(SUM(CAST(FLOOR(e.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS cv
+       |  FROM $e e JOIN ${out}_assign a ON e.vec_id = a.vec_id
+       |  GROUP BY a.c_id, e.pos
+       |)""".stripMargin
+
+  val q55Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS c_id, pos, v AS cv FROM e WHERE vec_id < 8
+       |), ${sqlLloydStep("e", "c0", "c1")},
+       |${sqlLloydStep("e", "c1", "c2")}
+       |SELECT c_id, CAST(pos AS BIGINT) AS pos, cv FROM c2 ORDER BY c_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
     "q42_nearest_centroid" -> (q42NearestCentroid _),
     "q54_embedding_dedup" -> (q54EmbeddingDedup _),
+    "q55_kmeans" -> (q55Kmeans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +296,6 @@ object VectorOps {
     "q41_cosine_topk" -> q41Sql,
     "q42_nearest_centroid" -> q42Sql,
     "q54_embedding_dedup" -> q54Sql,
+    "q55_kmeans" -> q55Sql,
   )
 }

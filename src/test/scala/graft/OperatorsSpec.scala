@@ -85,6 +85,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pair.get._3 - 1.0) < 1e-12)
   }
 
+  test("k-means codebook: k full centroids, deterministic, assignments improve on init") {
+    val out = VectorOps.q55Kmeans(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 8 * 64, "8 centroids x 64 dims")
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L to 7L))
+    // bit-identical across runs: the whole trajectory is xsum-based
+    val again = VectorOps.q55Kmeans(spark, sf).as[(Long, Long, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+    // trained centroids are means, not copies of the seed vectors
+    val seeds = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 8)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .as[(Long, Int, Float)].collect()
+      .map(r => (r._1, r._2.toLong) -> r._3.toDouble).toMap
+    val moved = out.count { case (c, p, v) => math.abs(v - seeds((c, p))) > 1e-9 }
+    assert(moved > out.length / 2, "Lloyd steps must move the centroids")
+  }
+
   test("multimodal stub decode: schema, per-partition execution, determinism") {
     val df = Seq((1L, "hello world"), (2L, "bytes here"))
       .toDF("doc_id", "text").withColumn("blob", $"text".cast("binary"))
