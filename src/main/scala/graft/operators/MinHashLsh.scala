@@ -139,14 +139,28 @@ object MinHashLsh {
 object SimHash {
   private val Bits = 64
 
-  /** Per-doc 64-bit simhash: explode per-token hashes to rows, then one
-    * hash aggregation computing all 64 bit votes as `sum(when…)` columns
-    * (whole-stage-codegen'd, single pass), then fold votes into the
-    * signature. An earlier formulation ran 64 separate `aggregate()`
-    * lambdas over the token array per row — 64 interpreted array walks,
-    * measured 14× slower at sf0.1.
+  /** Per-doc 64-bit simhash: explode per-token hashes to rows, collect
+    * them per doc, fold into the signature with the codegen'd
+    * [[graft.functions.SimHashSig]] expression (one fused 64×n loop).
+    * Earlier formulations: 64 `aggregate()` lambdas over the token array
+    * per row — 64 interpreted walks, 14× slower at sf0.1 — then 64
+    * `sum(when…)` aggregate columns, which worked but carried a 64-column
+    * aggregation. The callers must have graft functions registered
+    * (q37 does).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(collect_list(xxhash64(col("__t"))).as("__hs"))
+      .select(col(idCol), call_function("simhash_sig", col("__hs")).as("sig"))
+  }
+
+  /** 64-`sum(when…)`-column aggregate formulation of [[signatures]] —
+    * kept as the parity oracle for SimHashSigSpec; not on the hot path.
+    */
+  def signaturesViaAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinHashSig, SrpBucket}
+import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpBucket}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -56,8 +56,14 @@ object GraftExtensions {
       MinHashSig(children.head, k): Expression
     })
 
+  private val simhashSigDescriptor = (
+    new FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (children: Seq[Expression]) => SimHashSig(children.head): Expression)
+
   private val descriptors =
-    Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor)
+    Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
+      simhashSigDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
