@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd distinct word-w-shingle hashes for a text column: ASCII-fold
+  * → whitespace-split → w-gram → xxhash64 → sorted distinct, as ONE fused
+  * per-row kernel.
+  *
+  * This replaces the relational shingle pipeline
+  * ([[graft.operators.TextOps.explodedShingles]]: posexplode tokens →
+  * window `lead`s → distinct) for consumers that only need the hashes —
+  * that pipeline's first shuffle carries every (doc, pos, token) row
+  * through a per-doc sort, which is the single biggest intermediate in
+  * the dedup queries. Here the corpus is scanned, hashed and reduced to
+  * one compact `array<bigint>` per doc with NO shuffle at all.
+  *
+  * Bit-exact parity with the pipeline (asserted per-doc in
+  * ShingleHashesSpec): tokenization replicates
+  * `split(trim(translate(text, A-Z, a-z)), "\\s+")` exactly — trim strips
+  * 0x20 only, Java split semantics keep a leading empty token when the
+  * trimmed text starts with other whitespace — and each shingle hashes
+  * the same bytes as `xxhash64(concat_ws(" ", tokens…))` (seed 42).
+  * Output order is ascending (the pipeline's row order is arbitrary;
+  * every consumer is order-independent).
+  */
+case class ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 && w <= 16 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (string, w in [1,16]), got (${other.sql}, $w)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHashes.compute(t.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($x, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** The per-row kernel (static so generated code calls it directly —
+    * one call per row inside the WholeStageCodegen span).
+    */
+  def compute(text: UTF8String, w: Int): GenericArrayData = {
+    // getBytes may return the UTF8String's BACKING array — copy before
+    // the in-place fold or we'd corrupt the row's data
+    val shared = text.getBytes
+    val raw = java.util.Arrays.copyOf(shared, shared.length)
+    // ASCII fold (exactly translate(text, A-Z, a-z): the 26 ASCII letters)
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      if (b >= 'A' && b <= 'Z') raw(i) = (b + 32).toByte
+      i += 1
+    }
+    // trim: 0x20 only, matching trim()/DuckDB TRIM
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw(lo) == ' ') lo += 1
+    while (hi > lo && raw(hi - 1) == ' ') hi -= 1
+    // Java split("\s+") semantics over [lo, hi): a leading separator run
+    // yields one empty token; no trailing empties. Token spans as
+    // (start, end) offset pairs.
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    if (lo < hi && isWs(raw(lo))) { starts.add(lo); ends.add(lo) } // leading ""
+    i = lo
+    while (i < hi) {
+      while (i < hi && isWs(raw(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isWs(raw(i))) i += 1
+        starts.add(s); ends.add(i)
+      }
+    }
+    val n = starts.size()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    // one scratch buffer reused across shingles; hash the exact bytes of
+    // concat_ws(" ", tok_i … tok_{i+w-1})
+    var maxLen = 0
+    var k = 0
+    while (k <= n - w) {
+      var len = w - 1
+      var j = 0
+      while (j < w) { len += ends.get(k + j) - starts.get(k + j); j += 1 }
+      if (len > maxLen) maxLen = len
+      k += 1
+    }
+    val scratch = new Array[Byte](maxLen)
+    val hashes = new Array[Long](n - w + 1)
+    k = 0
+    while (k <= n - w) {
+      var p = 0
+      var j = 0
+      while (j < w) {
+        if (j > 0) { scratch(p) = ' '; p += 1 }
+        val s = starts.get(k + j)
+        val e = ends.get(k + j)
+        System.arraycopy(raw, s, scratch, p, e - s)
+        p += e - s
+        j += 1
+      }
+      hashes(k) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      k += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var unique = 0
+    i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(unique) = hashes(i); unique += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, unique))
+  }
+}

@@ -69,7 +69,11 @@ object MinHashLsh {
     * gets `n_shared_bands`. `maxBucket` drops pathological buckets.
     */
   def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
-    val banded = sigs.filter(col("sig").isNotNull)
+    // no defensive sig-isNotNull filter here: callers guarantee non-null
+    // signatures (an aggregate output or minhash_sig over a non-null
+    // array), and the predicate would push below q36's shared Exchange
+    // into ONE branch, breaking the canonical equality reuse needs
+    val banded = sigs
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(Bands - 1)),
           b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "band_sig")))
@@ -97,20 +101,25 @@ object MinHashLsh {
     // exchange reuse can't unify them (observed: 3 scans instead of 1)
     val docs = documents(s, d).select($"doc_id", $"text")
       .filter($"doc_id".isNotNull)
-    // Single-pass per-doc formulation: ONE grouped aggregation collects
-    // each doc's distinct 64-bit shingle hashes; EVERYTHING downstream
-    // derives from that one `(doc_id, hs)` relation — the signature via
-    // the codegen'd [[graft.functions.MinHashSig]] expression, the
-    // shingle count via `size(hs)`, the exact verify via
-    // `array_intersect`. One payload column means every branch consumes
-    // IDENTICAL columns, so column pruning can't specialize the subplans
-    // and Spark's exchange reuse materializes the expensive shingle
-    // pipeline exactly once (divergent pruning previously split it into
-    // per-branch copies; caching instead caused multi-minute kernel
-    // stalls in long sessions, and recompute cost 28.5 s at sf0.1).
-    val ex = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
-    val perDoc = ex.groupBy($"doc_id")
-      .agg(collect_list(xxhash64($"shingle")).as("hs"))
+    // Per-doc distinct shingle hashes via the fused
+    // [[graft.functions.ShingleHashes]] kernel — scan → project, NO
+    // shuffle (the relational pipeline's posexplode + window-lead +
+    // distinct shuffled every (doc, pos, token) row through a per-doc
+    // sort; bit-parity is asserted in ShingleHashesSpec). Everything
+    // downstream derives from this one `(doc_id, hs)` relation: the
+    // signature via the codegen'd [[graft.functions.MinHashSig]]
+    // expression, the shingle count via `size(hs)`, the exact verify via
+    // `array_intersect`. The repartition is the deliberate
+    // materialization point: one exchange of compact hash arrays that
+    // banding and both verify branches read via ReuseExchange, so the
+    // kernel runs once (no persist — explicit caching caused
+    // multi-minute kernel stalls in long sessions; recompute cost
+    // 28.5 s at sf0.1 in round 1). Docs under w tokens yield empty
+    // arrays and are filtered, matching the pipeline's semantics.
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter(size($"hs") > 0)
+      .repartition($"doc_id")
     val sigs = perDoc.select($"doc_id",
       call_function("minhash_sig", $"hs", lit(K)).as("sig"))
     val cand = candidates(sigs, "doc_id")

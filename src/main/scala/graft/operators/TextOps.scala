@@ -234,33 +234,35 @@ object TextOps {
     */
   def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Single-pass per-doc formulation: the expensive tokenize+shingle
-    // subtree ([[explodedShingles]]) is consumed by exactly ONE grouped
-    // aggregation whose sole payload is the distinct shingle-hash array
-    // `hs` (count = `size(hs)`). Every later stage (df-capped blocking,
-    // candidate pairing, exact verify) reads that aggregation's Exchange
-    // with the SAME columns, so Spark's exchange reuse materializes the
-    // pipeline once and shares it — no persist()/localCheckpoint()
-    // (explicit caching here caused both the round-1 GC-variance failure
-    // AND multi-minute single-threaded kernel stalls in long sessions),
-    // and no recompute (the round-1 alternative cost 24.5 s at sf0.1
-    // from 5 references to the subtree).
+    graft.plans.GraftExtensions.register(s) // shingle_hashes
+    // Single-pass per-doc formulation: the corpus reduces to ONE compact
+    // `(doc_id, source, hs)` relation — per-doc distinct shingle hashes
+    // from the fused [[graft.functions.ShingleHashes]] kernel (scan →
+    // project, no shuffle; bit-parity with the explodedShingles pipeline
+    // asserted in ShingleHashesSpec), counts via `size(hs)`. The
+    // repartition is the deliberate materialization point: every later
+    // stage (df-capped blocking, candidate pairing, exact verify) reads
+    // that one Exchange via ReuseExchange — no persist()/localCheckpoint
+    // (explicit caching caused both the round-1 GC-variance failure AND
+    // multi-minute kernel stalls in long sessions), no recompute (the
+    // round-1 formulation cost 24.5 s at sf0.1 from 5 references).
     //
-    // The exact verify is `array_intersect` on per-doc 64-bit shingle
-    // hashes instead of a shingle-level join: per-candidate-pair O(|doc|)
-    // work with no extra shuffle. Collision risk per pair is
-    // n_a·n_b/2^64 ≈ 1e-15 — far below the oracle-compare tolerance.
+    // The exact verify is `array_intersect` on the 64-bit hash arrays
+    // instead of a shingle-level join: per-candidate-pair O(|doc|) work,
+    // no extra shuffle. Collision risk per pair ≈ n_a·n_b/2^64 ≈ 1e-15.
     // At 100 TB the per-doc array is the same order as the text column
-    // itself, so the shuffle is no heavier than shuffling the corpus.
-    // explicit join-key null-filters on the base relation: the verify
-    // joins infer isnotnull(source, doc_id) on their inputs, and unless
-    // every branch carries the same predicate the scans differ
-    // canonically and exchange reuse splits the pipeline per branch
-    val docs = documents(s, d)
+    // itself, so the one shuffle is no heavier than shuffling the corpus.
+    // Explicit join-key null-filters match the predicates the verify
+    // joins infer — every branch must carry identical predicates or the
+    // branches' scans differ canonically and reuse splits the pipeline.
+    // (the explicit hs-isNotNull matches the predicate the candidate
+    // branch's explode() infers — same canonical-equality story)
+    val perDoc = documents(s, d)
       .filter($"doc_id".isNotNull && $"source".isNotNull)
-    val ex = explodedShingles(docs, Seq("doc_id", "source"), "text", 3)
-    val perDoc = ex.groupBy($"doc_id", $"source")
-      .agg(collect_list(xxhash64($"shingle")).as("hs"))
+      .select($"doc_id", $"source",
+        call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+      .repartition($"doc_id")
     // df-capped blocking WITHOUT a hash-level self-join: collect the docs
     // sharing each rare hash (df ∈ [2,50], so ≤50 per bucket) and pair
     // them by double-explode — candidate generation touches the exploded

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpBucket}
+import graft.functions.{CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -61,9 +61,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
     (children: Seq[Expression]) => SimHashSig(children.head): Expression)
 
+  private val shingleHashesDescriptor = (
+    new FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => {
+      val w = children.lift(1) match {
+        case None => 3
+        case Some(Literal(v: Int, IntegerType)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"shingle_hashes: w must be an integer literal, got $other")
+      }
+      ShingleHashes(children.head, w): Expression
+    })
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
-      simhashSigDescriptor)
+      simhashSigDescriptor, shingleHashesDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.plans.GraftExtensions
+
+/** `shingle_hashes` kernel: per-doc bit-exact parity with the relational
+  * pipeline (`explodedShingles` → `xxhash64(shingle)`) over the real
+  * corpus, plus the tokenization edge cases and codegen participation.
+  */
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("hash sets match explodedShingles ∘ xxhash64 per doc over the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val viaExpr = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter(size($"hs") > 0)
+    val viaPipeline = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(xxhash64($"shingle"))).as("ref"))
+    val joined = viaExpr.join(viaPipeline, Seq("doc_id"), "full")
+    assert(joined.filter($"hs".isNull || $"ref".isNull).count() == 0,
+      "same docs must survive (≥3 tokens) in both formulations")
+    assert(joined.filter($"hs" =!= $"ref").count() == 0)
+  }
+
+  test("tokenization edges: leading whitespace, repeated separators, short docs") {
+    val cases = Seq(
+      (1L, "One two three four"),     // fold + plain
+      (2L, "\tab cd ef"),             // leading tab → leading empty token
+      (3L, "  a  bc   d  "),    // 0x20-trim, mixed separators
+      (4L, "one two"),                // < w tokens → empty
+      (5L, ""),                       // empty text
+      (6L, "x\ny\rz\fw"))             // every separator class
+    val df = cases.toDF("doc_id", "text")
+    val viaExpr = df
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+    val viaPipeline = TextOps.explodedShingles(df, Seq("doc_id"), "text", 3)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(xxhash64($"shingle"))).as("ref"))
+    val merged = viaExpr.join(viaPipeline, Seq("doc_id"), "left")
+      .select($"doc_id", $"hs", coalesce($"ref", array().cast("array<bigint>")).as("ref"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+    merged.foreach { case (id, hs, ref) =>
+      assert(hs == ref, s"doc $id: $hs vs $ref")
+    }
+    // the fold actually folds: "One two three four" ≡ "one TWO THREE FOUR"
+    val a = ShingleHashesSpecHelper.hashes("One two three four")
+    val b = ShingleHashesSpecHelper.hashes("one TWO THREE FOUR")
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
+  test("stays in whole-stage codegen and does not corrupt the input column") {
+    graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").createOrReplaceTempView("sh_docs")
+    val df = spark.sql(
+      "SELECT doc_id, text, shingle_hashes(text, 3) AS hs FROM sh_docs")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    // in-place fold must work on a COPY: text read back unchanged
+    val texts = df.select($"text").as[String].collect()
+    val orig = graft.sources.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    assert(texts.count(_.exists(_.isUpper)) == orig.count(_.exists(_.isUpper)),
+      "source text must keep its original case")
+  }
+}
+
+object ShingleHashesSpecHelper {
+  def hashes(s: String): Array[Long] =
+    graft.functions.ShingleHashes
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+      .toLongArray()
+}
