@@ -17,59 +17,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMs: Long = { var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s }
+    // SPARK_GRAFT_BENCH_DEBUG=1 adds a per-query stderr line with GC and
+    // heap deltas — the fastest way to tell a plan regression from the
+    // environment's degraded page-fault mode (see build.sbt heap notes):
+    // the latter shows seconds of wall with ~zero GC.
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    // Dev-only watchdog: if a query stalls >25 s, dump all thread stacks
-    // once so the blocked frame is visible (stalls here have historically
-    // been blocked threads, not compute).
-    @volatile var watching: String = null
-    if (debug) {
-      val w = new Thread(() => {
-        var last: String = null; var since = 0L
-        while (true) {
-          val cur = watching
-          if (cur == null || cur != last) { last = cur; since = System.nanoTime() }
-          else if ((System.nanoTime() - since) / 1e9 > 25) {
-            System.err.println(s"[benchdbg] STALL in $cur — hunting CPU burner:")
-            // sample per-TID cpu over 3 s, print the top burners' comm +
-            // kernel stack (requires root; /proc/self/task is always ours)
-            def cpuByTid(): Map[String, (Long, Long)] = {
-              val dir = new java.io.File("/proc/self/task")
-              dir.listFiles().map { t =>
-                val parts = scala.io.Source.fromFile(s"${t.getPath}/stat").mkString.split(" ")
-                t.getName -> (parts(13).toLong, parts(14).toLong) // utime, stime
-              }.toMap
-            }
-            try {
-              val s0 = cpuByTid(); Thread.sleep(3000); val s1 = cpuByTid()
-              val deltas = s1.flatMap { case (tid, (u1, st1)) =>
-                s0.get(tid).map { case (u0, st0) => (tid, u1 - u0, st1 - st0) }
-              }.toSeq.sortBy(t => -(t._2 + t._3)).take(3)
-              deltas.foreach { case (tid, du, ds) =>
-                val comm = scala.util.Try(scala.io.Source.fromFile(s"/proc/self/task/$tid/comm").mkString.trim).getOrElse("?")
-                val kstack = scala.util.Try(scala.io.Source.fromFile(s"/proc/self/task/$tid/stack").mkString).getOrElse("?")
-                System.err.println(s"  == tid=$tid comm=$comm user=${du}j sys=${ds}j kernel-stack:\n$kstack")
-              }
-              // also the Java-side stack of matching threads by name prefix
-              import scala.jdk.CollectionConverters._
-              val names = deltas.map(_._1).flatMap(tid => scala.util.Try(
-                scala.io.Source.fromFile(s"/proc/self/task/$tid/comm").mkString.trim).toOption)
-              Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
-                if (names.exists(n => t.getName.startsWith(n.take(12)))) {
-                  System.err.println(s"  == JAVA ${t.getName} ${t.getState}")
-                  st.take(15).foreach(f => System.err.println(s"     $f"))
-                }
-              }
-            } catch { case e: Throwable => System.err.println(s"  (hunt failed: $e)") }
-            since = System.nanoTime() + 120L * 1000 * 1000 * 1000 // re-dump in 2 min
-          }
-          Thread.sleep(1000)
-        }
-      })
-      w.setDaemon(true); w.start()
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMs
-      watching = name
       val t0 = System.nanoTime()
       // noop-format write executes the FULL plan including final sorts;
       // `.count()` would let Catalyst eliminate each query's ORDER BY
