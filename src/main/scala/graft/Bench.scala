@@ -28,9 +28,14 @@ object Bench {
       // noop-format write executes the FULL plan including final sorts;
       // `.count()` would let Catalyst eliminate each query's ORDER BY
       // (EliminateSorts under the count agg), under-measuring sort cost.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          true
+        }
+      // a failed query must not masquerade as a fast one
+      val dt = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
       if (debug) {
         val rt = Runtime.getRuntime
         val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
