@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to stdout, NOT through sbt's logger:
+// the driver greps the bench/verify JSON line, and the logger's
+// "[info] " prefix broke its parse in rounds 1 and 2 (BENCH_r0*.json
+// carried "parsed": null both times).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,17 +4,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
-    // Warm-up outside the timed loop: scheduler, codegen compiler, parquet
-    // footer caches — otherwise whichever query HashMap order puts first
-    // absorbs several seconds of one-time JVM cost.
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      // prime the text path too (explode + window codegen, documents footer)
-      graft.operators.TextOps.explodedShingles(
-        spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
-        Seq("doc_id"), "text", 3).count()
-    } catch { case _: Throwable => () }
+    // Warm pass: run EVERY query once, untimed, before the timed loop.
+    // Two distinct one-time costs would otherwise land on arbitrary
+    // queries: (a) JVM/codegen/parquet-footer warmup, and (b) this
+    // virtualized guest's degraded page-fault mode (see build.sbt heap
+    // notes) — the first touch of each heap page can run at ~8 MB/s, a
+    // bounded-but-huge tax that hit the round-2 driver run for 390 s
+    // spread randomly over sub-second queries. The warm pass absorbs
+    // both; the timed pass then measures steady-state plan execution,
+    // JMH-style. SPARK_GRAFT_BENCH_NOWARM=1 restores single-pass timing.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $name failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMs: Long = { var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s }
     // SPARK_GRAFT_BENCH_DEBUG=1 adds a per-query stderr line with GC and
@@ -48,7 +54,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warm = if (sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) 0 else 1
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

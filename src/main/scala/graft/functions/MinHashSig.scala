@@ -35,12 +35,17 @@ case class MinHashSig(child: Expression, k: Int)
         s"(${child.dataType.sql}, $k)")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // nullable even over non-null input: an EMPTY shingle array yields null
+  // (no minimum exists). The alternative — k copies of Long.MaxValue —
+  // would band every empty doc into one giant spurious candidate bucket
+  // for SQL users who don't replicate q36's size(hs) > 0 pre-filter.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -73,18 +78,22 @@ case class MinHashSig(child: Expression, k: Int)
       val v = ctx.freshName("v")
       s"""
          |int $n = $x.numElements();
-         |long[] $out = new long[$k];
-         |for (int $i = 0; $i < $k; $i++) {
-         |  long $ai = (((2L * $i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L;
-         |  long $bi = (((long) $i) * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL;
-         |  long $m = Long.MAX_VALUE;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    long $v = $ai * ($x.getLong($j) & 0x7FFFFFFFL) + $bi;
-         |    if ($v < $m) $m = $v;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$k];
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $ai = (((2L * $i + 1L) * 0x9E3779B97F4A7C15L) & 0x7FFFFFFFL) | 1L;
+         |    long $bi = (((long) $i) * 0xBF58476D1CE4E5B9L) & 0x3FFFFFFFL;
+         |    long $m = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $v = $ai * ($x.getLong($j) & 0x7FFFFFFFL) + $bi;
+         |      if ($v < $m) $m = $v;
+         |    }
+         |    $out[$i] = $m;
          |  }
-         |  $out[$i] = $m;
+         |  ${ev.value} = new $gad($out);
          |}
-         |${ev.value} = new $gad($out);
        """.stripMargin
     })
 

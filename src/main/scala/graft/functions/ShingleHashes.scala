@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Bit-exact parity with the pipeline (asserted per-doc in
   * ShingleHashesSpec): tokenization replicates
   * `split(trim(translate(text, A-Z, a-z)), "\\s+")` exactly — trim strips
-  * 0x20 only, Java split semantics keep a leading empty token when the
-  * trimmed text starts with other whitespace — and each shingle hashes
+  * 0x20 only, and Spark's split passes limit -1, so a leading OR trailing
+  * run of other whitespace keeps an empty token — and each shingle hashes
   * the same bytes as `xxhash64(concat_ws(" ", tokens…))` (seed 42).
   * Output order is ascending (the pipeline's row order is arbitrary;
   * every consumer is order-independent).
@@ -76,9 +76,10 @@ object ShingleHashes {
     var hi = raw.length
     while (lo < hi && raw(lo) == ' ') lo += 1
     while (hi > lo && raw(hi - 1) == ' ') hi -= 1
-    // Java split("\s+") semantics over [lo, hi): a leading separator run
-    // yields one empty token; no trailing empties. Token spans as
-    // (start, end) offset pairs.
+    // Java split("\s+", -1) semantics over [lo, hi) — Spark's split()
+    // passes limit = -1, so BOTH a leading separator run AND a trailing
+    // one yield an empty token, and the empty string splits to [""].
+    // Token spans as (start, end) offset pairs.
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     if (lo < hi && isWs(raw(lo))) { starts.add(lo); ends.add(lo) } // leading ""
@@ -91,6 +92,9 @@ object ShingleHashes {
         starts.add(s); ends.add(i)
       }
     }
+    // trailing "" when the trimmed text ends in non-0x20 whitespace;
+    // [""] for the empty string (split("") = [""] at limit -1)
+    if (lo == hi || isWs(raw(hi - 1))) { starts.add(hi); ends.add(hi) }
     val n = starts.size()
     if (n < w) return new GenericArrayData(Array.empty[Long])
     // one scratch buffer reused across shingles; hash the exact bytes of

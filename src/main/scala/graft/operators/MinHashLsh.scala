@@ -66,9 +66,13 @@ object MinHashLsh {
   }
 
   /** Candidate near-dup pairs (doc_a < doc_b) via banding; each pair also
-    * gets `n_shared_bands`. `maxBucket` drops pathological buckets.
+    * gets `n_shared_bands`. `maxBucket` drops pathological buckets —
+    * enforced inside the aggregation by `collect_capped`, so a hot band
+    * bucket (boilerplate corpus) is bounded at maxBucket+1 members in
+    * the buffer instead of materializing millions before the filter.
     */
   def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
+    graft.plans.GraftExtensions.register(sigs.sparkSession) // collect_capped
     // no defensive sig-isNotNull filter here: callers guarantee non-null
     // signatures (an aggregate output or minhash_sig over a non-null
     // array), and the predicate would push below q36's shared Exchange
@@ -79,7 +83,7 @@ object MinHashLsh {
           b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "band_sig")))
     val bucketed = banded
       .groupBy(col("band"), col("band_sig"))
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(call_function("collect_capped", col(idCol), lit(maxBucket)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     bucketed
       .select(col("band"), explode(col("ids")).as("a"), col("ids"))
@@ -202,12 +206,14 @@ object SimHash {
     // pipeline (explode + 64-vote agg) is consumed exactly once; the old
     // formulation referenced it four times (df-count + both self-join
     // sides) and divergent column pruning recomputed it per reference.
+    // collect_capped bounds the buffer at maxBucket+1 structs even on a
+    // degenerate 16-bit chunk value shared by a huge boilerplate slice.
     val pairs = docs
       .select($"doc_id", $"sig",
         posexplode(array((0 until 4).map(c =>
           shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
       .groupBy($"chunk_idx", $"chunk")
-      .agg(collect_list(struct($"doc_id", $"sig")).as("members"))
+      .agg(call_function("collect_capped", struct($"doc_id", $"sig"), lit(maxBucket)).as("members"))
       .filter(size($"members").between(2, maxBucket))
       .select(explode($"members").as("x"), $"members")
       .select($"x", explode($"members").as("y"))

@@ -64,9 +64,18 @@ object Multimodal {
     * via [[imageMeta]] and a join back on `idCol`. The join shuffles the
     * wide side — prefer [[imageMeta]] directly when the downstream only
     * needs (id, blob, meta).
+    *
+    * PRECONDITION: `idCol` must identify the blob — rows sharing an id
+    * get the meta of an arbitrary one of their blobs. The meta side is
+    * deduplicated on `idCol`, so output cardinality always equals
+    * `df`'s (the pre-dedup join multiplied duplicate ids). Note `df` is
+    * evaluated twice (meta pass + join probe); persist upstream if it is
+    * expensive.
     */
   def withImageMeta(df: DataFrame, blobCol: String, idCol: String = "doc_id"): DataFrame =
-    df.join(imageMeta(df, idCol, blobCol).drop(blobCol), Seq(idCol))
+    df.join(
+      imageMeta(df, idCol, blobCol).drop(blobCol).dropDuplicates(idCol),
+      Seq(idCol))
 
   /** Frame-sample analog: take every `stride`-th byte of the blob (stands
     * in for sampling video frames); pure columnar expression.

@@ -266,11 +266,14 @@ object TextOps {
     // df-capped blocking WITHOUT a hash-level self-join: collect the docs
     // sharing each rare hash (df ∈ [2,50], so ≤50 per bucket) and pair
     // them by double-explode — candidate generation touches the exploded
-    // hash rows exactly once.
+    // hash rows exactly once. collect_capped (not collect_list) bounds
+    // the aggregation buffer at 51 members per hash: a stop-shingle
+    // shared by millions of docs would otherwise materialize its whole
+    // bucket in one buffer before the size filter could drop it.
     val cand = perDoc
       .select($"doc_id", $"source", explode($"hs").as("h"))
       .groupBy($"source", $"h")
-      .agg(collect_list($"doc_id").as("docs"))
+      .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
       .filter(size($"docs").between(2, 50))
       .select($"source", explode($"docs").as("doc_a"), $"docs")
       .select($"source", $"doc_a", explode($"docs").as("doc_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket}
+import graft.functions.{CollectCapped, CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -74,9 +74,23 @@ object GraftExtensions {
       ShingleHashes(children.head, w): Expression
     })
 
+  private val collectCappedDescriptor = (
+    new FunctionIdentifier("collect_capped"),
+    new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
+    (children: Seq[Expression]) => {
+      // the cap bounds the aggregation buffer, so it must be a plan-time
+      // literal, not a runtime column
+      val cap = children.lift(1) match {
+        case Some(Literal(v: Int, IntegerType)) => v
+        case other => throw new IllegalArgumentException(
+          s"collect_capped: cap must be an integer literal, got $other")
+      }
+      CollectCapped(children.head, cap): Expression
+    })
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
-      simhashSigDescriptor, shingleHashesDescriptor)
+      simhashSigDescriptor, shingleHashesDescriptor, collectCappedDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

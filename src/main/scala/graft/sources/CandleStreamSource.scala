@@ -96,6 +96,16 @@ class CandleMicroBatchStream(options: CaseInsensitiveStringMap)
         options.getOrDefault("interval", "15m"),
         options.getOrDefault("exchange", "coinbase")))
     }
+  // Offset keys round-trip through the flat JSON map, so every component
+  // must stay inside the parser's alphabet: no ',' (entry separator), no
+  // '"' (key quoting), no empty parts. Rejecting here turns a would-be
+  // silent checkpoint corruption into a config error at query start.
+  series.foreach { ser =>
+    Seq(ser.symbol, ser.interval, ser.exchange).foreach { part =>
+      require(part.nonEmpty && !part.exists(c => c == ',' || c == '"'),
+        s"series component '$part' in '${ser.key}' must be non-empty and contain no ',' or '\"'")
+    }
+  }
   private val startMs = options.getOrDefault("startMs", "1609459200000").toLong
   private val rateMs = options.getOrDefault("rateLimitMs", "0").toLong
 
@@ -142,8 +152,19 @@ class CandleMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
-    if (!t.startsWith("{")) CandleOffset(Map(series.head.key -> t.toLong))
-    else {
+    if (!t.startsWith("{")) {
+      // legacy single-series checkpoint (bare epoch-ms long): only safe
+      // to adopt when exactly one series is configured — with several,
+      // assigning it to series.head would depend on option ORDER and
+      // silently hand the saved watermark to whichever series happens to
+      // be listed first (the others would rewind to startMs and
+      // re-ingest). Fail loudly instead.
+      if (series.size > 1) throw new IllegalStateException(
+        s"legacy single-series offset '$t' cannot be resumed with ${series.size} " +
+          "configured series; restart from a fresh checkpoint or run with the " +
+          "original single series")
+      CandleOffset(Map(series.head.key -> t.toLong))
+    } else {
       val body = t.stripPrefix("{").stripSuffix("}").trim
       val entries =
         if (body.isEmpty) Map.empty[String, Long]

@@ -81,4 +81,25 @@ class CandleStreamSpec extends SparkSpec {
       .select($"symbol", $"exchange").distinct().as[(String, String)].collect().toSet
     assert(ex == Set("BTC-USDT" -> "coinbase", "ETH-USDT" -> "kucoin"))
   }
+
+  test("offset guards: legacy bare-long refuses multi-series; bad series keys rejected") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.{CandleMicroBatchStream, CandleOffset}
+    import scala.jdk.CollectionConverters._
+    def mkStream(opts: Map[String, String]) =
+      new CandleMicroBatchStream(new CaseInsensitiveStringMap(opts.asJava))
+    // single series: the legacy bare-long checkpoint still adopts cleanly
+    val single = mkStream(Map("symbol" -> "BTC-USDT", "interval" -> "15m"))
+    val adopted = single.deserializeOffset("1609459200000")
+      .asInstanceOf[CandleOffset]
+    assert(adopted.offsets == Map("BTC-USDT:15m:coinbase" -> 1609459200000L))
+    // multi series: adopting onto series.head would hand the watermark to
+    // whichever series the option string lists first — must fail instead
+    val multi = mkStream(Map(
+      "series" -> "BTC-USDT:15m:coinbase,ETH-USDT:1h:kucoin"))
+    intercept[IllegalStateException](multi.deserializeOffset("1609459200000"))
+    // keys outside the offset-JSON alphabet are config errors at start
+    intercept[IllegalArgumentException](
+      mkStream(Map("series" -> "BTC\"USDT:15m:coinbase")))
+  }
 }

@@ -45,4 +45,22 @@ class MinHashSigSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan.take(400))
   }
+
+  test("empty and null hash arrays yield null, in both eval modes") {
+    // a k×Long.MaxValue signature for empty docs would band every empty
+    // doc into one spurious candidate bucket for bare-SQL users
+    graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, array().cast("array<bigint>"))
+          .otherwise(lit(null).cast("array<bigint>")).as("hs"))
+      .limit(10)
+      .createOrReplaceTempView("mh_empty")
+    // codegen path (parquet-backed) …
+    val viaSql = spark.sql("SELECT minhash_sig(hs, 4) AS sig FROM mh_empty")
+    assert(viaSql.filter($"sig".isNotNull).count() == 0)
+    // … and interpreted path (ConvertToLocalRelation folds eval())
+    val interp = Seq(Seq.empty[Long]).toDF("hs")
+      .select(call_function("minhash_sig", $"hs", lit(4)).as("sig"))
+    assert(interp.filter($"sig".isNotNull).count() == 0)
+  }
 }

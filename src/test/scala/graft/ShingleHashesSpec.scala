@@ -34,7 +34,12 @@ class ShingleHashesSpec extends SparkSpec {
       (3L, "  a  bc   d  "),    // 0x20-trim, mixed separators
       (4L, "one two"),                // < w tokens → empty
       (5L, ""),                       // empty text
-      (6L, "x\ny\rz\fw"))             // every separator class
+      (6L, "x\ny\rz\fw"),             // every separator class
+      (7L, "ab cd ef\t"),             // trailing tab → trailing empty token
+      (8L, "ab cd ef\r\n"),           // trailing CRLF run → ONE trailing empty
+      (9L, "\tab cd\n"),              // leading AND trailing empties
+      (10L, "\t \t"),                 // ws-only: 0x20-trim leaves "\t \t" → ["",""]
+      (11L, "ab cd ef \t "))          // 0x20-trim exposes the tab → trailing empty
     val df = cases.toDF("doc_id", "text")
     val viaExpr = df
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
