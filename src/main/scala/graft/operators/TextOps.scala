@@ -331,6 +331,96 @@ object TextOps {
       |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowing (rolling-hash) document-fingerprint near-dup pairs — the
+    * character-level dedup tier (Schleimer et al., SIGMOD'03; MOSS). The
+    * selection itself is the fused codegen'd
+    * [[graft.functions.WinnowFps]] kernel (true O(1)-slide base-31
+    * polynomial over char 8-grams + monotonic-deque window-of-4 minima)
+    * — scan → project, NO shuffle; the corpus reduces to one compact
+    * `(doc_id, fps)` relation exactly like q35/q36's shingle pipeline.
+    *
+    * Pairing reuses the df-capped blocking shape: fingerprints shared by
+    * 2–50 docs form buckets (collect_capped bounds hot boilerplate
+    * buckets), pairs are scored by Jaccard over the full fingerprint
+    * SETS (sizes via `size(fps)` from the same reused exchange). The
+    * base-31 hash is exact portable integer math, so the DuckDB oracle
+    * reproduces every fingerprint bit-for-bit — a full hash-checked
+    * row, unlike the xxhash64-based q36/q37 tiers.
+    */
+  def q56WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s) // winnow_fps, collect_capped
+    // same reuse discipline as q35/q36: one payload column, explicit
+    // null-filter matching the join-inferred predicate, repartition as
+    // the materialization point all branches read via ReuseExchange
+    val perDoc = documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
+      .filter($"fps".isNotNull && size($"fps") > 0)
+      .repartition($"doc_id")
+    val cand = perDoc
+      .select($"doc_id", explode($"fps").as("fp"))
+      .groupBy($"fp")
+      .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
+      .filter(size($"docs").between(2, 50))
+      .select(explode($"docs").as("doc_a"), $"docs")
+      .select($"doc_a", explode($"docs").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    // fingerprint-set sizes join back against the SAME exchange (pair
+    // side broadcasts — tiny survivor set, corpus-sized perDoc probes)
+    broadcast(broadcast(cand)
+        .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a")))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
+      .withColumn("sim", $"n_shared".cast("double") /
+        (size($"fps_a") + size($"fps_b") - $"n_shared"))
+      .filter($"sim" >= 0.4)
+      .select($"doc_a", $"doc_b", $"n_shared", $"sim")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The oracle rebuilds the identical fingerprints relationally: LEAD
+    * windows form each 8-gram's base-31 polynomial (same exact integer
+    * values as the kernel's rolling form), MIN OVER a 4-row window
+    * selects, the COUNT qualify keeps complete windows only.
+    */
+  val q56Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, TRIM(LOWER(text)) AS t FROM documents WHERE doc_id IS NOT NULL
+      |), ch0 AS (
+      |  SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) + 1)) AS i FROM docs
+      |), ch AS (
+      |  SELECT doc_id, i, CAST(ORD(SUBSTRING(t, i, 1)) AS BIGINT) AS c FROM ch0
+      |), grams AS (
+      |  SELECT doc_id, i AS p,
+      |    c*27512614111 + LEAD(c,1) OVER w * 887503681 + LEAD(c,2) OVER w * 28629151
+      |    + LEAD(c,3) OVER w * 923521 + LEAD(c,4) OVER w * 29791
+      |    + LEAD(c,5) OVER w * 961 + LEAD(c,6) OVER w * 31 + LEAD(c,7) OVER w AS gh
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY LEAD(c,7) OVER w IS NOT NULL
+      |), sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    MIN(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams
+      |  QUALIFY COUNT(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) = 4
+      |), nfp AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sel GROUP BY 1
+      |), buckets AS (
+      |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+      |), fpx AS (
+      |  SELECT s.doc_id, s.fp FROM sel s JOIN buckets b USING (fp)
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS sim
+      |FROM pairs JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
+      |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -338,6 +428,7 @@ object TextOps {
     "q33_fingerprint_dedup" -> (q33FingerprintDedup _),
     "q34_dedup_exact" -> (q34DedupExact _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
+    "q56_winnow_fingerprint" -> (q56WinnowFingerprint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,5 +438,6 @@ object TextOps {
     "q33_fingerprint_dedup" -> q33Sql,
     "q34_dedup_exact" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
+    "q56_winnow_fingerprint" -> q56Sql,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CollectCapped, CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket}
+import graft.functions.{CollectCapped, CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -88,9 +88,25 @@ object GraftExtensions {
       CollectCapped(children.head, cap): Expression
     })
 
+  private val winnowFpsDescriptor = (
+    new FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+    (children: Seq[Expression]) => {
+      // k and w shape the rolling-hash and deque loops: literals only
+      def litArg(idx: Int, default: Int, name: String): Int =
+        children.lift(idx) match {
+          case None => default
+          case Some(Literal(v: Int, IntegerType)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be an integer literal, got $other")
+        }
+      WinnowFps(children.head, litArg(1, 8, "k"), litArg(2, 4, "w")): Expression
+    })
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
-      simhashSigDescriptor, shingleHashesDescriptor, collectCappedDescriptor)
+      simhashSigDescriptor, shingleHashesDescriptor, collectCappedDescriptor,
+      winnowFpsDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
