@@ -244,13 +244,30 @@ object Relational {
 
   /** Windowed top-k per group: 3 highest-value orders per order status.
     * row_number (not rank) + orderkey tie-break for determinism.
+    *
+    * Two-phase (salted) evaluation: `o_orderstatus` has only 3 values, so
+    * a single window over it collapses the whole table onto 3 tasks —
+    * the sort parallelism would be 3 regardless of cluster size, and at
+    * 100 TB each task would sort a third of the table. Phase 1 takes the
+    * per-(status, salt) top-3 across `salts` deterministic hash salts —
+    * full parallelism, and any row outside its salt-partition top-3
+    * provably cannot be in the global top-3. Phase 2 re-ranks the
+    * ≤ 3·salts survivors per status — a few hundred rows however large
+    * the input. Output is bit-identical to the naive single window (the
+    * oracle stays the plain ROW_NUMBER SQL).
     */
   def q11TopKPerGroup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderstatus")
+    val salts = 32
+    val w1 = Window.partitionBy($"o_orderstatus", $"__salt")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val w2 = Window.partitionBy($"o_orderstatus")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("__salt", pmod(hash($"o_orderkey"), lit(salts)))
+      .withColumn("__rn1", row_number().over(w1))
+      .filter($"__rn1" <= 3)
+      .withColumn("rn", row_number().over(w2))
       .filter($"rn" <= 3)
       .select($"o_orderstatus", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderstatus", $"rn")

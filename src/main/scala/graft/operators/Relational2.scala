@@ -115,17 +115,75 @@ object Relational2 {
   /** Rank family: rank/dense_rank (real ties on priority), percent_rank,
     * and ntile over a unique ordering (ties would make ntile assignment
     * order-dependent).
+    *
+    * Scale-aware evaluation. `o_orderstatus` has 3 values, so the naive
+    * `Window.partitionBy(o_orderstatus)` collapses the whole table onto
+    * 3 sort tasks — at 100 TB each would sort a third of the table on
+    * one core. Instead:
+    *
+    *  - rank/dense_rank/percent_rank order by `o_orderpriority`, which
+    *    has ~5 distinct values: every row's rank is fully determined by
+    *    the per-(status, priority) row counts. A 15-row count aggregate
+    *    (map-side partial, shrinks with group count not data size) +
+    *    a window over THAT tiny relation + a broadcast join back gives
+    *    exact ranks with full scan parallelism and no big-table sort.
+    *
+    *  - ntile(4) orders by the high-cardinality (totalprice, orderkey),
+    *    so ranks can't come from value counts. Classic two-pass
+    *    distributed row_number instead: coarse range-bucket each row
+    *    (`floor(totalprice/4096)` ≈ 125 buckets — at real scale the
+    *    boundaries would come from a sample, same shape), count rows
+    *    per (status, bucket), prefix-sum those counts over the tiny
+    *    bucket relation, broadcast the offsets back, and add a local
+    *    row_number within each (status, bucket) — ~375 sort partitions
+    *    instead of 3, each sorting only its bucket. ntile is then a
+    *    closed-form function of (global rn, group size n): the first
+    *    n%4 buckets take ceil(n/4) rows, the rest floor(n/4).
+    *
+    * Output is bit-identical to the naive windows; the oracle stays the
+    * plain RANK/NTILE SQL.
     */
   def q26WindowRanks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val byPriority = Window.partitionBy($"o_orderstatus").orderBy($"o_orderpriority")
-    val unique = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
-    orders(s, d)
+    val o = orders(s, d)
+
+    // rank family from per-(status, priority) counts — tiny relation
+    val wp = Window.partitionBy($"o_orderstatus").orderBy($"o_orderpriority")
+    val prioRanks = o.groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("rk", coalesce(sum($"__cnt").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      .withColumn("drk", row_number().over(wp).cast("long"))
+      .withColumn("__n", sum($"__cnt").over(Window.partitionBy($"o_orderstatus")))
+      .withColumn("prk", when($"__n" > 1,
+        ($"rk" - 1).cast("double") / ($"__n" - 1)).otherwise(lit(0.0)))
+      .select($"o_orderstatus", $"o_orderpriority", $"rk", $"drk", $"prk")
+
+    // two-pass distributed row_number for ntile: bucket offsets + local rn
+    val bucketed = o.withColumn("__b", floor($"o_totalprice" / 4096).cast("long"))
+    val wb = Window.partitionBy($"o_orderstatus").orderBy($"__b")
+    val offsets = bucketed.groupBy($"o_orderstatus", $"__b")
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__off", coalesce(sum($"__bcnt").over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum($"__bcnt").over(Window.partitionBy($"o_orderstatus")))
+      .select($"o_orderstatus", $"__b", $"__off", $"__n")
+
+    val wl = Window.partitionBy($"o_orderstatus", $"__b")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    // SQL NTILE(4): rem = n%4 leading buckets of base+1 rows, then base.
+    // Exact integer arithmetic (`div`) — Column./ would be double division.
+    bucketed
+      .join(broadcast(prioRanks), Seq("o_orderstatus", "o_orderpriority"))
+      .join(broadcast(offsets), Seq("o_orderstatus", "__b"))
+      .withColumn("__rn", $"__off" + row_number().over(wl))
+      .withColumn("quartile", expr(
+        """CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+          |     THEN (__rn - 1) div (__n div 4 + 1) + 1
+          |     ELSE __n % 4 + (__rn - (__n % 4) * (__n div 4 + 1) - 1) div (__n div 4) + 1
+          |END""".stripMargin).cast("long"))
       .select($"o_orderstatus", $"o_orderkey", $"o_orderpriority",
-        rank().over(byPriority).cast("long").as("rk"),
-        dense_rank().over(byPriority).cast("long").as("drk"),
-        percent_rank().over(byPriority).as("prk"),
-        ntile(4).over(unique).cast("long").as("quartile"))
+        $"rk", $"drk", $"prk", $"quartile")
       .orderBy($"o_orderstatus", $"o_orderkey")
   }
 

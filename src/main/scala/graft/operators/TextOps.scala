@@ -421,6 +421,91 @@ object TextOps {
       |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Top-3 TF-IDF terms per document — the relevance/keyword-extraction
+    * stage of a corpus pipeline. Shape: one exploded-token pass → per-
+    * (doc, token) TF aggregate (map-side partial) → token-keyed document
+    * frequency derived FROM the TF relation (no second corpus scan) →
+    * per-doc top-3 window (doc_id partitioning: full parallelism).
+    *
+    * The idf factor is the RATIONAL variant n_docs/df scaled to ppm and
+    * computed in exact int64 arithmetic (`div`): the classic log-idf
+    * would make the score depend on each engine's libm `log` rounding,
+    * breaking the bit-exact cross-engine oracle (same policy as q27's
+    * deliberate transcendental-free scalar pack). Overflow headroom:
+    * tf·10^6·n_docs < 2^63 holds up to ~9·10^12 doc·token occurrences.
+    */
+  def q57TfidfTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score_ppm".desc, $"term")
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(tf * 1000000 * n_docs) div df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"term", $"tf", $"df", $"score_ppm")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  val q57Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), sel AS (
+      |  SELECT doc_id, term, tf, df, (tf * 1000000 * n_docs) // df AS score_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY (tf * 1000000 * n_docs) // df DESC, term) AS rn
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, rn, term, tf, df, score_ppm
+      |FROM sel WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** Deterministic stratified sampling — the corpus-rebalancing stage of
+    * a training-data pipeline (e.g. downsample over-represented
+    * languages). Each doc maps to a stable per-mille bucket via a
+    * multiplicative (Knuth) hash in exact int64 arithmetic — portable
+    * across engines and executors, unlike `rand()` or engine hash
+    * functions — and survives iff bucket < its language's quota from a
+    * broadcast rates dimension. Pure map + broadcast join: no shuffle,
+    * restartable, and the same doc always lands in the same split.
+    * (`doc_id % 1000003` keeps the product < 2^63 for any int64 id —
+    * ANSI mode would throw on a silent overflow.)
+    */
+  def q58StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 200L), ("zh", 500L), ("es", 500L), ("de", 800L), ("fr", 800L))
+      .toDF("lang", "rate_pm")
+    documents(s, d)
+      .withColumn("bucket", expr("((doc_id % 1000003) * 2654435761) % 1000"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter($"bucket" < $"rate_pm")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH rates AS (
+      |  SELECT * FROM (VALUES ('en', 200), ('zh', 500), ('es', 500),
+      |                        ('de', 800), ('fr', 800)) AS t(lang, rate_pm)
+      |)
+      |SELECT doc_id, lang, source, n_chars,
+      |  ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+      |FROM documents JOIN rates USING (lang)
+      |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < rate_pm
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -429,6 +514,8 @@ object TextOps {
     "q34_dedup_exact" -> (q34DedupExact _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q56_winnow_fingerprint" -> (q56WinnowFingerprint _),
+    "q57_tfidf_terms" -> (q57TfidfTerms _),
+    "q58_stratified_sample" -> (q58StratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +526,7 @@ object TextOps {
     "q34_dedup_exact" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
     "q56_winnow_fingerprint" -> q56Sql,
+    "q57_tfidf_terms" -> q57Sql,
+    "q58_stratified_sample" -> q58Sql,
   )
 }
