@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -58,6 +58,86 @@ object AsOfJoin {
 
     val joined = rSide.unionByName(lSide)
       .withColumn("__asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      payload.map(p => col(s"__asof.$p").as(s"asof_$p"))
+    joined.select(out: _*)
+  }
+
+  /** Time-bucketed as-of join — the scale formulation promised in the
+    * class doc. The plain [[join]] windows over the key alone, so its
+    * sort parallelism equals the key cardinality: for the reference's
+    * natural key (6 symbols) that is 6 tasks however large the cluster.
+    * Here both sides also partition by `floor(time / width)`, the union
+    * window runs per (key, bucket) — parallelism = keys × buckets — and
+    * cross-bucket visibility is restored by a carry-in relation: the
+    * latest right payload per (key, bucket), prefix-scanned over the
+    * SMALL (key, bucket) domain (one row per bucket, not per event),
+    * left-joined back and coalesced under the in-bucket window result.
+    * The carry prefix scan is the only per-key-ordered step and touches
+    * #buckets rows per key; every event-sized step is (key, bucket)-
+    * partitioned. Same two-pass shape as q26's distributed row_number.
+    *
+    * Output equals [[join]] exactly (AsOfJoinSpec asserts parity) with
+    * one precondition: keys must be non-null — the naive window groups
+    * null keys into one partition, while the carry JOIN (SQL null
+    * semantics) cannot match them across buckets.
+    *
+    * @param widthSeconds bucket width in seconds of event time (cast of
+    *   the time column to long; for timestamps that is epoch seconds)
+    */
+  def joinBucketed(left: DataFrame, right: DataFrame,
+                   keyL: String, keyR: String,
+                   timeL: String, timeR: String,
+                   payload: Seq[String], tieBreak: String,
+                   widthSeconds: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lRowType: StructType = left.schema
+    val rPayType: StructType = right.select(payload.map(col): _*).schema
+
+    def bucket(t: Column): Column = floor(t.cast("long") / widthSeconds).cast("long")
+
+    val rSide = right.select(
+      col(keyR).as("__k"), col(timeR).as("__t"), lit(0).as("__side"),
+      col(tieBreak).cast("long").as("__tb"),
+      lit(null).cast(lRowType).as("__lrow"),
+      struct(payload.map(col): _*).as("__rpay"))
+      .withColumn("__b", bucket(col("__t")))
+    val lSide = left.select(
+      col(keyL).as("__k"), col(timeL).as("__t"), lit(1).as("__side"),
+      lit(null).cast("long").as("__tb"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(rPayType).as("__rpay"))
+      .withColumn("__b", bucket(col("__t")))
+    val unioned = rSide.unionByName(lSide)
+
+    // carry-in: latest right payload strictly before each bucket. The
+    // domain is every (key, bucket) seen on EITHER side (a left row's
+    // bucket may contain no right rows at all), so the prefix scan can
+    // hand it the newest payload from whatever earlier bucket had one.
+    val lastPerBucket = rSide.groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__rpay"), struct(col("__t"), col("__tb"))).as("__last"))
+    val domain = unioned.select(col("__k"), col("__b")).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = domain
+      .join(lastPerBucket, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__b"), col("__carry"))
+
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // join on (key, bucket) and window on (key, bucket): one shuffle
+    // satisfies both — the in-bucket winner (always newer than any
+    // carry) falls back to the carry only when the bucket has no
+    // earlier right row.
+    val joined = unioned
+      .join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__asof",
+        coalesce(last(col("__rpay"), ignoreNulls = true).over(w), col("__carry")))
       .filter(col("__side") === 1)
 
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++

@@ -96,9 +96,13 @@ object EventOps {
       .select($"event_id", $"user_id", $"ts", $"value")
     val clicks = e.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_event_id"), $"value".as("c_value"))
-    AsOfJoin.join(purchases, clicks,
+    // day buckets: events span ~30 days, so the union sort runs over
+    // users × days partitions instead of users alone (and stays correct
+    // however few distinct keys the corpus has — see AsOfJoin.joinBucketed)
+    AsOfJoin.joinBucketed(purchases, clicks,
         keyL = "user_id", keyR = "c_user", timeL = "ts", timeR = "c_ts",
-        payload = Seq("c_event_id", "c_value"), tieBreak = "c_event_id")
+        payload = Seq("c_event_id", "c_value"), tieBreak = "c_event_id",
+        widthSeconds = 86400L)
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value",
         $"asof_c_event_id".as("click_event_id"), $"asof_c_value".as("click_value"))
       .orderBy($"event_id")

@@ -358,8 +358,17 @@ object TextOps {
       .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)
       .repartition($"doc_id")
-    val cand = perDoc
-      .select($"doc_id", explode($"fps").as("fp"))
+    // ONE exploded relation feeds both downstream consumers. Jaccard
+    // needs only the per-doc fingerprint COUNT, never the array itself:
+    // n_shared comes from the bucket pairing, |A| and |B| from this
+    // count — so unlike q35 (whose exact verify genuinely intersects
+    // the hash arrays) no corpus-sized array column ever reaches a
+    // join. The count aggregate adds NO shuffle: `ex` inherits the
+    // doc_id hash-partitioning through the explode, so groupBy(doc_id)
+    // is already co-partitioned.
+    val ex = perDoc.select($"doc_id", explode($"fps").as("fp"))
+    val nf = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = ex
       .groupBy($"fp")
       .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
       .filter(size($"docs").between(2, 50))
@@ -368,13 +377,11 @@ object TextOps {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
-    // fingerprint-set sizes join back against the SAME exchange (pair
-    // side broadcasts — tiny survivor set, corpus-sized perDoc probes)
-    broadcast(broadcast(cand)
-        .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a")))
-      .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
-      .withColumn("sim", $"n_shared".cast("double") /
-        (size($"fps_a") + size($"fps_b") - $"n_shared"))
+    // the tiny pair set broadcasts; both probes read nf's single stage
+    broadcast(broadcast(pairs)
+        .join(nf.select($"doc_id".as("doc_a"), $"n_fp".as("n_a")), Seq("doc_a")))
+      .join(nf.select($"doc_id".as("doc_b"), $"n_fp".as("n_b")), Seq("doc_b"))
+      .withColumn("sim", $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
       .filter($"sim" >= 0.4)
       .select($"doc_a", $"doc_b", $"n_shared", $"sim")
       .orderBy($"doc_a", $"doc_b")

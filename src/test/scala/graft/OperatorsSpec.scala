@@ -40,6 +40,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed AsOfJoin equals the naive formulation (incl. empty-bucket gaps)") {
+    // right rows cluster early (j*61 ≤ 4880) while lefts run to 15000:
+    // with width 700 many left buckets contain no right rows at all, so
+    // parity here exercises the carry-in across bucket gaps, the
+    // no-match-at-all lefts, and same-instant ties (side ordering)
+    val left = (1 to 150).map(i => (i.toLong, (i * 7 % 13).toLong, i * 100L))
+      .toDF("l_id", "k", "t")
+    val right = (1 to 80).map(j => (j.toLong, (j * 5 % 13).toLong, j * 61L, j * 1.5))
+      .toDF("r_id", "rk", "rt", "payload")
+    val naive = AsOfJoin.join(left, right, "k", "rk", "t", "rt",
+        payload = Seq("r_id", "payload"), tieBreak = "r_id")
+      .select($"l_id", $"asof_r_id").as[(Long, Option[Long])]
+      .collect().toMap
+    val bucketed = AsOfJoin.joinBucketed(left, right, "k", "rk", "t", "rt",
+        payload = Seq("r_id", "payload"), tieBreak = "r_id", widthSeconds = 700L)
+      .select($"l_id", $"asof_r_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(bucketed == naive)
+  }
+
   test("shingles produce w-grams; short docs yield empty") {
     val df = Seq("a b c d", "a b", "").toDF("text")
     val out = df.select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
