@@ -165,6 +165,63 @@ object EventOps {
       |GROUP BY date, event_type
       |ORDER BY date, event_type""".stripMargin
 
+  /** Bucketed RANGE JOIN: per purchase, the same-user clicks in the
+    * preceding hour. The declarative inequality join (`c_ts ∈
+    * [p_ts − 1h, p_ts)`) would plan as an equi-join on user alone with a
+    * residual range filter — correct, but every user's whole history
+    * co-locates in one task and a hot user degenerates to O(n·m) pair
+    * scans in that task. The scale shape bounds the candidates
+    * structurally: coarse hour buckets become part of the JOIN KEY — a
+    * 1-hour probe window overlaps at most 2 buckets, so the probe side
+    * explodes to exactly 2 (user, bucket) keys and the build side keys
+    * on its own bucket; the exact range predicate remains as the
+    * residual. Candidates per probe row shrink from |user's history| to
+    * |user's two hours|; each click lands in exactly one bucket, so the
+    * per-bucket partial counts add back losslessly (every probe row
+    * appears in both bucket groups — once with real matches, once
+    * possibly empty — and the LEFT join + count(non-null) keeps
+    * zero-click purchases). Same two-level key idea as
+    * [[AsOfJoin.joinBucketed]], applied to a windowed aggregation.
+    */
+  def q60RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        floor($"ts".cast("long") / 3600).cast("long").as("__bp"))
+      .withColumn("__b", explode(array($"__bp" - 1, $"__bp")))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"value".as("c_value"),
+        floor($"ts".cast("long") / 3600).cast("long").as("__b"))
+    purchases
+      // range predicate in integer µs on BOTH engines: Spark's events
+      // table is µs-truncated (nanosAsLong read) while DuckDB reads the
+      // parquet at full ns — a raw timestamp comparison could disagree
+      // for a click within 1 µs of the exact boundary
+      .join(clicks,
+        $"user_id" === $"c_user" && purchases("__b") === clicks("__b") &&
+          unix_micros($"c_ts") >= unix_micros($"ts") - lit(3600000000L) &&
+          unix_micros($"c_ts") < unix_micros($"ts"),
+        "left")
+      .groupBy($"event_id", $"user_id", $"ts")
+      .agg(count($"c_ts").cast("long").as("n_clicks"),
+        max($"c_value").as("max_click_value"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"n_clicks", $"max_click_value")
+      .orderBy($"event_id")
+  }
+
+  val q60Sql: String =
+    """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us,
+      |  COUNT(c.ts) AS n_clicks, MAX(c.value) AS max_click_value
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      |  AND EPOCH_US(c.ts) >= EPOCH_US(p.ts) - 3600000000
+      |  AND EPOCH_US(c.ts) < EPOCH_US(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_keeplast_dedup" -> (q20KeepLastDedup _),
     "q21_gap_detect" -> (q21GapDetect _),
@@ -172,6 +229,7 @@ object EventOps {
     "q23_asof_join" -> (q23AsofJoin _),
     "q24_json_extract" -> (q24JsonExtract _),
     "q25_sink_merge" -> (q25SinkMerge _),
+    "q60_range_join" -> (q60RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +239,6 @@ object EventOps {
     "q23_asof_join" -> q23Sql,
     "q24_json_extract" -> q24Sql,
     "q25_sink_merge" -> q25Sql,
+    "q60_range_join" -> q60Sql,
   )
 }
