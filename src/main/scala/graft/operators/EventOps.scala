@@ -222,6 +222,33 @@ object EventOps {
       |GROUP BY p.event_id, p.user_id, p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** RANGE-frame window (§2.8's remaining frame kind — q19's running
+    * total is a ROWS frame): per event, count and max over the same
+    * user's trailing hour, frame bounds in VALUE space (integer µs) so
+    * both engines treat ties as peers identically. Partitioned by
+    * user_id — high cardinality, so unlike a status-keyed window this
+    * parallelizes with the data; a single hot user would get the q60
+    * bucket treatment instead.
+    */
+  def q61RangeWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        count(lit(1)).over(w).cast("long").as("n_1h"),
+        max($"value").over(w).as("max_1h"))
+      .orderBy($"event_id")
+  }
+
+  val q61Sql: String =
+    """SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_1h, MAX(value) OVER w AS max_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_keeplast_dedup" -> (q20KeepLastDedup _),
     "q21_gap_detect" -> (q21GapDetect _),
@@ -230,6 +257,7 @@ object EventOps {
     "q24_json_extract" -> (q24JsonExtract _),
     "q25_sink_merge" -> (q25SinkMerge _),
     "q60_range_join" -> (q60RangeJoin _),
+    "q61_range_window" -> (q61RangeWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +268,6 @@ object EventOps {
     "q24_json_extract" -> q24Sql,
     "q25_sink_merge" -> q25Sql,
     "q60_range_join" -> q60Sql,
+    "q61_range_window" -> q61Sql,
   )
 }

@@ -237,6 +237,64 @@ object Relational3 {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Histogram binning — explicit bin arithmetic (clamped floor
+    * division) instead of `width_bucket` so the construction is
+    * portable; one map + one partial+final aggregate, no skew (bins
+    * are uniform by construction). Sums go through the FLOOR-decimal
+    * pattern for order-independent float totals.
+    */
+  def q62Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val lo = 1000.0; val step = 25000.0; val nb = 20
+    orders(s, d)
+      .withColumn("bin",
+        least(greatest(floor(($"o_totalprice" - lo) / step), lit(0)), lit(nb - 1)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo_price"),
+        max($"o_totalprice").as("hi_price"),
+        (floor(sum($"o_totalprice".cast(DecimalType(38, 10))) * 100).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy($"bin")
+  }
+
+  val q62Sql: String =
+    """SELECT LEAST(GREATEST(FLOOR((o_totalprice - 1000.0) / 25000.0), 0), 19)::BIGINT AS bin,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price,
+      |  CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 100) AS DOUBLE) / 100.0 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Deterministic MODE per group: the most frequent priority per order
+    * status, min-value tie-break — built-in `mode()` is tie-arbitrary in
+    * both engines, so it composes from a count aggregate + arg-max with
+    * an explicit total order (count DESC, value ASC). The count relation
+    * is #distinct-groups-sized, so the arg-max window is over a tiny
+    * aggregate, not the table.
+    */
+  def q63Mode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_orderstatus")
+      .agg(min_by(struct($"o_orderpriority", $"cnt"),
+        struct(-$"cnt", $"o_orderpriority")).as("m"))
+      .select($"o_orderstatus", $"m.o_orderpriority".as("mode_priority"),
+        $"m.cnt".as("mode_count"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q63Sql: String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY 1, 2)
+      |WHERE rn = 1
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
@@ -246,6 +304,8 @@ object Relational3 {
     "q49_subqueries" -> (q49Subqueries _),
     "q52_array_agg" -> (q52ArrayAgg _),
     "q53_supplier_revenue" -> (q53SupplierRevenue _),
+    "q62_histogram" -> (q62Histogram _),
+    "q63_mode" -> (q63Mode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -256,5 +316,7 @@ object Relational3 {
     "q49_subqueries" -> q49Sql,
     "q52_array_agg" -> q52Sql,
     "q53_supplier_revenue" -> q53Sql,
+    "q62_histogram" -> q62Sql,
+    "q63_mode" -> q63Sql,
   )
 }
