@@ -76,9 +76,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries keep their -1 marker per-query but must not be
+    // summed into the headline metric — subtracting 1 s per crash would
+    // make a broken build "faster" than a clean one
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warm = if (sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) 0 else 1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"timed_runs":$timedRuns,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"timed_runs":$timedRuns,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,8 +79,9 @@ object AsOfJoin {
     * #buckets rows per key; every event-sized step is (key, bucket)-
     * partitioned. Same two-pass shape as q26's distributed row_number.
     *
-    * Output equals [[join]] exactly (AsOfJoinSpec asserts parity) with
-    * one precondition: keys must be non-null — the naive window groups
+    * Output equals [[join]] exactly (OperatorsSpec "bucketed AsOfJoin
+    * equals the naive formulation" asserts parity) with one
+    * precondition: keys must be non-null — the naive window groups
     * null keys into one partition, while the carry JOIN (SQL null
     * semantics) cannot match them across buckets.
     *
@@ -92,6 +93,7 @@ object AsOfJoin {
                    timeL: String, timeR: String,
                    payload: Seq[String], tieBreak: String,
                    widthSeconds: Long): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
     val leftCols = left.columns.toSeq
     val lRowType: StructType = left.schema
     val rPayType: StructType = right.select(payload.map(col): _*).schema

@@ -173,9 +173,17 @@ object Relational2 {
       .orderBy($"o_totalprice", $"o_orderkey")
     // SQL NTILE(4): rem = n%4 leading buckets of base+1 rows, then base.
     // Exact integer arithmetic (`div`) — Column./ would be double division.
+    // null-safe (<=>) joins: a plain equi-join would drop NULL-status/
+    // priority/price rows that the naive windows rank like any other
+    // value — the parity must not depend on the data being null-free
+    val pr = prioRanks.withColumnRenamed("o_orderstatus", "__prs")
+      .withColumnRenamed("o_orderpriority", "__prp")
+    val off = offsets.withColumnRenamed("o_orderstatus", "__ofs")
+      .withColumnRenamed("__b", "__ofb")
     bucketed
-      .join(broadcast(prioRanks), Seq("o_orderstatus", "o_orderpriority"))
-      .join(broadcast(offsets), Seq("o_orderstatus", "__b"))
+      .join(broadcast(pr),
+        $"o_orderstatus" <=> $"__prs" && $"o_orderpriority" <=> $"__prp")
+      .join(broadcast(off), $"o_orderstatus" <=> $"__ofs" && $"__b" <=> $"__ofb")
       .withColumn("__rn", $"__off" + row_number().over(wl))
       .withColumn("quartile", expr(
         """CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)

@@ -562,9 +562,19 @@ object TextOps {
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      // previous rounds' checkpoint blocks are survivor-set-sized and
+      // reclaimed by the ContextCleaner once `labels` rebinds — at most
+      // a handful of tiny RDDs are ever live
       labels = next
       rounds += 1
     }
+    // returning unconverged labels would silently mis-cluster (labels
+    // not yet component minima, diverging from the transitive-closure
+    // oracle) — fail loudly instead; a >20-diameter component means the
+    // pair graph is chain-shaped and needs the large-star/small-star
+    // formulation, not more rounds of plain propagation
+    if (!converged) throw new IllegalStateException(
+      s"q59 label propagation did not converge in $rounds rounds — component diameter exceeds the cap")
     labels.select($"label".as("cluster_id"), $"u".as("doc_id"))
       .orderBy($"cluster_id", $"doc_id")
   }
