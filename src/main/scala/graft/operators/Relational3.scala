@@ -295,6 +295,35 @@ object Relational3 {
       |WHERE rn = 1
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Top-3 orders per priority via the bounded-heap AGGREGATE
+    * ([[graft.functions.TopK]]) — same semantics as q11's windowed
+    * top-k, evaluated as one ObjectHashAggregate pass with map-side
+    * partial heaps: the shuffle carries ≤ k rows per (group, map
+    * partition) however large the input, vs the window's full-table
+    * shuffle. posexplode of the k-array recovers the rank. The oracle
+    * stays the plain ROW_NUMBER SQL.
+    */
+  def q64TopkAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top3 = graft.functions.TopK(3)
+    orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top").as(Seq("pos", "r")))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rn"),
+        $"r.key".as("o_orderkey"), $"r.price".as("o_totalprice"))
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
@@ -306,6 +335,7 @@ object Relational3 {
     "q53_supplier_revenue" -> (q53SupplierRevenue _),
     "q62_histogram" -> (q62Histogram _),
     "q63_mode" -> (q63Mode _),
+    "q64_topk_agg" -> (q64TopkAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,5 +348,6 @@ object Relational3 {
     "q53_supplier_revenue" -> q53Sql,
     "q62_histogram" -> q62Sql,
     "q63_mode" -> q63Sql,
+    "q64_topk_agg" -> q64Sql,
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Relational3
+import graft.sources.Tables
+
+/** The bounded-heap top-k aggregate must (a) equal the windowed
+  * row_number formulation exactly and (b) actually plan as a
+  * partial+final object aggregate — the map-side partial heap is the
+  * entire point (shuffle ≤ k rows per group per map partition).
+  */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q64 top-k aggregate equals the windowed row_number form") {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val naive = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+      .collect().toSeq
+    val got = Relational3.q64TopkAgg(spark, sf).collect().toSeq
+    assert(got == naive)
+  }
+
+  test("top-k aggregate ties resolve to the smaller key; short groups keep all rows") {
+    val df = Seq(
+      ("g1", 5.0, 9L), ("g1", 5.0, 2L), ("g1", 5.0, 7L), ("g1", 1.0, 1L),
+      ("g2", 3.0, 4L)).toDF("g", "price", "key")
+    val top = graft.functions.TopK(3)
+    val out = df.groupBy($"g").agg(top($"price", $"key").as("top"))
+      .select($"g", $"top").as[(String, Seq[(Double, Long)])]
+      .collect().toMap
+    assert(out("g1") == Seq((5.0, 2L), (5.0, 7L), (5.0, 9L)))
+    assert(out("g2") == Seq((3.0, 4L)))
+  }
+
+  test("top-k plans as partial+final aggregation (map-side heaps)") {
+    val p = Relational3.q64TopkAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(500))
+    assert(p.contains("partial_"), "expect a partial (map-side) aggregate before the shuffle")
+  }
+}
