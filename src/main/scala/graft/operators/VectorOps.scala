@@ -283,12 +283,63 @@ object VectorOps {
        |${sqlLloydStep("e", "c1", "c2")}
        |SELECT c_id, CAST(pos AS BIGINT) AS pos, cv FROM c2 ORDER BY c_id, pos""".stripMargin
 
+  /** Scalar (int8) embedding quantization — the compression step an
+    * ANN index runs before storing vectors (256-level per-dimension
+    * min/max scaling; 4× smaller than float32, the standard precursor
+    * to PQ). Shape: one exploded pass → 64-row per-dimension stats
+    * aggregate (shrinks with dims, not rows) broadcast back → pure-map
+    * quantize + reconstruction error → per-vector aggregate. Every
+    * per-row arithmetic step is a fixed IEEE-double op sequence mirrored
+    * exactly in the oracle (cross-engine float hazards come from
+    * aggregation ORDER, never from identical scalar op chains); the
+    * aggregates themselves are exact (long sum, max, count). Constant
+    * dimensions (mx == mn) quantize to 0 — guarded, the unguarded
+    * division would be NaN.
+    */
+  def q65Quantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("vd", $"v".cast("double"))
+    val stats = ex.groupBy($"pos").agg(min($"vd").as("mn"), max($"vd").as("mx"))
+    ex.join(broadcast(stats), Seq("pos"))
+      .withColumn("q",
+        when($"mx" > $"mn",
+          least(floor(($"vd" - $"mn") * 255.0 / ($"mx" - $"mn")), lit(255.0)))
+          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("err", abs($"vd" - ($"mn" + $"q" * ($"mx" - $"mn") / 255.0)))
+      .groupBy($"vec_id")
+      .agg(sum($"q").as("sum_q"), max($"err").as("max_abs_err"),
+        count(lit(1)).as("n_dims"))
+      .orderBy($"vec_id")
+  }
+
+  val q65Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS vd,
+      |         UNNEST(RANGE(0, LEN(embedding))) AS pos
+      |  FROM embeddings
+      |), st AS (
+      |  SELECT pos, MIN(vd) AS mn, MAX(vd) AS mx FROM ex GROUP BY pos
+      |), qz AS (
+      |  SELECT vec_id, vd, mn, mx,
+      |    CAST(CASE WHEN mx > mn
+      |              THEN LEAST(FLOOR((vd - mn) * 255.0 / (mx - mn)), 255)
+      |              ELSE 0 END AS BIGINT) AS q
+      |  FROM ex JOIN st USING (pos)
+      |)
+      |SELECT vec_id, SUM(q) AS sum_q,
+      |  MAX(ABS(vd - (mn + q * (mx - mn) / 255.0))) AS max_abs_err,
+      |  COUNT(*) AS n_dims
+      |FROM qz GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
     "q42_nearest_centroid" -> (q42NearestCentroid _),
     "q54_embedding_dedup" -> (q54EmbeddingDedup _),
     "q55_kmeans" -> (q55Kmeans _),
+    "q65_quantize" -> (q65Quantize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +348,6 @@ object VectorOps {
     "q42_nearest_centroid" -> q42Sql,
     "q54_embedding_dedup" -> q54Sql,
     "q55_kmeans" -> q55Sql,
+    "q65_quantize" -> q65Sql,
   )
 }
