@@ -66,8 +66,22 @@ object Bench {
     // rather than back-to-back per query: stall storms are temporally
     // correlated, so two adjacent runs of the same query would often
     // both draw the same storm — samples minutes apart rarely do.
-    val passes = (1 to timedRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    //
+    // Deadline guard: in the host's degraded page-fault mode a single
+    // pass has taken 430+ s; extra passes must never push the run past
+    // the harness's patience and cost the round its ONLY bench output.
+    // Pass 1 always runs; each further pass starts only if the elapsed
+    // wall (incl. warmup) is under SPARK_GRAFT_BENCH_DEADLINE seconds
+    // (default 480) — so a healthy run gets min-of-2 and a degraded run
+    // degrades to honest single-pass numbers instead of a timeout.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE").map(_.toLong).getOrElse(480L)
+    val benchStart = System.nanoTime()
+    val passes = (1 to timedRuns).flatMap { i =>
+      val elapsedSec = (System.nanoTime() - benchStart) / 1000000000L
+      if (i > 1 && elapsedSec >= deadlineSec) {
+        System.err.println(s"[bench] skipping pass $i (${elapsedSec}s elapsed >= ${deadlineSec}s deadline)")
+        None
+      } else Some(SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) })
     }
     val results = SparkEntry.queries.map { case (name, _) =>
       val times = passes.map(_(name))
@@ -83,7 +97,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warm = if (sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) 0 else 1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"timed_runs":$timedRuns,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
