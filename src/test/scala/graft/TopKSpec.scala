@@ -38,6 +38,30 @@ class TopKSpec extends SparkSpec {
     assert(out("g2") == Seq((3.0, 4L)))
   }
 
+  test("top-k buffer ops are split-order insensitive (partial-agg soundness)") {
+    // Spark may reduce/merge partial buffers in ANY grouping and order;
+    // the result must always equal sorting the whole multiset and taking
+    // k. Plain ScalaCheck (no scalatestplus bridge in the offline cache).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.{RankedRow, TopK}
+    val agg = new TopK(3)
+    val rowGen = Gen.zip(Gen.choose(0.0, 5.0), Gen.choose(0L, 20L))
+      .map { case (p, k) => RankedRow(p, k) }
+    val prop = Prop.forAll(Gen.listOf(rowGen), Gen.choose(1, 5)) { (rows, nSplits) =>
+      val expected = rows
+        .sortWith((a, b) => a.price > b.price || (a.price == b.price && a.key < b.key))
+        .take(3)
+      // arbitrary split → per-split reduce → left-fold merge
+      val splits = rows.grouped(math.max(1, rows.size / nSplits + 1)).toList
+      val merged = splits
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      merged == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("top-k plans as partial+final aggregation (map-side heaps)") {
     val p = Relational3.q64TopkAgg(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(500))
