@@ -204,6 +204,41 @@ object Relational2 {
       |FROM orders
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** UNPIVOT (melt) — the inverse reshape of q17's pivot: four measure
+    * columns become (metric, value) long-form rows via the typed
+    * `Dataset.unpivot` API (Spark's `Expand` operator underneath — a
+    * pure per-row flatMap, no shuffle; output is 4× the rows but the
+    * plan stays one scan → expand → sort). Long-form is what a metrics
+    * warehouse or a plotting/feature pipeline ingests.
+    */
+  def q66Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_orderkey" < 200)
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        $"metric", $"value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  // portable long-form construction: UNION ALL (DuckDB's UNPIVOT keyword
+  // would also work, but the union is dialect-free and plans identically)
+  val q66Sql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   /** Scalar-function pack (F9/F10 + math): clamps, abs, sqrt (IEEE
     * correctly-rounded — transcendentals are deliberately absent, libm
     * implementations differ in the last bit), floor/ceil, integer mod,
@@ -287,6 +322,7 @@ object Relational2 {
     "q27_scalar_pack" -> (q27ScalarPack _),
     "q28_theta_join" -> (q28ThetaJoin _),
     "q29_median" -> (q29Median _),
+    "q66_unpivot" -> (q66Unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -298,5 +334,6 @@ object Relational2 {
     "q27_scalar_pack" -> q27Sql,
     "q28_theta_join" -> q28Sql,
     "q29_median" -> q29Sql,
+    "q66_unpivot" -> q66Sql,
   )
 }
