@@ -533,49 +533,9 @@ object TextOps {
     */
   def q59DedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // localCheckpoint (NOT persist) on the survivor-set-sized relations
-    // only: without lineage truncation every convergence probe re-runs
-    // the whole q56 pipeline (measured 14 s vs ~2 s at sf0.1), and an
-    // iterative algorithm's lineage otherwise deepens per round. This
-    // doesn't violate the no-persist-in-queries rule's intent — that is
-    // about CORPUS-sized caches; edges/labels are bounded by the
-    // near-dup survivor count.
-    val edges = q56WinnowFingerprint(s, d)
-      .select($"doc_a".as("a"), $"doc_b".as("b"))
-      .localCheckpoint()
-    val sym = edges.select($"a".as("u"), $"b".as("v"))
-      .unionAll(edges.select($"b".as("u"), $"a".as("v")))
-    var labels = sym.select($"u").distinct().select($"u", $"u".as("label"))
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val viaNbr = sym.join(labels.select($"u".as("v"), $"label"), Seq("v"))
-        .select($"u", $"label")
-      val next = labels.unionAll(viaNbr)
-        .groupBy($"u").agg(min($"label").as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so an unchanged sum IS a fixpoint —
-      // one scalar per round crosses to the driver, nothing else
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      // previous rounds' checkpoint blocks are survivor-set-sized and
-      // reclaimed by the ContextCleaner once `labels` rebinds — at most
-      // a handful of tiny RDDs are ever live
-      labels = next
-      rounds += 1
-    }
-    // returning unconverged labels would silently mis-cluster (labels
-    // not yet component minima, diverging from the transitive-closure
-    // oracle) — fail loudly instead; a >20-diameter component means the
-    // pair graph is chain-shaped and needs the large-star/small-star
-    // formulation, not more rounds of plain propagation
-    if (!converged) throw new IllegalStateException(
-      s"q59 label propagation did not converge in $rounds rounds — component diameter exceeds the cap")
-    labels.select($"label".as("cluster_id"), $"u".as("doc_id"))
+    val edges = q56WinnowFingerprint(s, d).select($"doc_a", $"doc_b")
+    ConnectedComponents.labels(s, edges, "doc_a", "doc_b")
+      .select($"component".as("cluster_id"), $"node".as("doc_id"))
       .orderBy($"cluster_id", $"doc_id")
   }
 
