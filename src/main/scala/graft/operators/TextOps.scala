@@ -451,7 +451,13 @@ object TextOps {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score_ppm".desc, $"term")
-    tf.join(dfreq, Seq("term"))
+    // dfreq broadcasts: a shuffle join keyed on the raw term would send
+    // every occurrence-row of a stopword to ONE partition — the classic
+    // hot-key skew. The df relation is vocabulary-sized (distinct terms,
+    // bounded here by the fold/split normalization); an unbounded-vocab
+    // web corpus would keep the shuffle join and lean on AQE skew-join
+    // splitting plus a df floor that drops hapax terms before the join.
+    tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score_ppm", expr("(tf * 1000000 * n_docs) div df"))
       .withColumn("rn", row_number().over(w).cast("long"))
