@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ EventOps.queries ++
-      TextOps.queries ++ VectorOps.queries ++
+      TextOps.queries ++ VectorOps.queries ++ SeqOps.queries ++ CorpusOps.queries ++
       Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
@@ -27,6 +27,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ EventOps.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++
+      TextOps.oracles ++ VectorOps.oracles ++ SeqOps.oracles ++ CorpusOps.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql)
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Corpus-hygiene operators over `documents` — the per-document quality
+  * signals and normalizations an LLM training-data pipeline applies
+  * before dedup/sampling (Gopher-style repetition ratios, corpus n-gram
+  * statistics, C4-style text scrubbing).
+  *
+  * Scale posture (100 TB): q71/q73 are pure per-row maps — zero shuffle,
+  * embarrassingly parallel; q72 is the bounded explodedShingles path
+  * (shuffles scale with corpus size, top-k finishes in a
+  * TakeOrderedAndProject, never a global sort). Tokenization is the
+  * pipeline-wide [[TextOps.tokens]] contract (ASCII fold + `\s+` split,
+  * trailing-empty-token semantics included) so signals compose with the
+  * dedup operators over identical token streams.
+  */
+object CorpusOps {
+
+  /** Repetition-based quality signals per document [Gopher, Rae et al.
+    * 2021 §A1.1]: duplicate-token and duplicate-bigram fractions, in
+    * exact parts-per-million (integer arithmetic — no float division to
+    * hash-mismatch on). High duplicate fractions mark boilerplate /
+    * degenerate text for downstream filtering.
+    *
+    * Distinct-bigram counts ride the codegen'd
+    * [[graft.functions.ShingleHashes]] kernel (one fused pass per row)
+    * rather than an interpreted array-lambda chain; it counts distinct
+    * 64-bit shingle hashes, so a same-doc collision would undercount by
+    * one — P < n²·2⁻⁶⁵ per doc, zero observed across the corpus (the
+    * exact-string oracle would flag any). Unigram distincts use the
+    * codegen'd `array_distinct` directly. NO shuffle anywhere.
+    */
+  def q71RepetitionSignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks: Column = TextOps.tokens($"text")
+    documents(s, d)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(call_function("shingle_hashes", $"text", lit(2)))
+          .cast("long").as("n_distinct_bigrams"))
+      .withColumn("dup_token_ppm",
+        expr("(n_tokens - n_distinct_tokens) * 1000000 DIV n_tokens"))
+      .withColumn("dup_bigram_ppm",
+        when($"n_bigrams" === 0, 0L).otherwise(
+          expr("(n_bigrams - n_distinct_bigrams) * 1000000 DIV n_bigrams")))
+      .orderBy($"doc_id")
+  }
+
+  val q71Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, LEN(toks) AS nt, LEN(LIST_DISTINCT(toks)) AS nd,
+      |    LIST_TRANSFORM(RANGE(1, LEN(toks)),
+      |                   i -> toks[i] || ' ' || toks[i+1]) AS bg
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(nt AS BIGINT) AS n_tokens,
+      |  CAST(nd AS BIGINT) AS n_distinct_tokens,
+      |  CAST(LEN(bg) AS BIGINT) AS n_bigrams,
+      |  CAST(LEN(LIST_DISTINCT(bg)) AS BIGINT) AS n_distinct_bigrams,
+      |  CAST((nt - nd) * 1000000 // nt AS BIGINT) AS dup_token_ppm,
+      |  CAST(CASE WHEN LEN(bg) = 0 THEN 0
+      |            ELSE (LEN(bg) - LEN(LIST_DISTINCT(bg))) * 1000000 // LEN(bg)
+      |       END AS BIGINT) AS dup_bigram_ppm
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level n-gram statistics: the 25 trigrams appearing in the
+    * most documents (document frequency, not raw occurrences — the
+    * boilerplate detector: a trigram shared by thousands of documents is
+    * template text). Rides [[TextOps.explodedShingles]] (codegen'd
+    * posexplode + lead shape, distinct per doc) into a partial+final
+    * count aggregate keyed on the shingle — vocabulary-bounded, map-side
+    * combine absorbs the corpus scale — and a TakeOrderedAndProject
+    * top-k (no global sort). Deterministic tie-break: count desc, then
+    * shingle asc.
+    */
+  def q72NgramTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.explodedShingles(documents(s, d), Seq("doc_id"), "text", 3)
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"shingle").limit(25)
+  }
+
+  val q72Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM t
+      |)
+      |SELECT shingle, COUNT(*) AS df FROM g
+      |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 25""".stripMargin
+
+  /** C4-style text scrub [Raffel et al. 2020 §2.2]: drop stopwords, then
+    * collapse consecutive repeated tokens (the run-dedup that kills
+    * "spam spam spam" degeneracy), re-emitting cleaned text plus
+    * before/after counts. Pure per-row map — zero shuffle.
+    *
+    * The run-collapse avoids the O(tokens²)-per-row trap: referencing
+    * the kept-array by index inside a lambda (`element_at(kept, i)`)
+    * re-evaluates the whole array expression per ELEMENT (Catalyst
+    * inlines, HOFs interpret). Instead `zip_with(kept, null ⧺ kept)`
+    * aligns each token with its predecessor in one O(n) pass — the
+    * padded copy shifts indices by one, the zip's tail null is filtered
+    * with the collapsed runs.
+    */
+  def q73TextScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks: Column = TextOps.tokens($"text")
+    val kept = filter(toks, t => !(t === "a" || t === "the"))
+    val prevPad = concat(array(lit(null).cast("string")), kept)
+    val collapsed = filter(
+      zip_with(kept, prevPad,
+        (cur, prev) => when(cur.isNotNull && (prev.isNull || cur =!= prev), cur)),
+      x => x.isNotNull)
+    documents(s, d).select($"doc_id",
+      size(toks).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      size(collapsed).cast("long").as("n_collapsed"),
+      concat_ws(" ", collapsed).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, toks,
+      |    LIST_FILTER(toks, x -> x NOT IN ('a', 'the')) AS kept FROM t
+      |), c AS (
+      |  SELECT doc_id, toks, kept,
+      |    LIST_FILTER(kept, (x, i) -> i = 1 OR x <> kept[i-1]) AS collapsed
+      |  FROM k
+      |)
+      |SELECT doc_id,
+      |  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+      |  CAST(LEN(kept) AS BIGINT) AS n_kept,
+      |  CAST(LEN(collapsed) AS BIGINT) AS n_collapsed,
+      |  ARRAY_TO_STRING(collapsed, ' ') AS clean_text
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_repetition_signals" -> (q71RepetitionSignals _),
+    "q72_ngram_topk" -> (q72NgramTopk _),
+    "q73_text_scrub" -> (q73TextScrub _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q71_repetition_signals" -> q71Sql,
+    "q72_ngram_topk" -> q72Sql,
+    "q73_text_scrub" -> q73Sql,
+  )
+}

@@ -328,7 +328,7 @@ object VectorOps {
       |              ELSE 0 END AS BIGINT) AS q
       |  FROM ex JOIN st USING (pos)
       |)
-      |SELECT vec_id, SUM(q) AS sum_q,
+      |SELECT vec_id, CAST(SUM(q) AS BIGINT) AS sum_q,
       |  MAX(ABS(vd - (mn + q * (mx - mn) / 255.0))) AS max_abs_err,
       |  COUNT(*) AS n_dims
       |FROM qz GROUP BY vec_id ORDER BY vec_id""".stripMargin
