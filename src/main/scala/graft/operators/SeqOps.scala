@@ -94,6 +94,11 @@ object SeqOps {
       .filter($"user_id" < 30)
       .select($"user_id", expr("unix_micros(ts) DIV 3600000000").as("hour"))
       .groupBy($"user_id", $"hour").agg(count(lit(1)).as("n"))
+    // Catalyst merges this agg-over-agg into ONE aggregate straight off
+    // the scan (min/max distribute over the inner grouping), so this
+    // branch shuffles per-user rows, not per-(user, hour) rows — no
+    // exchange to reuse with the join side, and cheaper than
+    // materializing `cnt` twice would be
     val grid = cnt.groupBy($"user_id")
       .agg(min($"hour").as("h0"), max($"hour").as("h1"))
       .select($"user_id", explode(sequence($"h0", $"h1")).as("hour"))
