@@ -333,6 +333,138 @@ object VectorOps {
       |  COUNT(*) AS n_dims
       |FROM qz GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Product quantization + asymmetric-distance search [Jégou et al.,
+    * PAMI 2011] — the compression-side scale path for similarity search
+    * that completes the trio next to brute force (q41) and IVF/LSH
+    * routing (q42/q43): 64-dim float vectors become M=8 one-byte codes
+    * (one per 8-dim subspace, K=16 centroids each), and a query scores
+    * the WHOLE corpus by summing 8 table lookups per vector instead of
+    * 64 multiplies.
+    *
+    * Pipeline (every stage distributed, every float reduction through
+    * [[xsum]]-style fixed-point so the oracle reproduces it bit-exactly):
+    *   1. sub-codebooks: per subspace, first-K-by-id seeding + one Lloyd
+    *      step (the per-subspace replica of q55, composite (sub, c_id)
+    *      keys; iteration count fixed so the oracle can unroll it);
+    *   2. encode: nearest sub-centroid per (vector, subspace) via the
+    *      −2·dot + ‖c‖² form — a broadcast join against the ≤ M·K·8-row
+    *      codebook, one aggregation keyed (vec_id, sub);
+    *   3. ADC lookup table: ‖q_sub − c‖² per (query, sub, centroid),
+    *      kept in fixed-point BIGINT (never divided back to double) so
+    *      the 8-term ADC sum stays integer-exact;
+    *   4. score+rank: codes ⨝ broadcast(LUT) → 8-row sum per
+    *      (query, vector), top-10 per query.
+    *
+    * Scale posture: codebook and LUT are O(M·K) — always broadcast; the
+    * codes relation is the n×M compact representation (the 32× memory
+    * win that makes 100 TB of vectors scannable); encode and score are
+    * each ONE shuffle keyed by vector. The final per-query window ranks
+    * |Q| partitions — for large query sets swap it for the q64
+    * bounded-heap TopK aggregate.
+    */
+  def q74PqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kSub = 16
+    val e = exploded(s, d).withColumn("sub", expr("pos DIV 8"))
+
+    // one Lloyd step over per-subspace centroids (q55's step with
+    // composite (sub, c_id) keys)
+    def subAssign(cents: DataFrame): DataFrame = {
+      val cn2 = cents.groupBy($"sub", $"c_id").agg(xsum($"cv" * $"cv").as("cn2"))
+      e.join(broadcast(cents.select($"pos", $"c_id", $"cv")), Seq("pos"))
+        .groupBy($"vec_id", $"sub", $"c_id")
+        .agg(xsum($"v" * $"cv").as("dot"))
+        .join(broadcast(cn2), Seq("sub", "c_id"))
+        .withColumn("ndist", lit(-2.0) * $"dot" + $"cn2")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id", $"sub").orderBy($"ndist", $"c_id")))
+        .filter($"rk" === 1).select($"vec_id", $"sub", $"c_id")
+    }
+    val init = e.filter($"vec_id" < kSub)
+      .select($"sub", $"vec_id".as("c_id"), $"pos", $"v".as("cv"))
+    val cents1 = e.join(subAssign(init), Seq("vec_id", "sub"))
+      .groupBy($"sub", $"c_id", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("cv"))
+
+    val codes = subAssign(cents1)
+    // ADC lookup table: fixed-point ||q_sub - c||^2, BIGINT end to end
+    val lut = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
+      .join(broadcast(cents1), Seq("pos"))
+      .groupBy($"qid", $"sub", $"c_id")
+      .agg(sum(floor(($"qv" - $"cv") * ($"qv" - $"cv") * 1e10)).as("lut_fxp"))
+    codes.join(broadcast(lut), Seq("sub", "c_id"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"lut_fxp").as("adc_fxp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adc_fxp", $"vec_id")))
+      .filter($"rk" <= 10)
+      .select($"qid", $"rk".cast("long").as("rk"), $"vec_id", $"adc_fxp")
+      .orderBy($"qid", $"rk")
+  }
+
+  val q74Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         UNNEST(RANGE(0, LEN(embedding))) // 8 AS sub,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT sub, vec_id AS c_id, pos, v AS cv FROM e WHERE vec_id < 16
+      |), cn2_0 AS (
+      |  SELECT sub, c_id, CAST(SUM(CAST(FLOOR(cv * cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS cn2
+      |  FROM c0 GROUP BY sub, c_id
+      |), sc0 AS (
+      |  SELECT e.vec_id, e.sub, c.c_id,
+      |    CAST(SUM(CAST(FLOOR(e.v * c.cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e JOIN c0 c ON e.pos = c.pos
+      |  GROUP BY e.vec_id, e.sub, c.c_id
+      |), a0 AS (
+      |  SELECT vec_id, sub, c_id FROM (
+      |    SELECT s.vec_id, s.sub, s.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+      |                         ORDER BY -2.0 * s.dot + n.cn2, s.c_id) AS rk
+      |    FROM sc0 s JOIN cn2_0 n ON s.sub = n.sub AND s.c_id = n.c_id)
+      |  WHERE rk = 1
+      |), c1 AS (
+      |  SELECT e.sub, a.c_id, e.pos,
+      |    CAST(SUM(CAST(FLOOR(e.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS cv
+      |  FROM e JOIN a0 a ON e.vec_id = a.vec_id AND e.sub = a.sub
+      |  GROUP BY e.sub, a.c_id, e.pos
+      |), cn2_1 AS (
+      |  SELECT sub, c_id, CAST(SUM(CAST(FLOOR(cv * cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS cn2
+      |  FROM c1 GROUP BY sub, c_id
+      |), sc1 AS (
+      |  SELECT e.vec_id, e.sub, c.c_id,
+      |    CAST(SUM(CAST(FLOOR(e.v * c.cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e JOIN c1 c ON e.pos = c.pos
+      |  GROUP BY e.vec_id, e.sub, c.c_id
+      |), codes AS (
+      |  SELECT vec_id, sub, c_id FROM (
+      |    SELECT s.vec_id, s.sub, s.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+      |                         ORDER BY -2.0 * s.dot + n.cn2, s.c_id) AS rk
+      |    FROM sc1 s JOIN cn2_1 n ON s.sub = n.sub AND s.c_id = n.c_id)
+      |  WHERE rk = 1
+      |), lut AS (
+      |  SELECT q.vec_id AS qid, c.sub, c.c_id,
+      |    CAST(SUM(CAST(FLOOR((q.v - c.cv) * (q.v - c.cv) * 1e10) AS BIGINT)) AS BIGINT) AS lut_fxp
+      |  FROM e q JOIN c1 c ON q.pos = c.pos
+      |  WHERE q.vec_id < 3
+      |  GROUP BY q.vec_id, c.sub, c.c_id
+      |), adc AS (
+      |  SELECT l.qid, k.vec_id, CAST(SUM(l.lut_fxp) AS BIGINT) AS adc_fxp
+      |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.c_id = l.c_id
+      |  WHERE k.vec_id <> l.qid
+      |  GROUP BY l.qid, k.vec_id
+      |)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, adc_fxp FROM (
+      |  SELECT qid, vec_id, adc_fxp,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fxp, vec_id) AS rk
+      |  FROM adc)
+      |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -340,6 +472,7 @@ object VectorOps {
     "q54_embedding_dedup" -> (q54EmbeddingDedup _),
     "q55_kmeans" -> (q55Kmeans _),
     "q65_quantize" -> (q65Quantize _),
+    "q74_pq_adc" -> (q74PqAdc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +482,6 @@ object VectorOps {
     "q54_embedding_dedup" -> q54Sql,
     "q55_kmeans" -> q55Sql,
     "q65_quantize" -> q65Sql,
+    "q74_pq_adc" -> q74Sql,
   )
 }
