@@ -9,6 +9,7 @@ import graft.operators._
   * see — a regression here is a silent 100× at scale.
   */
 class PlanSpec extends SparkSpec {
+  graft.plans.GraftExtensions.register(spark)
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -82,6 +83,46 @@ class PlanSpec extends SparkSpec {
       assert(scans == 1,
         s"$name: expected exactly 1 documents scan (reuse broke — " +
           s"pruning or inferred filters made branches canonically unequal), got $scans")
+    }
+  }
+
+  test("q67 funnel: one compute shuffle, three windows share a single sort") {
+    val p = plan(SeqOps.q67FunnelStages(spark, sf))
+    assert("Window".r.findAllIn(p).length == 3, p.take(800))
+    // exactly 2 exchanges: hash(user_id) for the windows+agg chain and
+    // the final ORDER BY range partition — a third would mean the agg
+    // or a window re-shuffled what is already user_id-partitioned
+    assert("Exchange".r.findAllIn(p).length == 2, p.take(800))
+    assert("Sort".r.findAllIn(p).length == 2,
+      "the three stacked windows must reuse one (user_id, ts) sort")
+  }
+
+  test("q69 hopping windows: fixed 4x Expand + partial+final aggregate") {
+    val p = plan(SeqOps.q69HoppingWindow(spark, sf))
+    assert(p.contains("Expand"), p.take(600))
+    assert(p.contains("partial_"), "window counts must combine map-side")
+  }
+
+  test("q70 z-score: 5-row stats side broadcasts over the scan") {
+    val p = plan(SeqOps.q70ZscoreOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join on event_type caps parallelism at 5 partitions")
+  }
+
+  test("q72 corpus top-k finishes in TakeOrderedAndProject, no global sort") {
+    val p = plan(CorpusOps.q72NgramTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("q71/q73 per-doc corpus signals shuffle nothing but the final sort") {
+    Seq("q71" -> CorpusOps.q71RepetitionSignals(spark, sf),
+      "q73" -> CorpusOps.q73TextScrub(spark, sf)).foreach { case (name, df) =>
+      val p = plan(df)
+      // one range-partition exchange for the deterministic ORDER BY and
+      // nothing else — these must stay embarrassingly parallel maps
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"$name: per-doc map op grew a shuffle\n${p.take(800)}")
     }
   }
 
