@@ -249,6 +249,39 @@ object EventOps {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Bounded ROWS-frame moving window — the frame kind that completes
+    * §2.8 next to q19's unbounded running total and q61's value-space
+    * RANGE frame: per user, the trailing-4-rows moving sum/count of
+    * `value` (the smoothing primitive behind moving averages). Exactness:
+    * values fixed-pointed to integer µ-units before the window sum, so
+    * the ≤4-term reduction is order-independent and engine-exact; the
+    * ordering carries `event_id` as a total tie-break (a timestamp tie
+    * would otherwise make frame CONTENTS nondeterministic — bounded
+    * frames are sensitive to peer order, unlike q19's
+    * unbounded-preceding sum where peers commute). Spark evaluates the
+    * sliding frame incrementally per partition — no buffering beyond
+    * the 4-row frame.
+    */
+  def q75MovingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id").rowsBetween(-3, 0)
+    events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        sum(floor($"value" * 1000000d)).over(w).as("mov_sum_fxp"),
+        count(lit(1)).over(w).cast("long").as("mov_n"))
+      .orderBy($"event_id")
+  }
+
+  val q75Sql: String =
+    """SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+      |  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_fxp,
+      |  COUNT(*) OVER w AS mov_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_keeplast_dedup" -> (q20KeepLastDedup _),
     "q21_gap_detect" -> (q21GapDetect _),
@@ -258,6 +291,7 @@ object EventOps {
     "q25_sink_merge" -> (q25SinkMerge _),
     "q60_range_join" -> (q60RangeJoin _),
     "q61_range_window" -> (q61RangeWindow _),
+    "q75_moving_window" -> (q75MovingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +303,6 @@ object EventOps {
     "q25_sink_merge" -> q25Sql,
     "q60_range_join" -> q60Sql,
     "q61_range_window" -> q61Sql,
+    "q75_moving_window" -> q75Sql,
   )
 }

@@ -358,9 +358,13 @@ object VectorOps {
     * Scale posture: codebook and LUT are O(M·K) — always broadcast; the
     * codes relation is the n×M compact representation (the 32× memory
     * win that makes 100 TB of vectors scannable); encode and score are
-    * each ONE shuffle keyed by vector. The final per-query window ranks
-    * |Q| partitions — for large query sets swap it for the q64
-    * bounded-heap TopK aggregate.
+    * each ONE shuffle keyed by vector. At 100 TB the codebook-training
+    * stages (init assign + centroid update) run on a corpus SAMPLE —
+    * k-means needs thousands of vectors per centroid, not billions —
+    * while encode/score scan everything; here the corpus is small enough
+    * to train on in full. The final per-query window ranks |Q|
+    * partitions — for large query sets swap it for the q64 bounded-heap
+    * TopK aggregate.
     */
   def q74PqAdc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
