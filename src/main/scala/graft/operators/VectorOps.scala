@@ -469,6 +469,99 @@ object VectorOps {
       |  FROM adc)
       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
+  /** IVF probe search — the query-time half of the inverted-file index
+    * (q42 is the build-time assignment; q55 trains the codebook; q74
+    * compresses the lists). Each query routes to its `nprobe`=2 nearest
+    * cells by centroid distance, then exact-scores ONLY those cells'
+    * members (integer-exact L2² in fixed point — a BIGINT end to end, so
+    * the oracle hash-matches bit-for-bit) and keeps the top-5.
+    *
+    * Scale shape: the codebook (cells×d) and per-query probe set
+    * (|Q|·nprobe rows) are always broadcast, so the corpus side stays
+    * partition-parallel; candidates are bounded by nprobe·|cell| — never
+    * the full corpus, never all-pairs. At 100 TB the cell id is the
+    * table's partition column, so the probe join becomes partition
+    * pruning: unprobed inverted lists are never read off disk. Recall is
+    * tunable via nprobe exactly as in FAISS-style IVF ANN.
+    */
+  def q76IvfSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 2
+    val e = embeddings(s, d)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
+    // codebook: per-cell elementwise mean (the label column is this
+    // table's IVF cell id; q55's Lloyd builds one where none exists)
+    val cents = e.groupBy($"label", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("cv"))
+      .select($"label".as("c_label"), $"pos", $"cv")
+    val cn2 = cents.groupBy($"c_label").agg(xsum($"cv" * $"cv").as("cn2"))
+    val qe = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
+    // route: nprobe nearest cells per query; ‖q‖² is constant per query
+    // so argmin needs only −2·q·c + ‖c‖²
+    val probes = qe.join(broadcast(cents), Seq("pos"))
+      .groupBy($"qid", $"c_label")
+      .agg(xsum($"qv" * $"cv").as("dot"))
+      .join(broadcast(cn2), Seq("c_label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy(lit(-2.0) * $"dot" + $"cn2", $"c_label")))
+      .filter($"rk" <= nprobe)
+      .select($"qid", $"c_label")
+    // probe: exact integer L2² over ONLY the probed inverted lists
+    e.join(broadcast(probes), $"label" === $"c_label")
+      .filter($"vec_id" =!= $"qid")
+      .join(broadcast(qe), Seq("qid", "pos"))
+      .groupBy($"qid", $"vec_id", $"label")
+      .agg(sum(floor(($"qv" - $"v") * ($"qv" - $"v") * 1e10).cast("long")).as("l2_fxp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"l2_fxp", $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk".cast("long").as("rk"), $"vec_id",
+        $"label".cast("long").as("cell"), $"l2_fxp")
+      .orderBy($"qid", $"rk")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT label AS c_label, pos,
+      |    CAST(SUM(CAST(FLOOR(v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS cv
+      |  FROM e GROUP BY label, pos
+      |), cn2 AS (
+      |  SELECT c_label, CAST(SUM(CAST(FLOOR(cv * cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS cn2
+      |  FROM cents GROUP BY c_label
+      |), qe AS (
+      |  SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < 5
+      |), probes AS (
+      |  SELECT qid, c_label FROM (
+      |    SELECT d.qid, d.c_label,
+      |      ROW_NUMBER() OVER (PARTITION BY d.qid
+      |                         ORDER BY -2.0 * d.dot + n.cn2, d.c_label) AS rk
+      |    FROM (
+      |      SELECT q.qid, c.c_label,
+      |        CAST(SUM(CAST(FLOOR(q.qv * c.cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |      FROM qe q JOIN cents c ON q.pos = c.pos
+      |      GROUP BY q.qid, c.c_label) d
+      |    JOIN cn2 n ON d.c_label = n.c_label)
+      |  WHERE rk <= 2
+      |), cand AS (
+      |  SELECT p.qid, e.vec_id, e.label,
+      |    CAST(SUM(CAST(FLOOR((q.qv - e.v) * (q.qv - e.v) * 1e10) AS BIGINT)) AS BIGINT) AS l2_fxp
+      |  FROM e JOIN probes p ON e.label = p.c_label AND e.vec_id <> p.qid
+      |  JOIN qe q ON q.qid = p.qid AND q.pos = e.pos
+      |  GROUP BY p.qid, e.vec_id, e.label
+      |)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, CAST(cell AS BIGINT) AS cell, l2_fxp FROM (
+      |  SELECT qid, vec_id, label AS cell, l2_fxp,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2_fxp, vec_id) AS rk
+      |  FROM cand)
+      |WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -477,6 +570,7 @@ object VectorOps {
     "q55_kmeans" -> (q55Kmeans _),
     "q65_quantize" -> (q65Quantize _),
     "q74_pq_adc" -> (q74PqAdc _),
+    "q76_ivf_search" -> (q76IvfSearch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -487,5 +581,6 @@ object VectorOps {
     "q55_kmeans" -> q55Sql,
     "q65_quantize" -> q65Sql,
     "q74_pq_adc" -> q74Sql,
+    "q76_ivf_search" -> q76Sql,
   )
 }
