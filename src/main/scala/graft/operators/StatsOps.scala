@@ -15,10 +15,25 @@ import graft.sources.Tables._
   * quantize inputs by FLOOR into integers, aggregate n, Σx, Σy, Σxy, Σx²,
   * Σy² exactly (DECIMAL(38,0) in Spark, HUGEINT in DuckDB), then compute
   * each statistic with one fixed scalar op chain over single
-  * correctly-rounded integer→double casts. Scales are chosen so every
-  * cleared-denominator co-moment stays below 2^63 at oracle scale —
-  * int64-range casts are bit-identical across engines, avoiding the
-  * double-rounding hazard of wider values.
+  * correctly-rounded integer→double casts.
+  *
+  * Int64 headroom: the cleared-denominator co-moments n·Σxy − Σx·Σy grow
+  * as n²·var — past int64 around 10⁵ rows/group (sf0.1) — so each is
+  * reduced by an EXACT floor-division by n before the int64 cast:
+  * floordiv(a,n) = (a − pmod(a,n)) div n, where pmod/div are identical
+  * integer ops in Spark (decimal `%`, `div`) and DuckDB (hugeint `%`,
+  * `//`; the subtraction makes the numerator exactly divisible, so any
+  * trunc-vs-floor convention difference is moot). The reduced co-moments
+  * grow as n·var: with x = qty in cents (var≈2·10⁶) and y = price in
+  * hundreds (var≈10⁵), they stay under 2⁶³ to n ≈ 10¹² rows per group —
+  * past 100 TB. The 1/n flooring perturbs each statistic by ≤1/reduced
+  * value (relative ~10⁻¹⁰), identically in both engines.
+  *
+  * Quantization note: y = floor(price/100) means the price-side moments
+  * are over prices rounded down to hundreds; uniform quantization noise
+  * adds ~100²/12 to var(y·100) ≈ 10⁹ — relative bias ~10⁻⁶ on stddev,
+  * zero on determinism. (Finer y at unit precision would overflow the
+  * reduced vary around n≈10¹⁰, inside the 100 TB envelope.)
   *
   * Scale shape: ONE partial+final aggregation over the fact table (the
   * six sums are mergeable, so map-side combine applies); the per-group
@@ -28,35 +43,45 @@ import graft.sources.Tables._
 object StatsOps {
 
   /** corr / covar_pop / regr_slope / regr_intercept / stddev_pop of
-    * (l_quantity, l_extendedprice) per return flag. x = quantity at
-    * cent precision (×100), y = extendedprice at unit precision — the
-    * asymmetric scales keep n·Σy² − (Σy)² within int64 at sf0.01.
+    * (l_quantity, price-in-hundreds) per return flag. x = quantity at
+    * cent precision (×100), y = extendedprice at hundreds (÷100); the
+    * derived stats are reported in (qty, price) units via fixed scale
+    * factors (qx = x/100, qy = 100·y).
     */
   def q77CorrStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = lineitem(s, d).select($"l_returnflag",
       floor($"l_quantity" * 100).cast("decimal(38,0)").as("x"),
-      floor($"l_extendedprice").cast("decimal(38,0)").as("y"))
+      floor($"l_extendedprice" / 100).cast("decimal(38,0)").as("y"))
     val st = e.groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"),
         sum($"x" * $"x").as("sxx"),
         sum($"y" * $"y").as("syy"))
-    val covnum = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-    val varx = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
-    val vary = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+      .withColumn("covnum", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("varxnum", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("varynum", $"n" * $"syy" - $"sy" * $"sy")
+      // exact floor-division by n → int64-safe reduced co-moments (long)
+      .withColumn("cr", expr("(covnum - ((covnum % n + n) % n)) div n"))
+      .withColumn("vxr", expr("(varxnum - ((varxnum % n + n) % n)) div n"))
+      .withColumn("vyr", expr("(varynum - ((varynum % n + n) % n)) div n"))
+    val crD = $"cr".cast("double")
+    val vxrD = $"vxr".cast("double")
+    val vyrD = $"vyr".cast("double")
     val nD = $"n".cast("double")
     st.select(
       $"l_returnflag",
       $"n".cast("long").as("n"),
-      ($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("cov_num_fxp"),
-      (covnum / sqrt(varx * vary)).as("corr_qty_price"),
-      (covnum / (nD * nD) / 100.0).as("covar_pop"),
-      (covnum / varx * 100.0).as("regr_slope"),
-      (($"sy".cast("double") - covnum / varx * $"sx".cast("double")) / nD)
+      $"cr".as("cov_num_red"),
+      // scale factors: cov(qx,qy) = covnum/n² (cents × hundreds cancel)
+      (crD / sqrt(vxrD * vyrD)).as("corr_qty_price"),
+      (crD / nD).as("covar_pop"),
+      (crD * 10000.0 / vxrD).as("regr_slope"),
+      (($"sy".cast("double") * 100.0
+        - crD * 10000.0 / vxrD * ($"sx".cast("double") / 100.0)) / nD)
         .as("regr_intercept"),
-      (sqrt(vary) / nD).as("stddev_pop_price"))
+      (sqrt(vyrD / nD) * 100.0).as("stddev_pop_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -64,39 +89,41 @@ object StatsOps {
     """WITH e AS (
       |  SELECT l_returnflag,
       |    CAST(FLOOR(l_quantity * 100) AS HUGEINT) AS x,
-      |    CAST(FLOOR(l_extendedprice) AS HUGEINT) AS y
+      |    CAST(FLOOR(l_extendedprice / 100) AS HUGEINT) AS y
       |  FROM lineitem
       |), st AS (
       |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
       |    SUM(x) AS sx, SUM(y) AS sy,
       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
       |  FROM e GROUP BY l_returnflag
-      |), d AS (
-      |  -- every co-moment fits int64 by scale choice; routing the DOUBLE
-      |  -- casts through BIGINT makes them single hardware-rounded
-      |  -- conversions (a direct HUGEINT->DOUBLE cast double-rounds
-      |  -- negative values, diverging from Spark's decimal->double)
-      |  SELECT l_returnflag, n,
-      |    CAST(n * sxy - sx * sy AS BIGINT) AS covnum,
-      |    CAST(n * sxx - sx * sx AS BIGINT) AS varxnum,
-      |    CAST(n * syy - sy * sy AS BIGINT) AS varynum,
-      |    CAST(sx AS BIGINT) AS sxb, CAST(sy AS BIGINT) AS syb
+      |), cm AS (
+      |  SELECT *, n * sxy - sx * sy AS covnum,
+      |    n * sxx - sx * sx AS varxnum,
+      |    n * syy - sy * sy AS varynum
       |  FROM st
+      |), d AS (
+      |  -- exact floor-division by n: subtracting pmod makes the numerator
+      |  -- exactly divisible, so // is exact and the BIGINT cast is safe
+      |  -- (reduced co-moments grow as n*var, not n^2*var)
+      |  SELECT l_returnflag, n,
+      |    CAST((covnum - ((covnum % n + n) % n)) // n AS BIGINT) AS cr,
+      |    CAST((varxnum - ((varxnum % n + n) % n)) // n AS BIGINT) AS vxr,
+      |    CAST((varynum - ((varynum % n + n) % n)) // n AS BIGINT) AS vyr,
+      |    CAST(sx AS BIGINT) AS sxb, CAST(sy AS BIGINT) AS syb
+      |  FROM cm
       |)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-      |  covnum AS cov_num_fxp,
-      |  CAST(covnum AS DOUBLE)
-      |    / SQRT(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))
+      |  cr AS cov_num_red,
+      |  CAST(cr AS DOUBLE)
+      |    / SQRT(CAST(vxr AS DOUBLE) * CAST(vyr AS DOUBLE))
       |    AS corr_qty_price,
-      |  CAST(covnum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0
-      |    AS covar_pop,
-      |  CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) * 100.0
-      |    AS regr_slope,
-      |  (CAST(syb AS DOUBLE)
-      |     - CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)
-      |       * CAST(sxb AS DOUBLE)) / CAST(n AS DOUBLE)
+      |  CAST(cr AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
+      |  CAST(cr AS DOUBLE) * 10000.0 / CAST(vxr AS DOUBLE) AS regr_slope,
+      |  (CAST(syb AS DOUBLE) * 100.0
+      |     - CAST(cr AS DOUBLE) * 10000.0 / CAST(vxr AS DOUBLE)
+      |       * (CAST(sxb AS DOUBLE) / 100.0)) / CAST(n AS DOUBLE)
       |    AS regr_intercept,
-      |  SQRT(CAST(varynum AS DOUBLE)) / CAST(n AS DOUBLE)
+      |  SQRT(CAST(vyr AS DOUBLE) / CAST(n AS DOUBLE)) * 100.0
       |    AS stddev_pop_price
       |FROM d ORDER BY l_returnflag""".stripMargin
 
