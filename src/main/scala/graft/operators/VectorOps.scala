@@ -165,9 +165,32 @@ object VectorOps {
     * survivor set on this synthetic corpus (no planted near-identical
     * vectors; max within-cell cosine ≈ 0.47).
     */
-  def q54EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = embeddings(s, d)
+  def q54EmbeddingDedup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDup(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      threshold = 0.35, maxCell = 1000)
+
+  /** Cell-blocked near-dup over (vec_id, cell-label, embedding).
+    *
+    * `maxCell` is the structural hot-cell guard the text tiers already
+    * carry (`collect_capped`/`maxBucket`): cells with more than `maxCell`
+    * members are EXCLUDED from the exact-verify pair join, so the
+    * candidate space is bounded by |cells|·maxCell² no matter how
+    * degenerate one cell gets — without it a single hot cell makes the
+    * verify quadratic. A cell over the cap means the blocking codebook
+    * is undersized for the corpus (re-train with larger k / re-cluster
+    * the hot cell), which is the correct response at 100 TB — not
+    * burning |cell|² dot products. The cap is mirrored in the oracle
+    * SQL, and at the shipped data scales (max cell 218 at sf0.1) it
+    * never triggers, so results are unchanged.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val okCells = emb.groupBy($"label")
+      .agg(count(lit(1)).as("cell_n"))
+      .filter($"cell_n" <= maxCell)
+      .select($"label")
+    val e = emb.join(broadcast(okCells), Seq("label"))
       .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
       .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
     val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
@@ -181,15 +204,20 @@ object VectorOps {
       .join(norms.select($"vec_id".as("vec_a"), $"n2".as("na")), Seq("vec_a"))
       .join(norms.select($"vec_id".as("vec_b"), $"n2".as("nb")), Seq("vec_b"))
       .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
-      .filter($"cos" >= 0.35)
+      .filter($"cos" >= threshold)
       .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
 
   val q54Sql: String =
-    """WITH e AS (
+    """WITH ok AS (
+      |  -- hot-cell guard mirror: cells over 1000 members are excluded
+      |  -- from the exact-verify tier (never triggers at shipped sf)
+      |  SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 1000
+      |), e AS (
       |  SELECT vec_id, label, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
       |  FROM embeddings
+      |  WHERE label IN (SELECT label FROM ok)
       |), norms AS (
       |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2 FROM e GROUP BY vec_id
       |), dots AS (

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Hot-cell guard for the embedding near-dup tier: a degenerate cell
+  * (more members than `maxCell`) must be excluded from the exact-verify
+  * pair join — the candidate space stays bounded by |cells|·maxCell²
+  * instead of going quadratic on the hot cell — while normal cells
+  * still verify exactly.
+  */
+class VectorDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(8)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+
+  test("planted degenerate cell is excluded; small cells still pair") {
+    // cell 0: 60 members (over cap 10), containing an identical pair
+    val hot = (0 until 60).map(i => (i.toLong, 0L,
+      if (i == 1) vec(0) else vec(i)))
+    // cell 1: 4 members, two of them identical (cos = 1.0)
+    val cold = Seq(
+      (100L, 1L, vec(100)), (101L, 1L, vec(100)),
+      (102L, 1L, vec(7)), (103L, 1L, vec(55)))
+    val emb = (hot ++ cold).toDF("vec_id", "label", "embedding")
+
+    val out = VectorOps.embeddingNearDup(emb, threshold = 0.99, maxCell = 10)
+      .collect()
+    // the identical pair inside the hot cell must NOT surface
+    assert(!out.exists(_.getAs[Long]("cell") == 0L),
+      s"hot cell leaked through the cap: ${out.mkString(",")}")
+    // the identical pair in the small cell must surface
+    assert(out.exists(r => r.getAs[Long]("vec_a") == 100L &&
+      r.getAs[Long]("vec_b") == 101L && r.getAs[Double]("cos") > 0.999))
+  }
+
+  test("cap above all cell sizes is a no-op (oracle-identical at shipped sf)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+    val capped = VectorOps.embeddingNearDup(emb, 0.35, maxCell = 1000)
+      .collect().map(_.toString).toSet
+    val uncapped = VectorOps.embeddingNearDup(emb, 0.35, maxCell = Int.MaxValue)
+      .collect().map(_.toString).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+}
