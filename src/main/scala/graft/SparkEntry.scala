@@ -30,5 +30,6 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ SeqOps.oracles ++ CorpusOps.oracles ++
       StatsOps.oracles ++
-      Map("q50_blob_meta" -> Multimodal.q50Sql)
+      Map("q50_blob_meta" -> Multimodal.q50Sql,
+        "q51_image_pipeline" -> Multimodal.q51Sql)
 }

@@ -112,19 +112,28 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(rPayType).as("__rpay"))
       .withColumn("__b", bucket(col("__t")))
+    // The explicit repartition is the deliberate materialization point:
+    // ONE event-sized exchange on (key, bucket) that both the bucket-
+    // summary aggregation and the join+window below consume via
+    // ReuseExchange — without it each branch re-derives the union from
+    // scratch (round 4 shipped 5 source scans here; this is 2, one per
+    // side, and the exchange itself is paid once).
     val unioned = rSide.unionByName(lSide)
+      .repartition(col("__k"), col("__b"))
 
-    // carry-in: latest right payload strictly before each bucket. The
-    // domain is every (key, bucket) seen on EITHER side (a left row's
-    // bucket may contain no right rows at all), so the prefix scan can
-    // hand it the newest payload from whatever earlier bucket had one.
-    val lastPerBucket = rSide.groupBy(col("__k"), col("__b"))
-      .agg(max_by(col("__rpay"), struct(col("__t"), col("__tb"))).as("__last"))
-    val domain = unioned.select(col("__k"), col("__b")).distinct()
+    // carry-in: latest right payload strictly before each bucket. One
+    // groupBy over the shared exchange fuses the (key, bucket) domain
+    // (every bucket seen on EITHER side — a left row's bucket may hold
+    // no right rows) with the per-bucket newest right payload: max_by
+    // skips null ordering keys, so left rows contribute the domain row
+    // but never the payload. The prefix scan then runs over the SMALL
+    // (key, bucket) relation — one row per bucket, not per event.
     val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = domain
-      .join(lastPerBucket, Seq("__k", "__b"), "left")
+    val isR = col("__side") === 0
+    val carry = unioned.groupBy(col("__k"), col("__b"))
+      .agg(max_by(when(isR, col("__rpay")),
+        when(isR, struct(col("__t"), col("__tb")))).as("__last"))
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
       .select(col("__k"), col("__b"), col("__carry"))
 

@@ -6,11 +6,13 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata (builder prompt). The decode step is a
-  * clearly-marked deterministic fake — the image/audio codecs aren't in
-  * this container — but everything Spark-side is real: schema, batched
-  * per-partition processing, partitioning behavior, and the metadata
-  * contract a real decoder would fill.
+  * columns with typed metadata (builder prompt). Header decoding is REAL
+  * ([[decodeImageHeader]]: PNG IHDR / JPEG SOFn / GIF descriptor, pure
+  * JVM byte inspection — dimensions never need a codec library); pixel
+  * DATA decoding would, and the container has none, so payloads are
+  * synthesized header-valid ([[syntheticPng]]/[[syntheticJpeg]]). All
+  * Spark-side plumbing is real: schema, batched per-partition
+  * processing, partitioning behavior, and the metadata contract.
   *
   * Testdata has no binary column, so `documents.text` is encoded to bytes
   * to stand in for a blob payload (UTF-8 — same bytes DuckDB's ENCODE
@@ -25,15 +27,95 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder — deterministic fake standing in for e.g. libjpeg.
-    * Derives pseudo-dimensions from the byte length so tests are stable.
-    * A real implementation would parse the codec header here; the Spark
-    * contract (bytes in, struct out, executed per partition batch) is
-    * unchanged by the stub.
+  /** REAL header decode for PNG / JPEG / GIF — pure JVM byte inspection,
+    * no codec dependency: image dimensions live at fixed offsets (PNG
+    * IHDR, GIF logical screen descriptor) or marker-addressed ones (the
+    * first JPEG SOFn segment). Pixel DATA decoding would need a codec
+    * library (absent in this container) — but width/height/channels/
+    * format, the metadata a curation pipeline filters on, never do.
+    * Returns null for unrecognized or truncated payloads.
     */
-  def fakeDecodeImage(bytes: Array[Byte]): Row = {
-    val n = if (bytes == null) 0 else bytes.length
-    Row(64 + n % 512, 64 + (n * 7) % 512, 3, "fake/rgb8")
+  def decodeImageHeader(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 10) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    // PNG: 8-byte signature; IHDR chunk data starts at 16
+    // (bytes 8..11 chunk length, 12..15 "IHDR", 16..19 w, 20..23 h,
+    //  24 bit depth, 25 color type)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      val channels = u8(25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return null
+      }
+      return Row(be32(16), be32(20), channels, "png")
+    }
+    // GIF87a/GIF89a: little-endian dims at 6/8
+    if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+      return Row(le16(6), le16(8), 3, "gif")
+    // JPEG: SOI then marker segments; dims live in the first SOFn
+    // (0xC0..0xCF except the non-frame C4/C8/CC): after the marker,
+    // [len(2) precision(1) height(2) width(2) n_components(1)]
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 1 < bytes.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+        else {
+          if (i + 3 >= bytes.length) return null
+          val len = be16(i + 2)
+          if (len < 2) return null
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 9 >= bytes.length) return null
+            return Row(be16(i + 7), be16(i + 5), u8(i + 9), "jpeg")
+          }
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    null
+  }
+
+  /** Minimal valid PNG header payload (signature + IHDR, truecolor,
+    * CRC omitted — header-only synthesis for the sandbox's imageless
+    * container; [[decodeImageHeader]] reads fixed offsets and no codec
+    * checks CRCs to learn dimensions). 29 bytes.
+    */
+  def syntheticPng(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(29) // big-endian by default
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte)  // bit depth
+    b.put(2.toByte)  // color type 2 = truecolor -> 3 channels
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  /** Minimal valid JPEG header payload (SOI, APP0/JFIF, SOF0 with 3
+    * components, EOI). 41 bytes.
+    */
+  def syntheticJpeg(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(41)
+    b.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    b.put(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte)) // APP0 len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(Array(0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00).map(_.toByte))
+    b.put(Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)) // SOF0 len 17, prec 8
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte) // components
+    b.put(Array(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte))
+    b.put(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    b.array()
   }
 
   /** Decoded metadata via a per-partition batch pass (`mapPartitions` —
@@ -55,7 +137,7 @@ object Multimodal {
       // per-partition setup (a real decoder would init its codec here)
       it.map { row =>
         val bytes = row.get(1).asInstanceOf[Array[Byte]]
-        Row.fromSeq(row.toSeq :+ fakeDecodeImage(bytes))
+        Row.fromSeq(row.toSeq :+ decodeImageHeader(bytes))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -108,19 +190,52 @@ object Multimodal {
       |  HEX(ENCODE(SUBSTRING(text, 1, 8))) AS head_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Spark-only driver query exercising the stubbed decode path
-    * end-to-end (rows-only check): decode metadata + byte sampling over
-    * the blob column.
+  /** Image pipeline, now oracle-checked end-to-end: each doc gets a
+    * REAL (header-valid) PNG or JPEG payload whose dimensions derive
+    * from SQL-expressible doc attributes, and [[decodeImageHeader]]
+    * parses them back. The synthesis seam stands in for reading image
+    * files (none exist in this container); the decode is the real
+    * parser, and DuckDB predicts its output independently — so the
+    * oracle verifies the whole synthesize→decode round trip. Only
+    * (doc_id, w, h) cross the encoder boundary.
     */
   def q51ImagePipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val withBlob = documents(s, d).withColumn("blob", $"text".cast("binary"))
-    imageMeta(withBlob, "doc_id", "blob")
+    val dims = documents(s, d).select($"doc_id",
+      (lit(1) + $"n_chars" % 1024).cast("int").as("w"),
+      (lit(1) + ($"doc_id" * 7) % 1024).cast("int").as("h"))
+    val blobSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("blob", BinaryType)))
+    val blobs = dims.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (id % 2 == 0) syntheticPng(r.getInt(1), r.getInt(2))
+          else syntheticJpeg(r.getInt(1), r.getInt(2))
+        Row(id, bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(blobSchema))
+    imageMeta(blobs, "doc_id", "blob")
       .select($"doc_id",
         $"image_meta.width".cast("long").as("width"),
         $"image_meta.height".cast("long").as("height"),
+        $"image_meta.channels".cast("long").as("channels"),
         $"image_meta.format".as("format"),
         size(sampleBytes($"blob", 16)).cast("long").as("n_sampled"))
       .orderBy($"doc_id")
   }
+
+  // The oracle recomputes what a correct header decode MUST return:
+  // width/height from the same doc attributes, format/channels from the
+  // doc_id parity routing, n_sampled = ceil(payload_len / 16) with the
+  // fixed synthetic payload sizes (PNG 29 B, JPEG 41 B).
+  val q51Sql: String =
+    """SELECT doc_id,
+      |  1 + n_chars % 1024 AS width,
+      |  1 + (doc_id * 7) % 1024 AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

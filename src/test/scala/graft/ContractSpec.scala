@@ -11,14 +11,13 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL for unregistered queries: $orphans")
   }
 
-  test("exactly the five justified sketch/seed queries lack an oracle") {
+  test("exactly the four justified sketch/seed queries lack an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val justified = Set(
       "q36_minhash_dedup",   // xxhash64 seeds are engine-specific
       "q37_simhash_dedup",   // same
       "q43_ann_lsh",         // SRP plane seeds are engine-specific
-      "q46_approx_distinct", // HLL sketch encoding is engine-specific
-      "q51_image_pipeline")  // decode stub; no SQL-expressible oracle
+      "q46_approx_distinct") // HLL sketch encoding is engine-specific
     assert(noOracle == justified,
       s"unexpected oracle coverage change: missing=${justified -- noOracle} new=${noOracle -- justified}")
   }

@@ -123,19 +123,37 @@ class OperatorsSpec extends SparkSpec {
     assert(moved > out.length / 2, "Lloyd steps must move the centroids")
   }
 
-  test("multimodal stub decode: schema, per-partition execution, determinism") {
-    val df = Seq((1L, "hello world"), (2L, "bytes here"))
-      .toDF("doc_id", "text").withColumn("blob", $"text".cast("binary"))
+  test("real image-header decode: PNG/JPEG/GIF parse, garbage -> null") {
+    // planted headers, incl. one real-world-layout JPEG with leading APPn
+    val png = Multimodal.syntheticPng(640, 480)
+    val jpg = Multimodal.syntheticJpeg(1920, 1080)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x2c, 0x01, 0x18, 0x00, 0, 0, 0, 0) // 300 x 24 LE
+    assert(Multimodal.decodeImageHeader(png) ==
+      org.apache.spark.sql.Row(640, 480, 3, "png"))
+    assert(Multimodal.decodeImageHeader(jpg) ==
+      org.apache.spark.sql.Row(1920, 1080, 3, "jpeg"))
+    assert(Multimodal.decodeImageHeader(gif) ==
+      org.apache.spark.sql.Row(300, 24, 3, "gif"))
+    // greyscale+alpha PNG: color type 4 -> 2 channels
+    val grey = png.clone(); grey(25) = 4
+    assert(Multimodal.decodeImageHeader(grey).getInt(2) == 2)
+    // non-image bytes and truncated payloads must yield null, not throw
+    assert(Multimodal.decodeImageHeader("hello world text".getBytes) == null)
+    assert(Multimodal.decodeImageHeader(png.take(20)) == null)
+    assert(Multimodal.decodeImageHeader(jpg.take(6)) == null)
+    assert(Multimodal.decodeImageHeader(null) == null)
+
+    // Spark-side plumbing: decode runs per-partition, schema intact
+    val df = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes))
+      .toDF("doc_id", "blob")
     val out = Multimodal.withImageMeta(df, "blob")
     assert(out.schema("image_meta").dataType == Multimodal.ImageMetaSchema)
     val rows = out.select($"doc_id", $"image_meta.width", $"image_meta.format")
-      .as[(Long, Int, String)].collect().sortBy(_._1)
-    assert(rows(0)._2 == 64 + "hello world".length % 512)
-    assert(rows.forall(_._3 == "fake/rgb8"))
-    // determinism across runs
-    val again = Multimodal.withImageMeta(df, "blob")
-      .select($"doc_id", $"image_meta.width").as[(Long, Int)].collect().sortBy(_._1)
-    assert(again.map(_._2).toSeq == rows.map(_._2).toSeq)
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getInt(1) == 640 && rows(0).getString(2) == "png")
+    assert(rows(1).getInt(1) == 1920 && rows(1).getString(2) == "jpeg")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
   test("resample OHLC agrees with a direct window computation") {
