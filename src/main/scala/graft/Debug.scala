@@ -18,6 +18,15 @@ object Debug {
       df.collect()
       df.explain("formatted")
     }
+    // warm repeats ("timesN" arg): per-pass wall times after warmup —
+    // the steady-state number Bench's min-of-K reports
+    args.find(_.startsWith("times")).map(_.drop(5).toInt).foreach { k =>
+      for (i <- 1 to k) {
+        val w0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[debug] $name pass $i: ${(System.nanoTime() - w0) / 1e9}%.2fs")
+      }
+    }
     val t0 = System.nanoTime()
     // same execution shape as Bench: noop write runs the full plan
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()

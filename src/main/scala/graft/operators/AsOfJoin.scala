@@ -112,22 +112,62 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(rPayType).as("__rpay"))
       .withColumn("__b", bucket(col("__t")))
-    // The explicit repartition is the deliberate materialization point:
-    // ONE event-sized exchange on (key, bucket) that both the bucket-
-    // summary aggregation and the join+window below consume via
-    // ReuseExchange — without it each branch re-derives the union from
-    // scratch (round 4 shipped 5 source scans here; this is 2, one per
-    // side, and the exchange itself is paid once).
-    val unioned = rSide.unionByName(lSide)
-      .repartition(col("__k"), col("__b"))
+    bucketedTail(rSide.unionByName(lSide), leftCols, payload)
+  }
+
+  /** Self as-of join — both sides carved from ONE relation by a side
+    * predicate (the common "align event type A to the latest prior
+    * event type B by the same key" case, where left and right are
+    * filters of the same table). Identical semantics to [[joinBucketed]]
+    * with `left = src.filter(isLeft)` / `right = src.filter(!isLeft)`,
+    * but the tagged relation is built in a single scan projection —
+    * no two-branch union re-reading the source, and rows carry no
+    * duplicate side copies.
+    */
+  def joinBucketedSelf(src: DataFrame, isLeft: Column,
+                       key: String, time: String,
+                       leftCols: Seq[String], payload: Seq[String],
+                       tieBreak: String, widthSeconds: Long): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    val lRowType: StructType = src.select(leftCols.map(col): _*).schema
+    val rPayType: StructType = src.select(payload.map(col): _*).schema
+    val tagged = src.select(
+      col(key).as("__k"), col(time).as("__t"),
+      when(isLeft, 1).otherwise(0).as("__side"),
+      when(!isLeft, col(tieBreak).cast("long")).as("__tb"),
+      when(isLeft, struct(leftCols.map(col): _*))
+        .otherwise(lit(null).cast(lRowType)).as("__lrow"),
+      when(!isLeft, struct(payload.map(col): _*))
+        .otherwise(lit(null).cast(rPayType)).as("__rpay"))
+      .withColumn("__b", floor(col("__t").cast("long") / widthSeconds).cast("long"))
+    bucketedTail(tagged, leftCols, payload)
+  }
+
+  private def bucketedTail(unioned: DataFrame,
+                           leftCols: Seq[String], payload: Seq[String]): DataFrame = {
+    // Shuffle budget: exactly ONE event-sized exchange — the (key,
+    // bucket) partitioning for the in-bucket window. The carry side
+    // aggregates BEFORE its exchange (partial max_by map-side), so only
+    // |keys × buckets| summary rows ever move for it, and the carry
+    // relation joins back by BROADCAST onto the already-partitioned
+    // window output — no second event-sized exchange, no event-sized
+    // branch recompute. (An explicit shared repartition was tried and
+    // is worse: column pruning diverges the branch schemas so
+    // ReuseExchange can't unify them, and pre-exchange repartition
+    // forfeits the partial aggregation.)
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = unioned
+      .withColumn("__inb", last(col("__rpay"), ignoreNulls = true).over(w))
 
     // carry-in: latest right payload strictly before each bucket. One
-    // groupBy over the shared exchange fuses the (key, bucket) domain
-    // (every bucket seen on EITHER side — a left row's bucket may hold
-    // no right rows) with the per-bucket newest right payload: max_by
-    // skips null ordering keys, so left rows contribute the domain row
-    // but never the payload. The prefix scan then runs over the SMALL
-    // (key, bucket) relation — one row per bucket, not per event.
+    // groupBy fuses the (key, bucket) domain (every bucket seen on
+    // EITHER side — a left row's bucket may hold no right rows) with
+    // the per-bucket newest right payload: max_by skips null ordering
+    // keys, so left rows contribute the domain row but never the
+    // payload. The prefix scan runs over the SMALL (key, bucket)
+    // relation — one row per bucket, not per event.
     val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val isR = col("__side") === 0
@@ -137,18 +177,15 @@ object AsOfJoin {
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
       .select(col("__k"), col("__b"), col("__carry"))
 
-    val w = Window.partitionBy(col("__k"), col("__b"))
-      .orderBy(col("__t"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    // join on (key, bucket) and window on (key, bucket): one shuffle
-    // satisfies both — the in-bucket winner (always newer than any
-    // carry) falls back to the carry only when the bucket has no
-    // earlier right row.
-    val joined = unioned
+    // the in-bucket winner (always newer than any carry) falls back to
+    // the carry only when the bucket has no earlier right row. No
+    // broadcast hint: AQE converts to broadcast at runtime while the
+    // carry is small; at a scale where |keys × buckets| outgrows the
+    // driver, SMJ aligns with the window's (k, b) partitioning and
+    // costs a sort, not an exchange, on the event side.
+    val joined = inBucket
       .join(carry, Seq("__k", "__b"), "left")
-      .withColumn("__asof",
-        coalesce(last(col("__rpay"), ignoreNulls = true).over(w), col("__carry")))
+      .withColumn("__asof", coalesce(col("__inb"), col("__carry")))
       .filter(col("__side") === 1)
 
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++

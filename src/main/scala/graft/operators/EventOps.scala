@@ -91,16 +91,19 @@ object EventOps {
     */
   def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = events(s, d)
-    val purchases = e.filter($"event_type" === "purchase")
-      .select($"event_id", $"user_id", $"ts", $"value")
-    val clicks = e.filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_event_id"), $"value".as("c_value"))
+    // both sides are filters of the same events table → the single-scan
+    // self variant: one projection tags each row purchase/click, no
+    // two-branch union re-reading the source.
     // day buckets: events span ~30 days, so the union sort runs over
     // users × days partitions instead of users alone (and stays correct
     // however few distinct keys the corpus has — see AsOfJoin.joinBucketed)
-    AsOfJoin.joinBucketed(purchases, clicks,
-        keyL = "user_id", keyR = "c_user", timeL = "ts", timeR = "c_ts",
+    val e = events(s, d)
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"event_type",
+        $"event_id".as("c_event_id"), $"value".as("c_value"))
+    AsOfJoin.joinBucketedSelf(e, isLeft = $"event_type" === "purchase",
+        key = "user_id", time = "ts",
+        leftCols = Seq("event_id", "user_id", "ts", "value"),
         payload = Seq("c_event_id", "c_value"), tieBreak = "c_event_id",
         widthSeconds = 86400L)
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value",

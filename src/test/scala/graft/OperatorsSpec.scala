@@ -58,6 +58,21 @@ class OperatorsSpec extends SparkSpec {
       .select($"l_id", $"asof_r_id").as[(Long, Option[Long])]
       .collect().toMap
     assert(bucketed == naive)
+
+    // single-scan self variant: same rows carved from one table by a
+    // side predicate must reproduce the two-table result exactly
+    val src = left.withColumn("side", lit("L"))
+      .select($"l_id", $"k", $"t", $"side",
+        lit(null).cast("long").as("r_id"), lit(null).cast("double").as("payload"))
+      .unionByName(right.select(
+        lit(null).cast("long").as("l_id"), $"rk".as("k"), $"rt".as("t"),
+        lit("R").as("side"), $"r_id", $"payload"))
+    val self = AsOfJoin.joinBucketedSelf(src, isLeft = $"side" === "L",
+        key = "k", time = "t", leftCols = Seq("l_id", "k", "t"),
+        payload = Seq("r_id", "payload"), tieBreak = "r_id", widthSeconds = 700L)
+      .select($"l_id", $"asof_r_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(self == naive)
   }
 
   test("shingles produce w-grams; short docs yield empty") {
