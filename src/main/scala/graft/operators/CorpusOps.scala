@@ -117,6 +117,16 @@ object CorpusOps {
     */
   def q73TextScrub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    scrubbed(documents(s, d))
+      .select($"doc_id", $"n_tokens", $"n_kept", $"n_collapsed", $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  /** q73's scrub columns as a reusable stage (q78 composes it): adds
+    * n_tokens / n_kept / n_collapsed / clean_text to `docs`; pure map.
+    */
+  def scrubbed(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toks: Column = TextOps.tokens($"text")
     val kept = filter(toks, t => !(t === "a" || t === "the"))
     val prevPad = concat(array(lit(null).cast("string")), kept)
@@ -124,12 +134,11 @@ object CorpusOps {
       zip_with(kept, prevPad,
         (cur, prev) => when(cur.isNotNull && (prev.isNull || cur =!= prev), cur)),
       x => x.isNotNull)
-    documents(s, d).select($"doc_id",
-      size(toks).cast("long").as("n_tokens"),
-      size(kept).cast("long").as("n_kept"),
-      size(collapsed).cast("long").as("n_collapsed"),
-      concat_ws(" ", collapsed).as("clean_text"))
-      .orderBy($"doc_id")
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("n_collapsed", size(collapsed).cast("long"))
+      .withColumn("clean_text", concat_ws(" ", collapsed))
   }
 
   val q73Sql: String =

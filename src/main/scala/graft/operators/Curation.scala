@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** End-to-end corpus-curation flagship: the full LLM training-data
+  * pipeline told in ONE composed plan —
+  *
+  *   quality filter (q31's scoring) →
+  *   near-dup drop  (q56's winnow edges → q59's connected components,
+  *                   keep each cluster's min doc_id) →
+  *   C4-style scrub (q73's stopword drop + run collapse) →
+  *   stratified sample (q58's deterministic per-mille bucketing)
+  *
+  * — exactly how the standalone queries would chain in production, and
+  * every stage is oracle-expressible, so the whole composition is one
+  * hash-checked DuckDB row (the recursive-CTE transitive closure
+  * mirrors the label propagation).
+  *
+  * Scale shape is inherited from the constituent tiers: scoring and
+  * scrubbing are pure maps; the near-dup stage is the df-capped
+  * winnowing pipeline over the SURVIVOR set (the filter runs first for
+  * exactly the reason a production pipeline orders it first — dedup
+  * work scales with what survives); cluster labels are survivor-sized
+  * and broadcast back; sampling is a broadcast dim join. `documents`
+  * is scanned twice — once projecting (doc_id, text) for fingerprints,
+  * once full-width for the output mainline — which beats sharing one
+  * exchange of full-width rows (column pruning would be forfeited;
+  * same trade as AsOfJoin.bucketedTail documents).
+  */
+object Curation {
+
+  def q78CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val surv = TextOps.qualityScored(docs).filter($"quality" >= 0.25)
+    val edges = TextOps.winnowNearDupPairs(surv.select($"doc_id", $"text"))
+      .select($"doc_a", $"doc_b")
+    val comp = ConnectedComponents.labels(s, edges, "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"component")
+    val kept = surv.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"component", $"doc_id"))
+      .filter($"cluster_id" === $"doc_id")
+    val rates = Seq(("en", 200L), ("zh", 500L), ("es", 500L), ("de", 800L), ("fr", 800L))
+      .toDF("lang", "rate_pm")
+    CorpusOps.scrubbed(kept)
+      .withColumn("bucket", expr("((doc_id % 1000003) * 2654435761) % 1000"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter($"bucket" < $"rate_pm")
+      .select($"doc_id", $"lang", $"quality", $"cluster_id", $"n_collapsed",
+        $"clean_text", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** The composed oracle: q31's scoring CTE → q56's winnow-pair CTEs
+    * restricted to survivors → q59's recursive closure → q73's scrub
+    * lists → q58's bucketing, in one statement.
+    */
+  val q78Sql: String =
+    """WITH RECURSIVE surv AS (
+      |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.quality
+      |  FROM documents d JOIN (
+      |    SELECT doc_id,
+      |      CASE WHEN n_toks < 5 THEN 0.0
+      |           ELSE LEAST(1.0, n_toks / 100.0) * (1.0 - digit_ratio) * LEAST(1.0, (stop_hits / n_toks) * 5.0) END AS quality
+      |    FROM (
+      |      SELECT doc_id,
+      |        LEN(toks) AS n_toks,
+      |        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) AS stop_hits,
+      |        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+      |      FROM (SELECT doc_id, text, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks FROM documents))) s
+      |  ON d.doc_id = s.doc_id
+      |  WHERE s.quality >= 0.25 AND d.doc_id IS NOT NULL
+      |), docs AS (
+      |  SELECT doc_id, TRIM(LOWER(text)) AS t FROM surv
+      |), ch0 AS (
+      |  SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) + 1)) AS i FROM docs
+      |), ch AS (
+      |  SELECT doc_id, i, CAST(ORD(SUBSTRING(t, i, 1)) AS BIGINT) AS c FROM ch0
+      |), grams AS (
+      |  SELECT doc_id, i AS p,
+      |    c*27512614111 + LEAD(c,1) OVER w * 887503681 + LEAD(c,2) OVER w * 28629151
+      |    + LEAD(c,3) OVER w * 923521 + LEAD(c,4) OVER w * 29791
+      |    + LEAD(c,5) OVER w * 961 + LEAD(c,6) OVER w * 31 + LEAD(c,7) OVER w AS gh
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY LEAD(c,7) OVER w IS NOT NULL
+      |), sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    MIN(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams
+      |  QUALIFY COUNT(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) = 4
+      |), nfp AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sel GROUP BY 1
+      |), buckets AS (
+      |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+      |), fpx AS (
+      |  SELECT s.doc_id, s.fp FROM sel s JOIN buckets b USING (fp)
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |    FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
+      |  WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
+      |), sym AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), r(u, v) AS (
+      |  SELECT u, u FROM sym
+      |  UNION
+      |  SELECT r.u, s2.v FROM r JOIN sym s2 ON r.v = s2.u
+      |), comp AS (
+      |  SELECT u AS doc_id, MIN(v) AS cluster_id FROM r GROUP BY u
+      |), keep AS (
+      |  SELECT s.*, COALESCE(c.cluster_id, s.doc_id) AS cluster_id
+      |  FROM surv s LEFT JOIN comp c USING (doc_id)
+      |  WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+      |), scrub AS (
+      |  SELECT doc_id, lang, quality, cluster_id,
+      |    CAST(LEN(collapsed) AS BIGINT) AS n_collapsed,
+      |    ARRAY_TO_STRING(collapsed, ' ') AS clean_text
+      |  FROM (
+      |    SELECT *, LIST_FILTER(kept, (x, i) -> i = 1 OR x <> kept[i-1]) AS collapsed
+      |    FROM (
+      |      SELECT *, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> x NOT IN ('a', 'the')) AS kept
+      |      FROM keep))
+      |), rates AS (
+      |  SELECT * FROM (VALUES ('en', 200), ('zh', 500), ('es', 500), ('de', 800), ('fr', 800)) AS t(lang, rate_pm)
+      |)
+      |SELECT doc_id, lang, quality, cluster_id, n_collapsed, clean_text,
+      |  ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+      |FROM scrub JOIN rates USING (lang)
+      |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < rate_pm
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_curation_pipeline" -> (q78CurationPipeline _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q78_curation_pipeline" -> q78Sql,
+  )
+}

@@ -92,10 +92,21 @@ object TextOps {
     */
   def q31QualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    qualityScored(documents(s, d))
+      .select($"doc_id", $"n_toks", $"stop_ratio", $"digit_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** q31's scoring columns as a reusable stage (q78 composes it as the
+    * pipeline's filter step). Adds n_toks / stop_ratio / digit_ratio /
+    * quality to `docs`; pure map.
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     val toks = tokens($"text")
     val stopHits = size(filter(toks, t => t.isin(stop: _*))).cast("double")
-    documents(s, d)
+    docs
       .withColumn("n_toks", size(toks).cast("long"))
       .withColumn("stop_ratio", stopHits / $"n_toks")
       .withColumn("digit_ratio",
@@ -104,8 +115,6 @@ object TextOps {
         when($"n_toks" < 5, 0.0).otherwise(
           least(lit(1.0), $"n_toks" / lit(100.0)) * (lit(1.0) - $"digit_ratio") *
             least(lit(1.0), $"stop_ratio" * 5.0)))
-      .select($"doc_id", $"n_toks", $"stop_ratio", $"digit_ratio", $"quality")
-      .orderBy($"doc_id")
   }
 
   val q31Sql: String =
@@ -347,13 +356,19 @@ object TextOps {
     * reproduces every fingerprint bit-for-bit — a full hash-checked
     * row, unlike the xxhash64-based q36/q37 tiers.
     */
-  def q56WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+  def q56WinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowNearDupPairs(documents(s, d))
+
+  /** q56's pipeline over an arbitrary (doc_id, text, …) relation — the
+    * near-dup edge stage q59 and q78 compose. */
+  def winnowNearDupPairs(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
     graft.plans.GraftExtensions.register(s) // winnow_fps, collect_capped
     // same reuse discipline as q35/q36: one payload column, explicit
     // null-filter matching the join-inferred predicate, repartition as
     // the materialization point all branches read via ReuseExchange
-    val perDoc = documents(s, d)
+    val perDoc = documents
       .filter($"doc_id".isNotNull)
       .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)

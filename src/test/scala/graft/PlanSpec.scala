@@ -86,6 +86,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78 curation mainline reads documents once; rates and labels broadcast") {
+    // the winnow edge branch runs eagerly inside ConnectedComponents
+    // behind a localCheckpoint (its own single-scan shape is pinned by
+    // the q56 case above), so the composed pipeline's FINAL plan must
+    // be: one full-width documents scan -> maps/filters -> two
+    // broadcast joins (cluster labels, rates) -> sample filter -> sort.
+    val df = Curation.q78CurationPipeline(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 mainline documents scan, got $scans")
+    assert(!p.contains("SortMergeJoin"),
+      "labels/rates are survivor-sized — must broadcast, not shuffle the corpus")
+  }
+
   test("q67 funnel: one compute shuffle, three windows share a single sort") {
     val p = plan(SeqOps.q67FunnelStages(spark, sf))
     assert("Window".r.findAllIn(p).length == 3, p.take(800))
