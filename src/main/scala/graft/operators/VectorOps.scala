@@ -519,13 +519,24 @@ object VectorOps {
       .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
       .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
     // codebook: per-cell elementwise mean (the label column is this
-    // table's IVF cell id; q55's Lloyd builds one where none exists)
+    // table's IVF cell id; q55's Lloyd builds one where none exists).
+    // localCheckpoint the BOUNDED derived relations — codebook
+    // (cells×d rows) and query set (|Q|×d) — so the five consumers
+    // below (cn2, both probe joins, both candidate joins) stop
+    // re-deriving them from the corpus: without this the exploded view
+    // was recomputed 4× (the round-4 advice item). The corpus-sized
+    // view itself is never materialized — at 100 TB that would be the
+    // bug, not the fix; its two remaining passes are the codebook
+    // build and the candidate scan, plus a parquet-pruned read for
+    // the tiny query set.
     val cents = e.groupBy($"label", $"pos")
       .agg((xsum($"v") / count(lit(1))).as("cv"))
       .select($"label".as("c_label"), $"pos", $"cv")
+      .localCheckpoint()
     val cn2 = cents.groupBy($"c_label").agg(xsum($"cv" * $"cv").as("cn2"))
     val qe = e.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
+      .localCheckpoint()
     // route: nprobe nearest cells per query; ‖q‖² is constant per query
     // so argmin needs only −2·q·c + ‖c‖²
     val probes = qe.join(broadcast(cents), Seq("pos"))

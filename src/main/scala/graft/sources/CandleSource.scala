@@ -20,9 +20,12 @@ import graft.normalize.Intervals
   *  - `symbol`, `interval`, `startMs`, `endMs` — scan window (reference
   *    backfill parameters, crypto_collector.py:626–657)
   *  - `exchange` — which venue the scan represents
-  *  - `rateLimitMs` — per-request throttle inside each partition reader
-  *    (reference: 1000 ms, crypto_collector.py:38–42; default 0 here so
-  *    tests run fast)
+  *  - `rateLimitMs` — per-request throttle inside each partition reader.
+  *    When absent, the PER-EXCHANGE default table applies (reference:
+  *    binanceus 0.5 s, every other venue 1.0 s —
+  *    crypto_collector.py:403); the throttle fires once per partition,
+  *    matching the reference's one-sleep-per-HTTP-request (each
+  *    partition is one ≤300-candle request window). Pass "0" to disable.
   *
   * Partition planning mirrors the reference's chunk math (T7): one
   * `InputPartition` per ≤300-candle window via [[Intervals.chunkWindows]],
@@ -45,6 +48,13 @@ class CandleSource extends TableProvider {
 }
 
 object CandleSource {
+  /** Per-exchange request-throttle defaults (crypto_collector.py:403):
+    * Binance.US documents a tighter weight budget → 0.5 s; all other
+    * venues use the conservative 1.0 s.
+    */
+  def defaultRateLimitMs(exchange: String): Long =
+    if (exchange.equalsIgnoreCase("binanceus")) 500L else 1000L
+
   val Schema: StructType = StructType(Seq(
     StructField("timestamp", TimestampType),
     StructField("open", DoubleType), StructField("high", DoubleType),
@@ -98,7 +108,8 @@ class CandleScan(options: CaseInsensitiveStringMap, limit: Int, required: Struct
     val endMs = Option(options.get("endMs")).map(_.toLong).getOrElse(nowMs)
     val startMs = Option(options.get("startMs")).map(_.toLong)
       .getOrElse(Intervals.defaultWindowStartMs(endMs, interval))
-    val rateMs = options.getOrDefault("rateLimitMs", "0").toLong
+    val rateMs = Option(options.get("rateLimitMs")).map(_.toLong)
+      .getOrElse(CandleSource.defaultRateLimitMs(exchange))
     Intervals.chunkWindows(startMs, endMs, interval).map { case (s, e) =>
       CandleInputPartition(symbol, interval, exchange, s, e, rateMs): InputPartition
     }.toArray
@@ -129,9 +140,13 @@ class CandlePartitionReader(p: CandleInputPartition, limit: Int, required: Struc
   private var emitted = 0
   private var tsMs = p.startMs - stepMs
 
+  // one throttle per partition = one per chunked request, exactly the
+  // reference's sleep-before-each-HTTP-call (crypto_collector.py:403);
+  // per-CANDLE sleeping would overstate the throttle 300×
+  if (p.rateLimitMs > 0) Thread.sleep(p.rateLimitMs)
+
   /** Deterministic fake of the exchange response for one candle. */
   private def fetch(ts: Long): Map[String, Any] = {
-    if (p.rateLimitMs > 0) Thread.sleep(p.rateLimitMs) // reference throttle
     val base = (ts / stepMs) % 997
     Map("timestamp" -> ts * 1000L, // micros
       "open" -> base.toDouble, "high" -> (base + 1.0), "low" -> (base - 1.0),

@@ -59,6 +59,35 @@ class CandleSourceSpec extends SparkSpec {
     assert(df.where($"close" >= 0).count() == 24)
   }
 
+  test("per-exchange rate-limit defaults: binanceus 500 ms, others 1000 ms; option wins") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    def planned(opts: Map[String, String]) =
+      new graft.sources.CandleScanBuilder(new CaseInsensitiveStringMap(opts.asJava))
+        .build().asInstanceOf[graft.sources.CandleScan]
+        .planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.CandleInputPartition])
+    val window = Map("interval" -> "1h",
+      "startMs" -> T0.toString, "endMs" -> (T0 + 86400000L).toString)
+    assert(planned(window + ("exchange" -> "binanceus")).forall(_.rateLimitMs == 500L))
+    assert(planned(window + ("exchange" -> "coinbase")).forall(_.rateLimitMs == 1000L))
+    assert(planned(window + ("exchange" -> "kucoin")).forall(_.rateLimitMs == 1000L))
+    // explicit option always beats the default table
+    assert(planned(window + ("exchange" -> "binanceus", "rateLimitMs" -> "0"))
+      .forall(_.rateLimitMs == 0L))
+  }
+
+  test("throttle fires once per partition (per request), not per candle") {
+    // 24 candles in ONE chunk partition with a 300 ms throttle: per-
+    // request sleeping costs 0.3 s; per-candle would cost 7.2 s
+    val t0 = System.nanoTime()
+    val n = read("interval" -> "1h", "rateLimitMs" -> "300",
+      "startMs" -> T0.toString, "endMs" -> (T0 + 86400000L).toString).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 24)
+    assert(sec < 5.0, f"throttle must be per-request; took $sec%.1f s for 24 candles")
+  }
+
   test("connector → merge sink end-to-end") {
     val lake = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/lake"
     val df = read("interval" -> "1h",
