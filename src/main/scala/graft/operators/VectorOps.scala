@@ -414,9 +414,16 @@ object VectorOps {
     }
     val init = e.filter($"vec_id" < kSub)
       .select($"sub", $"vec_id".as("c_id"), $"pos", $"v".as("cv"))
+    // localCheckpoint the BOUNDED trained codebook (K×d rows at any
+    // corpus scale — same policy as q76): its three consumers (codes'
+    // assign join + cn2, the LUT build) would otherwise each re-derive
+    // it through the full training subtree (~3 corpus passes per
+    // re-derivation). The corpus-sized relations (e, codes) stay
+    // unmaterialized.
     val cents1 = e.join(subAssign(init), Seq("vec_id", "sub"))
       .groupBy($"sub", $"c_id", $"pos")
       .agg((xsum($"v") / count(lit(1))).as("cv"))
+      .localCheckpoint()
 
     val codes = subAssign(cents1)
     // ADC lookup table: fixed-point ||q_sub - c||^2, BIGINT end to end
