@@ -183,29 +183,40 @@ object VectorOps {
     * burning |cell|² dot products. The cap is mirrored in the oracle
     * SQL, and at the shipped data scales (max cell 218 at sf0.1) it
     * never triggers, so results are unchanged.
+    *
+    * The pair join keys on the cell id alone, so its shuffle
+    * parallelism equals the cell count — at 100 TB the codebook is
+    * sized in the thousands-to-millions so this is moot; a deployment
+    * with few fat cells would salt the probe side by a vec_id bucket
+    * (the [[SaltedJoin]] pattern) to spread each cell over many tasks.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
     import emb.sparkSession.implicits._
+    // scalar fixed-point dot over the array columns — the SAME per-
+    // element floor-at-1e-10 exact sum as [[xsum]] (bit-identical, so
+    // the oracle is unchanged) but computed per PAIR ROW instead of
+    // exploding to 64 (pos) rows per vector: the pair join carries one
+    // row per candidate pair, not 64, and the whole dots aggregation
+    // stage disappears — shuffle volume drops d× (round-4 formulation
+    // joined exploded views and aggregated ~15 M rows at sf0.1).
+    def fxdot(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          floor(x.cast("double") * y.cast("double") * 1e10).cast("long")),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e10
     val okCells = emb.groupBy($"label")
       .agg(count(lit(1)).as("cell_n"))
       .filter($"cell_n" <= maxCell)
       .select($"label")
-    val e = emb.join(broadcast(okCells), Seq("label"))
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
-    val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
-    val dots = e.as("a")
-      .join(e.as("b"),
-        $"a.pos" === $"b.pos" && $"a.label" === $"b.label" &&
-          $"a.vec_id" < $"b.vec_id")
-      .groupBy($"a.label".as("cell"), $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
-      .agg(xsum($"a.v" * $"b.v").as("dot"))
-    dots
-      .join(norms.select($"vec_id".as("vec_a"), $"n2".as("na")), Seq("vec_a"))
-      .join(norms.select($"vec_id".as("vec_b"), $"n2".as("nb")), Seq("vec_b"))
-      .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
+    val ok = emb.join(broadcast(okCells), Seq("label"))
+      .withColumn("n2", fxdot($"embedding", $"embedding"))
+    val a = ok.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
+    val b = ok.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", fxdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")))
       .filter($"cos" >= threshold)
-      .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"cos")
+      .select($"vec_a", $"vec_b", $"label".cast("long").as("cell"), $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
 
