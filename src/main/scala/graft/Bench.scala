@@ -109,7 +109,7 @@ object Bench {
     // head is clipped), then a compact final line whose length is
     // independent of query count — worst case well under 500 chars.
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

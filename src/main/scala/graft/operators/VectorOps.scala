@@ -208,8 +208,17 @@ object VectorOps {
       .agg(count(lit(1)).as("cell_n"))
       .filter($"cell_n" <= maxCell)
       .select($"label")
+    // The explicit label repartition is (a) the materialization point
+    // both pair sides read via ReuseExchange — identical column sets,
+    // so pruning can't diverge the branches — and (b) the exchange a
+    // sort-merge join on the cell key would demand anyway, so at scale
+    // it costs nothing extra. Locally it matters for a different
+    // reason: a broadcast pair join over a single-split file would run
+    // the whole quadratic verify in ONE task; partitioning by cell
+    // spreads it across cells.
     val ok = emb.join(broadcast(okCells), Seq("label"))
       .withColumn("n2", fxdot($"embedding", $"embedding"))
+      .repartition($"label")
     val a = ok.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
     val b = ok.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
     a.join(b, Seq("label"))
