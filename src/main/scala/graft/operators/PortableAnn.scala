@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Sign-random-projection ANN built from portable arithmetic — the
+  * oracle-checkable sibling of [[AnnLsh]] (q43), the same move
+  * [[PortableMinHash]] makes for q36: the production tier keeps its
+  * engine-tuned codegen'd kernel, and this variant derives the planes
+  * from exact integer formulas so DuckDB reproduces the ENTIRE
+  * bucket-then-rerank pipeline bit-for-bit.
+  *
+  * Planes: p[j][i] = ((j·64+i)·2654435761 mod 1000003)/1000003 − 0.5 —
+  * an exact-integer construction whose one double division is a single
+  * correctly-rounded IEEE op, identical in any engine. Projections are
+  * fixed-point: dot_j = Σ_i floor(p·v·1e10) summed as int64 (terms
+  * ≤ 5·10⁹, 64 of them — no overflow), so the SIGN of each projection
+  * is exact: no float-boundary flakiness in bucket assignment. The
+  * 8-bit bucket (256 cells — sized so sf-scale corpora keep
+  * multi-member buckets) is Σ 2^j·[dot_j ≥ 0].
+  *
+  * Scale shape: planes are 512 literal rows — always broadcast; the
+  * projection pass is one corpus scan + one aggregation; candidates
+  * are same-bucket only (never all-pairs); the exact cosine re-rank
+  * touches |Q|·|bucket| pairs with the query side broadcast (q41's
+  * no-pos-shuffle discipline).
+  */
+object PortableAnn {
+
+  def q80AnnPortable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"pos", $"v".cast("double").as("v"))
+    // 8 planes × 64 dims from the integer formula; tiny → broadcast
+    val planes = s.range(8L * 64L).toDF("id")
+      .select(expr("id div 64").as("j"), ($"id" % 64).cast("int").as("pos"),
+        ((($"id" * 2654435761L) % 1000003L).cast("double") / 1000003.0 - 0.5).as("p"))
+    val dots = e.join(broadcast(planes), Seq("pos"))
+      .groupBy($"vec_id", $"j")
+      .agg(sum(floor($"p" * $"v" * 1e10).cast("long")).as("dj"))
+    val buckets = dots.groupBy($"vec_id")
+      .agg(sum(when($"dj" >= 0, pow(lit(2.0), $"j").cast("long")).otherwise(0L))
+        .as("bucket"))
+    val qb = buckets.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"bucket")
+    val cand = broadcast(qb).join(buckets, Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"bucket")
+    // exact cosine re-rank inside the bucket; query side broadcast so
+    // the corpus side never shuffles on the 64-value pos key
+    val norms = e.groupBy($"vec_id")
+      .agg((sum(floor($"v" * $"v" * 1e10).cast("long")).cast("double") / 1e10).as("n2"))
+    // qpos rename gives the probe join distinct exprIds on both sides
+    // (qe and e trace to the same exploded relation — a bare self-join
+    // on `pos` would be ambiguous)
+    val qe = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"pos".as("qpos"), $"v".as("qv"))
+    val cdots = broadcast(cand)
+      .join(broadcast(qe), Seq("qid"))
+      .join(e, $"cid" === $"vec_id" && $"qpos" === $"pos")
+      .groupBy($"qid", $"cid", $"bucket")
+      .agg((sum(floor($"qv" * $"v" * 1e10).cast("long")).cast("double") / 1e10).as("dot"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    cdots
+      .join(broadcast(norms.select($"vec_id".as("qid"), $"n2".as("qn2"))), Seq("qid"))
+      .join(broadcast(norms.select($"vec_id".as("cid"), $"n2".as("cn2"))), Seq("cid"))
+      .withColumn("cos", $"dot" / (sqrt($"qn2") * sqrt($"cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"bucket", $"cos")
+      .orderBy($"qid", $"rk")
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), planes AS (
+      |  SELECT id // 64 AS j, id % 64 AS pos,
+      |    CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS p
+      |  FROM (SELECT UNNEST(RANGE(512)) AS id)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.j, SUM(CAST(FLOOR(pl.p * e.v * 1e10) AS BIGINT)) AS dj
+      |  FROM e JOIN planes pl ON e.pos = pl.pos
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back for schema parity
+      |    CAST(SUM(CASE WHEN dj >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), qb AS (
+      |  SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id < 5
+      |), cand AS (
+      |  SELECT q.qid, b.vec_id AS cid, q.bucket
+      |  FROM qb q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id <> q.qid
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY 1
+      |), cdots AS (
+      |  SELECT c.qid, c.cid, c.bucket,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM cand c
+      |  JOIN e a ON a.vec_id = c.qid
+      |  JOIN e b ON b.vec_id = c.cid AND b.pos = a.pos
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT qid, rk, cid, bucket, cos FROM (
+      |  SELECT d.qid, d.cid, d.bucket,
+      |    d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY d.qid
+      |                       ORDER BY d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) DESC, d.cid) AS rk
+      |  FROM cdots d
+      |  JOIN norms qn ON d.qid = qn.vec_id
+      |  JOIN norms cn ON d.cid = cn.vec_id)
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_ann_portable" -> (q80AnnPortable _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q80_ann_portable" -> q80Sql,
+  )
+}
