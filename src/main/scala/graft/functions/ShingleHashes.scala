@@ -52,6 +52,36 @@ case class ShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Portable-hash sibling of [[ShingleHashes]]: identical tokenize/shingle
+  * kernel, base-31-mod-M polynomial hash instead of xxhash64 — the
+  * oracle-reproducible variant q79 builds its MinHash on. ASCII corpus
+  * assumption: the fold is over bytes (matching the kernel's byte-level
+  * ASCII tokenizer); on multi-byte text it would diverge from a
+  * codepoint-level fold.
+  */
+case class PolyShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 && w <= 16 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_shingle_hashes expects (string, w in [1,16]), got (${other.sql}, $w)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "poly_shingle_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHashes.computePoly(t.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleHashes.computePoly($x, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyShingleHashes =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
@@ -59,7 +89,21 @@ object ShingleHashes {
   /** The per-row kernel (static so generated code calls it directly —
     * one call per row inside the WholeStageCodegen span).
     */
-  def compute(text: UTF8String, w: Int): GenericArrayData = {
+  def compute(text: UTF8String, w: Int): GenericArrayData =
+    computeImpl(text, w, poly = false)
+
+  /** [[PolyShingleHashes]]' kernel: same tokenize/shingle pass, but each
+    * shingle hashes via the PORTABLE base-31 polynomial mod 2⁵³-range M
+    * (fold (acc·31 + byte) mod M over the shingle bytes) — bit-equal to
+    * the relational `aggregate(split(s,""), …)` form on ASCII text and
+    * reproducible in any engine with exact int64 (DuckDB list_reduce).
+    */
+  def computePoly(text: UTF8String, w: Int): GenericArrayData =
+    computeImpl(text, w, poly = true)
+
+  private val PolyM = 9007199254740881L
+
+  private def computeImpl(text: UTF8String, w: Int, poly: Boolean): GenericArrayData = {
     // getBytes may return the UTF8String's BACKING array — copy before
     // the in-place fold or we'd corrupt the row's data
     val shared = text.getBytes
@@ -122,7 +166,14 @@ object ShingleHashes {
         p += e - s
         j += 1
       }
-      hashes(k) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      if (poly) {
+        var acc = 0L
+        var q = 0
+        while (q < p) { acc = (acc * 31 + scratch(q)) % PolyM; q += 1 }
+        hashes(k) = acc
+      } else {
+        hashes(k) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      }
       k += 1
     }
     java.util.Arrays.sort(hashes)

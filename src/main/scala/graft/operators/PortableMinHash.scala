@@ -43,16 +43,19 @@ object PortableMinHash {
 
   def q79MinhashPortable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.plans.GraftExtensions.register(s) // collect_capped
-    // exploded distinct (doc_id, shingle-hash) — the materialization
-    // point both aggregations below read
-    val ex = TextOps.explodedShingles(
-        documents(s, d).filter($"doc_id".isNotNull), Seq("doc_id"), "text", 3)
-      .select($"doc_id", polyHash($"shingle").as("h"))
+    graft.plans.GraftExtensions.register(s) // poly_shingle_hashes, collect_capped
+    // per-doc distinct portable shingle hashes via the fused codegen'd
+    // [[graft.functions.PolyShingleHashes]] kernel — scan → project, NO
+    // shuffle (the relational explodedShingles + per-char HOF fold cost
+    // 4 s at sf0.1; same single-payload-column + repartition reuse
+    // discipline as q35/q36). Bit parity with the HOF fold is asserted
+    // in PortableMinHashSpec.
+    val hs = documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", call_function("poly_shingle_hashes", $"text", lit(3)).as("hl"))
+      .filter(size($"hl") > 0)
       .repartition($"doc_id")
-    // per-doc hash set for the exact verify
-    val hs = ex.groupBy($"doc_id")
-      .agg(array_distinct(collect_list($"h")).as("hl"))
+    val ex = hs.select($"doc_id", explode($"hl").as("h"))
     // K min-aggregates in one pass; permutation constants fixed and
     // reproduced literally in the oracle
     val hP = $"h" % P

@@ -221,9 +221,19 @@ object VectorOps {
       .repartition($"label")
     val a = ok.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
     val b = ok.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
+    // The groupBy over the (already unique) pair key is an evaluation
+    // barrier, not a reduction: HOF expressions are interpreted and
+    // excluded from subexpression elimination, so a plain
+    // withColumn+filter evaluated the 64-element dot TWICE per pair
+    // (once in the filter over ALL pairs, again in the projection).
+    // The partial aggregate evaluates it exactly once map-side and the
+    // filter reads the materialized column; the exchange moves only
+    // slim (keys, dot) rows, which are the bounded candidate set.
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("cos", fxdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")))
+      .groupBy($"label", $"vec_a", $"vec_b", $"na", $"nb")
+      .agg(max(fxdot($"ea", $"eb")).as("dot"))
+      .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
       .filter($"cos" >= threshold)
       .select($"vec_a", $"vec_b", $"label".cast("long").as("cell"), $"cos")
       .orderBy($"vec_a", $"vec_b")

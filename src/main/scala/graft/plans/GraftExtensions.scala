@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CollectCapped, CosineSim, MinHashSig, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
+import graft.functions.{CollectCapped, CosineSim, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -74,6 +74,19 @@ object GraftExtensions {
       ShingleHashes(children.head, w): Expression
     })
 
+  private val polyShingleHashesDescriptor = (
+    new FunctionIdentifier("poly_shingle_hashes"),
+    new ExpressionInfo(classOf[PolyShingleHashes].getName, "poly_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      val w = children.lift(1) match {
+        case None => 3
+        case Some(Literal(v: Int, IntegerType)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"poly_shingle_hashes: w must be an integer literal, got $other")
+      }
+      PolyShingleHashes(children.head, w): Expression
+    })
+
   private val collectCappedDescriptor = (
     new FunctionIdentifier("collect_capped"),
     new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
@@ -105,8 +118,8 @@ object GraftExtensions {
 
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
-      simhashSigDescriptor, shingleHashesDescriptor, collectCappedDescriptor,
-      winnowFpsDescriptor)
+      simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
+      collectCappedDescriptor, winnowFpsDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -19,6 +19,23 @@ class PortableMinHashSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(ref))
   }
 
+  test("poly_shingle_hashes kernel matches the relational HOF pipeline per doc") {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id".isNotNull)
+    val kernel = docs
+      .select($"doc_id", call_function("poly_shingle_hashes", $"text", lit(3)).as("hl"))
+      .filter(size($"hl") > 0)
+      .as[(Long, Seq[Long])].collect().map { case (d, hl) => d -> hl.sorted.toSeq }.toMap
+    val pipeline = graft.operators.TextOps
+      .explodedShingles(docs, Seq("doc_id"), "text", 3)
+      .select($"doc_id", PortableMinHash.polyHash(col("shingle")).as("h"))
+      .groupBy($"doc_id").agg(collect_set($"h").as("hl"))
+      .as[(Long, Seq[Long])].collect().map { case (d, hl) => d -> hl.sorted.toSeq }.toMap
+    assert(kernel == pipeline)
+  }
+
   test("planted near-dup pairs; unrelated docs do not") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token60", "changed")
