@@ -192,18 +192,19 @@ object VectorOps {
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
     import emb.sparkSession.implicits._
+    graft.plans.GraftExtensions.register(emb.sparkSession)
     // scalar fixed-point dot over the array columns — the SAME per-
     // element floor-at-1e-10 exact sum as [[xsum]] (bit-identical, so
     // the oracle is unchanged) but computed per PAIR ROW instead of
     // exploding to 64 (pos) rows per vector: the pair join carries one
     // row per candidate pair, not 64, and the whole dots aggregation
     // stage disappears — shuffle volume drops d× (round-4 formulation
-    // joined exploded views and aggregated ~15 M rows at sf0.1).
+    // joined exploded views and aggregated ~15 M rows at sf0.1). The
+    // fold itself is the codegen'd [[graft.functions.FxpDot]] kernel
+    // (the HOF aggregate/zip_with form evaluated interpreted per
+    // element and cost ~2× the whole query).
     def fxdot(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) =>
-          floor(x.cast("double") * y.cast("double") * 1e10).cast("long")),
-        lit(0L), (acc, t) => acc + t).cast("double") / 1e10
+      call_function("fxp_dot", a, b).cast("double") / 1e10
     val okCells = emb.groupBy($"label")
       .agg(count(lit(1)).as("cell_n"))
       .filter($"cell_n" <= maxCell)

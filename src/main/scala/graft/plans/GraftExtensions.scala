@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CollectCapped, CosineSim, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
+import graft.functions.{CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -87,6 +87,11 @@ object GraftExtensions {
       PolyShingleHashes(children.head, w): Expression
     })
 
+  private val fxpDotDescriptor = (
+    new FunctionIdentifier("fxp_dot"),
+    new ExpressionInfo(classOf[FxpDot].getName, "fxp_dot"),
+    (children: Seq[Expression]) => FxpDot(children.head, children(1)): Expression)
+
   private val collectCappedDescriptor = (
     new FunctionIdentifier("collect_capped"),
     new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
@@ -119,7 +124,7 @@ object GraftExtensions {
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
-      collectCappedDescriptor, winnowFpsDescriptor)
+      fxpDotDescriptor, collectCappedDescriptor, winnowFpsDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -15,6 +15,23 @@ class VectorDedupSpec extends SparkSpec {
   private def vec(seed: Int): Array[Float] =
     Array.tabulate(8)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
 
+  test("fxp_dot kernel matches the interpreted HOF fold bit-for-bit") {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .withColumn("other", org.apache.spark.sql.functions.reverse($"embedding"))
+    val rows = df.select(
+      call_function("fxp_dot", $"embedding", $"other").as("kernel"),
+      aggregate(
+        zip_with($"embedding", $"other", (x, y) =>
+          floor(x.cast("double") * y.cast("double") * 1e10).cast("long")),
+        lit(0L), (acc, t) => acc + t).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("planted degenerate cell is excluded; small cells still pair") {
     // cell 0: 60 members (over cap 10), containing an identical pair
     val hot = (0 until 60).map(i => (i.toLong, 0L,
