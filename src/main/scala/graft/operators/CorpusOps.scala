@@ -160,15 +160,113 @@ object CorpusOps {
       |  ARRAY_TO_STRING(collapsed, ' ') AS clean_text
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Document chunking — overlapping token windows (size 64, stride 48),
+    * the context-window segmentation step of a pretraining/RAG pipeline.
+    * Pure map + explode: chunk count and slices derive per row from the
+    * token array; no shuffle but the final sort. Chunk math: n_chunks =
+    * ceil(max(n_tokens − overlap, 1) / stride), chunk k covers tokens
+    * [k·stride, k·stride + size) clamped to the doc — identical integer
+    * arithmetic and list-slice clamping in both engines.
+    */
+  def q81DocChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val size = 64
+    val stride = 48 // = size − overlap(16)
+    documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size($"toks").cast("long"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_tokens - 16, 1L) + ${stride - 1}) div $stride"))
+      .select($"doc_id", $"n_tokens",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"), $"toks")
+      .withColumn("chunk_toks",
+        slice($"toks", ($"chunk_idx" * stride + 1L).cast("int"), lit(size)))
+      .select($"doc_id", $"chunk_idx", $"n_tokens",
+        org.apache.spark.sql.functions.size($"chunk_toks").cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", $"chunk_toks").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q81Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), n AS (
+      |  SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+      |    CAST((GREATEST(LEN(toks) - 16, 1) + 47) // 48 AS BIGINT) AS n_chunks
+      |  FROM t
+      |), ex AS (
+      |  SELECT doc_id, n_tokens, toks, UNNEST(RANGE(n_chunks)) AS chunk_idx FROM n
+      |)
+      |SELECT doc_id, chunk_idx, n_tokens,
+      |  CAST(LEN(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+      |  ARRAY_TO_STRING(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+      |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sequence packing — the concatenate-then-split batching step: per
+    * language stream, documents concatenate in doc_id order and split
+    * at context-length boundaries (C = 512 tokens); each doc reports
+    * its global token offset, first/last bin, and whether it straddles
+    * a boundary. Formulated as an exact windowed prefix sum (integer
+    * arithmetic end to end).
+    *
+    * Scale: the window partitions by the packing stream (`lang` here) —
+    * real pipelines pack per shard/worker, so stream count scales with
+    * the cluster, not 1; within a stream the prefix sum is the q19/q26
+    * distributed-running-total shape. Per-doc token counts are capped
+    * at C so a single long doc occupies whole bins instead of breaking
+    * the invariant that a bin holds ≤ C tokens of any one doc.
+    */
+  def q82SequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .withColumn("t", least(org.apache.spark.sql.functions.size(TextOps.tokens($"text")).cast("long"), lit(c)))
+      .withColumn("offset", coalesce(sum($"t").over(w), lit(0L)))
+      .select($"lang", $"doc_id", $"t",
+        $"offset",
+        expr(s"offset div $c").as("bin_first"),
+        expr(s"(offset + t - 1) div $c").as("bin_last"))
+      .withColumn("straddles", $"bin_first" =!= $"bin_last")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q82Sql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    LEAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS BIGINT), 512) AS t
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), o AS (
+      |  -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back for schema parity
+      |  SELECT lang, doc_id, t,
+      |    CAST(COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      |  FROM t
+      |)
+      |SELECT lang, doc_id, t, "offset",
+      |  CAST("offset" // 512 AS BIGINT) AS bin_first,
+      |  CAST(("offset" + t - 1) // 512 AS BIGINT) AS bin_last,
+      |  ("offset" // 512) <> (("offset" + t - 1) // 512) AS straddles
+      |FROM o ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_repetition_signals" -> (q71RepetitionSignals _),
     "q72_ngram_topk" -> (q72NgramTopk _),
     "q73_text_scrub" -> (q73TextScrub _),
+    "q81_doc_chunks" -> (q81DocChunks _),
+    "q82_sequence_pack" -> (q82SequencePack _),
   )
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_signals" -> q71Sql,
     "q72_ngram_topk" -> q72Sql,
     "q73_text_scrub" -> q73Sql,
+    "q81_doc_chunks" -> q81Sql,
+    "q82_sequence_pack" -> q82Sql,
   )
 }
