@@ -134,11 +134,116 @@ object Curation {
       |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < rate_pm
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction — the C4/CCNet scrubbing step: count and redact
+    * emails, IPv4s, and phone-shaped numbers. The corpus is synthetic
+    * and PII-free, so each doc gets deterministic planted PII derived
+    * from its doc_id (same seam as q51's header synthesis: the
+    * CONSTRUCTION is the stand-in, the detection/redaction is the real
+    * operator, and the oracle reproduces both). Counts are taken on the
+    * pre-redaction text; redaction applies email → ip → phone so later
+    * patterns can't match inside earlier placeholders. Pure per-row
+    * map — zero shuffle.
+    */
+  def q83PiiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+      .withColumn("t2", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com at 10.0."),
+        $"doc_id" % 256, lit(".7 or 555-867-5309")))
+    docs.select($"doc_id",
+      regexp_count($"t2", lit(email)).cast("long").as("n_emails"),
+      regexp_count($"t2", lit(ip)).cast("long").as("n_ips"),
+      regexp_count($"t2", lit(phone)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace($"t2",
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted_text"))
+      .withColumn("clean_len", length($"redacted_text").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com at 10.0.'
+      |         || (doc_id % 256) || '.7 or 555-867-5309' AS t2
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |)
+      |SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t2,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted_text,
+      |  CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t2,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination — the GPT-3-style sweep: training docs
+    * sharing 3-token shingles with the held-out eval set (doc_id % 97
+    * here stands in for the benchmark suite) are reported with their
+    * overlap size and the matched eval doc; the drop itself is then a
+    * plain anti join (q07's operator). Shingle identity rides the
+    * portable [[graft.functions.PolyShingleHashes]] kernel — one
+    * codegen'd pass per doc, no token shuffle — and the eval side is
+    * BROADCAST: benchmark suites are small by nature, so the corpus
+    * side never shuffles at any scale.
+    */
+  def q84Decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val perDoc = documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", call_function("poly_shingle_hashes", $"text", lit(3)).as("hl"))
+      .filter(size($"hl") > 0)
+    val ex = perDoc.select($"doc_id", explode($"hl").as("h"))
+    val ev = ex.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_doc"), $"h")
+    ex.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(ev), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"), min($"eval_doc").as("eval_doc"))
+      .orderBy($"doc_id")
+  }
+
+  val q84Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), hsets AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(sh, s ->
+      |      list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                  (a, b) -> (a * 31 + b) % 9007199254740881))) AS hl
+      |  FROM docs WHERE LEN(sh) > 0
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(hl) AS h FROM hsets
+      |), ev AS (
+      |  SELECT doc_id AS eval_doc, h FROM ex WHERE doc_id % 97 = 0
+      |)
+      |SELECT e.doc_id, COUNT(*) AS n_shared, MIN(v.eval_doc) AS eval_doc
+      |FROM ex e JOIN ev v USING (h)
+      |WHERE e.doc_id % 97 <> 0
+      |GROUP BY e.doc_id
+      |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_curation_pipeline" -> (q78CurationPipeline _),
+    "q83_pii_redact" -> (q83PiiRedact _),
+    "q84_decontaminate" -> (q84Decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
     "q78_curation_pipeline" -> q78Sql,
+    "q83_pii_redact" -> q83Sql,
+    "q84_decontaminate" -> q84Sql,
   )
 }
