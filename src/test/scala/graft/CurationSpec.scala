@@ -23,6 +23,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q81 chunks tile every doc: full coverage, stride 48, size cap 64") {
+    val rows = graft.operators.CorpusOps.q81DocChunks(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"n_tokens", $"n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for ((_, cs) <- rows) {
+      val sorted = cs.sortBy(_._2)
+      val n = sorted.head._3
+      // chunk k covers [48k, min(48k+64, n)) — so the last chunk must
+      // reach the end of the doc and every chunk is 1..64 tokens
+      assert(sorted.zipWithIndex.forall { case ((_, k, _, _), i) => k == i })
+      assert(sorted.forall { case (_, k, _, len) =>
+        len == math.min(64L, n - k * 48L) && len >= 1L })
+      val last = sorted.last
+      assert(last._2 * 48L + last._4 == n, "chunks must cover the full doc")
+    }
+  }
+
+  test("q82 packing offsets are contiguous per stream") {
+    val rows = graft.operators.CorpusOps.q82SequencePack(spark, sf)
+      .select($"lang", $"doc_id", $"t", $"offset", $"bin_first")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    for ((_, ds) <- rows) {
+      val sorted = ds.sortBy(_._2)
+      var expect = 0L
+      for ((_, _, t, off, binFirst) <- sorted) {
+        assert(off == expect, "offsets must be the exact running sum")
+        assert(binFirst == off / 512L)
+        expect += t
+      }
+    }
+  }
+
   test("q84 reports only training docs with positive overlap") {
     val rows = Curation.q84Decontaminate(spark, sf).collect()
     assert(rows.nonEmpty, "synthetic corpus should have some shingle overlap")
