@@ -105,6 +105,22 @@ class PlanSpec extends SparkSpec {
       "labels/rates are survivor-sized — must broadcast, not shuffle the corpus")
   }
 
+  test("q81/q83 are map-only: no exchange but the final sort") {
+    for (df <- Seq(CorpusOps.q81DocChunks(spark, sf),
+                   Curation.q83PiiRedact(spark, sf))) {
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"expected only the ORDER BY range exchange:\n${p.take(600)}")
+    }
+  }
+
+  test("q84 broadcasts the eval side; corpus side never shuffles on shingle hashes") {
+    val p = plan(Curation.q84Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the eval/benchmark side is small by nature — it must broadcast")
+  }
+
   test("q67 funnel: one compute shuffle, three windows share a single sort") {
     val p = plan(SeqOps.q67FunnelStages(spark, sf))
     assert("Window".r.findAllIn(p).length == 3, p.take(800))
