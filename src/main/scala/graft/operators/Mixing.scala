@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Corpus mixing and vocabulary-based curation — the sampling-side
+  * operators of an LLM training-data pipeline (the reference ingests
+  * per-source streams — crypto_collector.py's per-exchange fan-out —
+  * and a training pipeline re-weights exactly such per-source corpora
+  * before training):
+  *
+  *   - q85: temperature-weighted source mixing (the XLM-R / GPT-3
+  *     recipe: sample source s with probability ∝ n_s^α, α = 1/2, so
+  *     small sources are up-weighted relative to their share).
+  *   - q86: rare-token (out-of-vocabulary) ratio — the vocabulary
+  *     quality signal: fraction of a doc's token instances whose
+  *     corpus-wide document frequency is below a relative threshold.
+  *   - q87: per-domain document caps (the RefinedWeb/C4 move against
+  *     domain dominance) via the bounded-heap [[graft.functions.TopK]]
+  *     aggregate, so the cap never globally sorts.
+  *
+  * Every arithmetic step is integer-exact or a fixed IEEE-double op
+  * chain, so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object Mixing {
+
+  /** Exact integer square root of a BIGINT column: seed from the double
+    * sqrt (within ±1 of truth for n < 2^52), then correct by exact
+    * integer comparison — both branches are portable, so the result is
+    * identical in any engine regardless of libm.
+    */
+  private[graft] def isqrt(n: Column): Column = {
+    val r0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((r0 + 1) * (r0 + 1) <= n, r0 + 1)
+      .when(r0 * r0 > n, r0 - 1)
+      .otherwise(r0)
+  }
+
+  /** Temperature-weighted mixture sampling across sources. Per-source
+    * weight w_s = ⌊√n_s⌋ (α = 1/2 temperature, integer-exact via
+    * [[isqrt]]); the per-mille keep rate is the integer share
+    * (w_s·1000) div Σw. Selection is the same deterministic per-mille
+    * hash bucket as q58/q78 — reproducible under re-runs and engine
+    * changes, no RNG state to coordinate across executors.
+    *
+    * Scale shape: the per-source count is a tiny aggregate (sources
+    * number in the thousands at worst), its total a 1-row cross join;
+    * the rate table broadcasts back over the scan, and selection is a
+    * pure map — ONE pass over the corpus plus two dim-sized shuffles,
+    * at any corpus size.
+    */
+  def q85MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("w", isqrt($"n_docs"))
+    val tot = weighted.agg(sum($"w").as("tot_w"))
+    val rates = weighted.crossJoin(broadcast(tot))
+      .withColumn("rate_pm", expr("(w * 1000) div tot_w"))
+      .select($"source", $"n_docs", $"w", $"rate_pm")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", expr("((doc_id % 1000003) * 2654435761) % 1000"))
+      .filter($"bucket" < $"rate_pm")
+      .select($"doc_id", $"source", $"n_docs", $"w", $"rate_pm", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val q85Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source FROM documents WHERE doc_id IS NOT NULL
+      |), counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source
+      |), wts AS (
+      |  SELECT source, n_docs,
+      |    CASE WHEN (r0+1)*(r0+1) <= n_docs THEN r0+1
+      |         WHEN r0*r0 > n_docs THEN r0-1 ELSE r0 END AS w
+      |  FROM (SELECT source, n_docs,
+      |          CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS r0
+      |        FROM counts)
+      |), rates AS (
+      |  SELECT source, n_docs, w,
+      |    CAST((w * 1000) // (SELECT SUM(w) FROM wts) AS BIGINT) AS rate_pm
+      |  FROM wts
+      |)
+      |SELECT doc_id, source, n_docs, w, rate_pm,
+      |  ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+      |FROM d JOIN rates USING (source)
+      |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < rate_pm
+      |ORDER BY doc_id""".stripMargin
+
+  /** Rare-token (OOV) ratio per document: the fraction of token
+    * INSTANCES whose corpus document frequency is under 10% of the
+    * corpus — the vocabulary-coverage quality filter (docs full of
+    * tokens the corpus has never seen are boilerplate, OCR noise, or
+    * here: the planted `dup` marker at df ≈ 5%).
+    *
+    * Scale shape: df is one distinct + one aggregate on the token —
+    * vocabulary-sized, not corpus-sized. The COMMON head is then
+    * provably broadcast-safe at ANY corpus size: Σ_t df_t = Σ_docs
+    * |distinct toks| ≤ N·L, so |{t : df_t ≥ f·N}| ≤ L/f (L = mean
+    * distinct tokens per doc; f = 0.1 here) — a few thousand entries
+    * regardless of N. Rarity is then a broadcast LEFT ANTI join of
+    * token instances against that bounded head; the corpus itself
+    * never shuffles on tokens.
+    */
+  def q86RareTokenRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val inst = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val dfreq = inst.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
+    val common = dfreq.crossJoin(broadcast(nDocs))
+      .filter($"df" * 10 >= $"n_corpus").select($"tok")
+    val rare = inst.join(broadcast(common), Seq("tok"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    docs.select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_toks"))
+      .join(rare, Seq("doc_id"), "left")
+      .withColumn("n_rare", coalesce($"n_rare", lit(0L)))
+      .withColumn("rare_ratio", $"n_rare".cast("double") / $"n_toks")
+      .orderBy($"doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), n AS (
+      |  SELECT COUNT(*) AS n_corpus FROM d
+      |), inst AS (
+      |  SELECT DISTINCT doc_id, UNNEST(toks) AS tok FROM d
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM inst GROUP BY tok
+      |), common AS (
+      |  SELECT LIST(tok) AS cl FROM dfreq, n WHERE df * 10 >= n_corpus
+      |)
+      |SELECT doc_id,
+      |  CAST(LEN(toks) AS BIGINT) AS n_toks,
+      |  CAST(LEN(LIST_FILTER(toks, t -> NOT LIST_CONTAINS(cl, t))) AS BIGINT) AS n_rare,
+      |  CAST(LEN(LIST_FILTER(toks, t -> NOT LIST_CONTAINS(cl, t))) AS DOUBLE) / LEN(toks) AS rare_ratio
+      |FROM d, common
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-domain document cap: keep each source's top-5 docs by
+    * (quality DESC, doc_id ASC) — the anti-domain-dominance cap every
+    * web-scale curation pipeline applies, composed from q31's scoring
+    * map and the bounded-heap [[graft.functions.TopK]] aggregate. The
+    * heap ships ≤ k rows per (source, partition) into ONE aggregation
+    * exchange — no global or per-group sort of the corpus, unlike the
+    * windowed row_number formulation (which must sort every group
+    * somewhere), so the cap costs the same as a count at any scale.
+    */
+  def q87DomainCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val scored = TextOps.qualityScored(documents(s, d).filter($"doc_id".isNotNull))
+    scored.groupBy($"source")
+      .agg(graft.functions.TopK(k)($"quality", $"doc_id").as("top"))
+      .select($"source", posexplode($"top").as(Seq("i", "r")))
+      .select($"source", ($"i" + 1).cast("long").as("rk"),
+        $"r.key".as("doc_id"), $"r.price".as("quality"))
+      .orderBy($"source", $"rk")
+  }
+
+  val q87Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_toks < 5 THEN 0.0
+      |         ELSE LEAST(1.0, n_toks / 100.0) * (1.0 - digit_ratio) * LEAST(1.0, (stop_hits / n_toks) * 5.0)
+      |    END AS quality
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      LEN(toks) AS n_toks,
+      |      CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE) AS stop_hits,
+      |      CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+      |    FROM (SELECT doc_id, source, text,
+      |            REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |          FROM documents WHERE doc_id IS NOT NULL))
+      |)
+      |SELECT source, rk, doc_id, quality FROM (
+      |  SELECT source, doc_id, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+      |  FROM s)
+      |WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_mixture_sample" -> (q85MixtureSample _),
+    "q86_rare_token_ratio" -> (q86RareTokenRatio _),
+    "q87_domain_cap" -> (q87DomainCap _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q85_mixture_sample" -> q85Sql,
+    "q86_rare_token_ratio" -> q86Sql,
+    "q87_domain_cap" -> q87Sql,
+  )
+}

@@ -25,7 +25,7 @@ import graft.sources.Tables._
 object VectorOps {
 
   /** (vec_id, pos, v_double) exploded view — the join-friendly layout. */
-  private def exploded(s: SparkSession, d: String): DataFrame = {
+  private[operators] def exploded(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     embeddings(s, d)
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
@@ -39,7 +39,7 @@ object VectorOps {
     * ≤ 1e-10 per term, identical in both engines and under any
     * partitioning.
     */
-  private def xsum(c: Column): Column =
+  private[operators] def xsum(c: Column): Column =
     sum(floor(c * 1e10)).cast("double") / 1e10
 
   /** Per-label centroid: elementwise mean per (label, pos). One shuffle on
@@ -275,7 +275,18 @@ object VectorOps {
     * [[xsum]] and ties broken on centroid id, so the trajectory is
     * bit-identical in any engine and under any partitioning.
     */
-  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(lloydAssign(e, cents), Seq("vec_id"))
+      .groupBy($"c_id", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("cv"))
+  }
+
+  /** The assignment half of [[lloydStep]], reusable on its own (q88's
+    * SemDeDup blocking assigns against the final codebook): nearest
+    * centroid per vector by −2·dot + |c|², ties on centroid id.
+    */
+  private[operators] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val cn2 = cents.groupBy($"c_id").agg(xsum($"cv" * $"cv").as("cn2"))
     val scored = e.join(broadcast(cents), Seq("pos"))
@@ -284,11 +295,8 @@ object VectorOps {
       .join(broadcast(cn2), Seq("c_id"))
       .withColumn("ndist", lit(-2.0) * $"dot" + $"cn2")
     val w = Window.partitionBy($"vec_id").orderBy($"ndist", $"c_id")
-    val assign = scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w))
       .filter($"rk" === 1).select($"vec_id", $"c_id")
-    e.join(assign, Seq("vec_id"))
-      .groupBy($"c_id", $"pos")
-      .agg((xsum($"v") / count(lit(1))).as("cv"))
   }
 
   /** K-means codebook builder for IVF (Lloyd's algorithm, fixed
@@ -310,7 +318,7 @@ object VectorOps {
       .orderBy($"c_id", $"pos")
   }
 
-  private def sqlLloydStep(e: String, cents: String, out: String): String =
+  private[operators] def sqlLloydStep(e: String, cents: String, out: String): String =
     s"""${out}_cn2 AS (
        |  SELECT c_id, CAST(SUM(CAST(FLOOR(cv * cv * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS cn2
        |  FROM $cents GROUP BY c_id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
+import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -121,10 +121,16 @@ object GraftExtensions {
       WinnowFps(children.head, litArg(1, 8, "k"), litArg(2, 4, "w")): Expression
     })
 
+  private val bloomContainsDescriptor = (
+    new FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+    (children: Seq[Expression]) => BloomContains(children.head, children(1)): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
-      fxpDotDescriptor, collectCappedDescriptor, winnowFpsDescriptor)
+      fxpDotDescriptor, collectCappedDescriptor, winnowFpsDescriptor,
+      bloomContainsDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

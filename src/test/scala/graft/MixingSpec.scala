@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Mixing, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The mixing/vocabulary tier: a hash-matching oracle agrees on VALUES,
+  * so these pin the parts a co-broken oracle could still get wrong —
+  * the integer sqrt against BigInt truth, the rare-token recount
+  * against a from-scratch Scala implementation, and the bounded-heap
+  * domain cap against the windowed row_number formulation it replaces.
+  */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bigSqrt(n: Long): Long =
+    java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+
+  test("q85 isqrt column is the exact floor sqrt (BigInt truth, adversarial n)") {
+    val hazards = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      (1L << 20) * (1L << 20) - 1, (1L << 20) * (1L << 20),
+      999999999999L, 1000000000000L, 4503599627370495L)
+    val rng = new scala.util.Random(42)
+    val ns = hazards ++ Seq.fill(500)(math.abs(rng.nextLong()) % 4503599627370496L)
+    val got = ns.toDF("n").select($"n", Mixing.isqrt($"n").as("r"))
+      .as[(Long, Long)].collect()
+    for ((n, r) <- got) {
+      val truth = bigSqrt(n)
+      assert(r == truth, s"isqrt($n) = $r, want $truth")
+    }
+  }
+
+  test("q85 mixture: kept docs obey their source's rate; rates are the integer shares") {
+    val rows = Mixing.q85MixtureSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("rate_pm"))
+    val rates = rows.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("w"), r.getAs[Long]("rate_pm"))).distinct
+    // integer shares can only undershoot 1000, never overshoot
+    assert(rates.map(_._3).sum <= 1000)
+    // each rate is exactly (w * 1000) div Σw over the FULL source table
+    // (recompute Σw from the corpus, not just from sources that kept docs)
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val totW = counts.values.map(bigSqrt).sum
+    for ((src, w, pm) <- rates) {
+      assert(w == bigSqrt(counts(src)))
+      assert(pm == w * 1000 / totW)
+    }
+  }
+
+  test("q86 rare-token ratio equals a from-scratch Scala recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val nDocs = toks.length
+    val dfreq = toks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val common = dfreq.collect { case (t, c) if c * 10 >= nDocs => t }.toSet
+    val want = toks.map { case (id, ts) => id -> ts.count(t => !common(t)) }.toMap
+    val got = Mixing.q86RareTokenRatio(spark, sf)
+      .select($"doc_id", $"n_toks", $"n_rare", $"rare_ratio").collect()
+    assert(got.length == nDocs)
+    for (r <- got) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_rare") == want(id).toLong, s"doc $id")
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_toks"))
+      assert(r.getAs[Double]("rare_ratio") ==
+        want(id).toDouble / r.getAs[Long]("n_toks"))
+    }
+    // the signal is live: the planted `dup` marker is rare, so some
+    // docs must score above zero (an all-zero column would also "pass")
+    assert(got.exists(_.getAs[Long]("n_rare") > 0))
+  }
+
+  test("q87 bounded-heap domain cap is bit-equal to the windowed row_number form") {
+    val scored = TextOps.qualityScored(
+      spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id".isNotNull))
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    val naive = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"source", $"rk", $"doc_id", $"quality")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val got = Mixing.q87DomainCap(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    assert(got.groupBy(_._1).forall(_._2.size <= 5))
+  }
+}
