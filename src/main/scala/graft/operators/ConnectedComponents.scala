@@ -4,65 +4,127 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the grouping
-  * primitive behind near-dup cluster assignment (q59) and any
-  * entity-resolution step. Iterative min-label propagation: each round
-  * is one join + one min-aggregate, both shuffling on the node id;
-  * rounds are bounded by the component diameter. Labels only ever
-  * decrease, so an unchanged label-sum is a fixpoint — the convergence
-  * probe ships ONE scalar to the driver per round, never the labels.
+  * primitive behind near-dup cluster assignment (q59, q78, q88) and any
+  * entity-resolution step.
   *
-  * Lineage: edge/label relations localCheckpoint each round. Without
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+  * operation is one groupBy-min plus one shuffle-join on the node id;
+  * the pair provably converges in O(log² n) rounds on ANY graph shape —
+  * unlike min-label flooding, whose round count is the component
+  * DIAMETER (a 10⁶-node chain needs 10⁶ flooding rounds but ~25
+  * star rounds; the r5 bench hit exactly this with a >20-diameter
+  * near-dup chain at sf0.1). Round cost is proportional to the current
+  * edge relation, which star operations only shrink (toward one star
+  * per component), so later rounds get cheaper.
+  *
+  *  - large-star: for every node u, hang all LARGER neighbors off
+  *    m(u) = min(Γ(u) ∪ {u}) — long tails collapse toward small ids.
+  *  - small-star: orient every edge (larger → smaller); hang each
+  *    node's smaller neighbors (and itself) off its minimum —
+  *    flattening multi-level trees into stars.
+  *
+  * Convergence: the edge multiset is a fixpoint iff it is a union of
+  * stars rooted at component minima. The probe compares a per-round
+  * (count, Σ xxhash64(u,v)) fingerprint — two scalars to the driver —
+  * and confirms a fingerprint match with one exact `exceptAll` check
+  * (same count + empty difference ⇒ same multiset), so a 64-bit hash
+  * collision can cost one extra probe job, never a wrong answer.
+  *
+  * Lineage: the edge relation localCheckpoints each round. Without
   * truncation every probe re-executes the whole upstream pipeline and
-  * the label lineage deepens per round (measured 14 s vs 2 s for q59 at
+  * the lineage deepens per round (measured 14 s vs 2 s for q59 at
   * sf0.1). These relations are survivor-set-sized (bounded by the dedup
   * candidate count), not corpus-sized — the no-persist-in-queries rule
   * targets the latter.
-  *
-  * For adversarial graphs (diameter > maxRounds, e.g. one long chain)
-  * this THROWS rather than returning labels that are not yet component
-  * minima; the fix at that shape is the large-star/small-star
-  * formulation (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14 — provably O(log²) rounds), not more rounds.
   */
 object ConnectedComponents {
 
+  /** One large-star round: u's larger neighbors re-attach to
+    * min(Γ(u) ∪ {u}). Self-loops (v == m) drop via the v > u filter
+    * only when u is its own minimum; explicit m =!= v keeps the
+    * relation loop-free.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select($"u", $"v")
+      .unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    val m = sym.groupBy($"u").agg(min($"v").as("mv"))
+      .select($"u", least($"u", $"mv").as("m"))
+    sym.join(m, "u")
+      .filter($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient larger→smaller, then hang each node's
+    * smaller neighbors and itself off its minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val oriented = edges
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .filter($"u" =!= $"v")
+    val m = oriented.groupBy($"u").agg(min($"v").as("m"))
+    val hangNbrs = oriented.join(m, "u")
+      .filter($"v" =!= $"m")
+      .select($"v".as("u"), $"m".as("v"))
+    val hangSelf = m.select($"u", $"m".as("v"))
+    hangNbrs.unionAll(hangSelf).distinct()
+  }
+
   /** @param edges     two-column relation; each row an undirected edge.
-    *                  Endpoint columns must be non-null and orderable.
+    *                  Endpoint columns must be non-null longs (orderable).
     * @param aCol,bCol endpoint column names
-    * @param maxRounds propagation-round cap before failing loudly
+    * @param maxRounds alternation-round cap before failing loudly —
+    *                  O(log² n) suffices, so the default covers any
+    *                  physically storable graph
     * @return (node, component) — component = min node id reachable;
     *         isolated nodes (no edges) are absent, callers union them
     *         back as their own singletons if needed
     */
   def labels(s: SparkSession, edges: DataFrame, aCol: String, bCol: String,
-             maxRounds: Int = 20): DataFrame = {
+             maxRounds: Int = 50): DataFrame = {
     import s.implicits._
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
-    val sym = e.select($"a".as("u"), $"b".as("v"))
-      .unionAll(e.select($"b".as("u"), $"a".as("v")))
-    var labels = sym.select($"u").distinct().select($"u", $"u".as("label"))
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+    var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter($"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(df: DataFrame): (Long, String) = {
+      // hashes sum in DECIMAL(38,0): 2^63-magnitude longs overflow an
+      // ANSI long sum after a handful of rows
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64($"u", $"v").cast("decimal(38,0)")), lit(0))).head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    if (e.isEmpty) return e.select($"u".as("node"), $"v".as("component"))
+    var prevFp = fingerprint(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val viaNbr = sym.join(labels.select($"u".as("v"), $"label"), Seq("v"))
-        .select($"u", $"label")
-      val next = labels.unionAll(viaNbr)
-        .groupBy($"u").agg(min($"label").as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextFp = fingerprint(next)
+      if (nextFp == prevFp) {
+        // hash agreement is probabilistic; confirm exactly once per
+        // convergence (equal counts + empty difference ⇒ equal multisets)
+        converged = next.exceptAll(e).isEmpty
+      }
+      prevFp = nextFp
       // previous rounds' checkpoint blocks are survivor-set-sized and
-      // reclaimed by the ContextCleaner once `labels` rebinds
-      labels = next
+      // reclaimed by the ContextCleaner once `e` rebinds
+      e = next
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"label propagation did not converge in $rounds rounds — " +
-        "component diameter exceeds the cap; use a large-star/small-star formulation")
-    labels.select($"u".as("node"), $"label".as("component"))
+      s"star alternation did not converge in $rounds rounds — " +
+        "raise maxRounds (O(log² n) bounds it; this graph should be inspected)")
+    // fixpoint is a star forest oriented child(u) → root(v): every node's
+    // label is its root; roots label themselves
+    e.select($"u".as("node"), $"v".as("component"))
+      .unionAll(e.select($"v".as("node"), $"v".as("component")))
+      .groupBy($"node").agg(min($"component").as("component"))
   }
 }
