@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ SeqOps.queries ++ CorpusOps.queries ++
       StatsOps.queries ++ Curation.queries ++ PortableMinHash.queries ++ PortableAnn.queries ++
-      Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++
+      Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++ Indicators.queries ++
       Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
@@ -31,7 +31,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ SeqOps.oracles ++ CorpusOps.oracles ++
       StatsOps.oracles ++ Curation.oracles ++ PortableMinHash.oracles ++ PortableAnn.oracles ++
-      Mixing.oracles ++ SemDedup.oracles ++ RuntimeFilter.oracles ++
+      Mixing.oracles ++ SemDedup.oracles ++ RuntimeFilter.oracles ++ Indicators.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql)
 }

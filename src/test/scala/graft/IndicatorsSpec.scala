@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Indicators
+
+/** Invariants for the technical-indicator tier (q90–q92). The DuckDB
+  * hash-match is the cross-engine gate; these specs pin the mathematical
+  * properties that a hash can't explain when it breaks.
+  */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q90: band ordering, RSI range, drawdown sign, SMA window mean") {
+    val rows = Indicators.q90Indicators(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sma = r.getAs[Double]("sma7")
+      val up = r.getAs[Double]("bb_upper")
+      val lo = r.getAs[Double]("bb_lower")
+      assert(lo <= sma && sma <= up, s"band ordering violated: $r")
+      val dd = r.getAs[Double]("drawdown")
+      assert(dd <= 0.0, s"drawdown must be <= 0: $r")
+      if (!r.isNullAt(r.fieldIndex("rsi14"))) {
+        val rsi = r.getAs[Double]("rsi14")
+        assert(rsi >= 0.0 && rsi <= 100.0, s"RSI out of range: $r")
+      }
+    }
+    // first row of each series: window has 1 row, so sma7 == quantized close
+    val firstBySeries = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (_, rs) => rs.minBy(_.getAs[String]("day")) }
+    firstBySeries.foreach { r =>
+      val cl = math.floor(r.getAs[Double]("close") * 10000) / 10000.0
+      assert(math.abs(r.getAs[Double]("sma7") - cl) < 1e-9,
+        s"1-row SMA != close: $r")
+    }
+  }
+
+  test("q90: monotone series has RSI 100 and zero drawdown at the high") {
+    // synthetic strictly-increasing series → every diff is a gain
+    val ev = (1 to 20).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+        1L, "up", 100.0 + i, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ind").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q90Indicators(spark, dir).collect()
+    assert(out.length == 20)
+    out.drop(1).foreach { r =>
+      assert(r.getAs[Double]("rsi14") == 100.0, s"monotone-up RSI must be 100: $r")
+      assert(r.getAs[Double]("drawdown") == 0.0, s"new high has zero drawdown: $r")
+    }
+  }
+
+  test("q91: correlation is in [-1,1]; identical series correlate at ~1") {
+    val rows = Indicators.q91ReturnCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("ret_corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $r")
+    }
+    // two copies of the same walk (offset event ids, same values) → corr ~ 1
+    val walk = (1 to 25).flatMap { i =>
+      val v = 100.0 + 7 * math.sin(i * 1.3) + i % 5
+      Seq(
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-02-$i%02d 12:00:00"), 1L, "a", v, "{}"),
+        (100 + i.toLong, java.sql.Timestamp.valueOf(f"2024-02-$i%02d 12:00:00"), 1L, "b", v, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    walk.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val c = Indicators.q91ReturnCorr(spark, dir).collect()
+    assert(c.length == 1)
+    // returns are quantized to basis points; identical series differ only
+    // by the (identical) quantization → corr exactly 1 up to fxp rounding
+    assert(math.abs(c.head.getAs[Double]("ret_corr") - 1.0) < 1e-6, c.head.toString)
+  }
+
+  test("q92: flagged outliers all exceed the robust-z threshold, both tails") {
+    val rows = Indicators.q92MadOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rz")) > 3.5, s"under-threshold row: $r")
+      val recomputed = 0.6745 * (r.getAs[Double]("value") - r.getAs[Double]("med")) /
+        r.getAs[Double]("mad")
+      assert(recomputed == r.getAs[Double]("rz"), s"rz not reproducible: $r")
+    }
+  }
+}
