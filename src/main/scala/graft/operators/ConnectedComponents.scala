@@ -52,10 +52,12 @@ object ConnectedComponents {
       .unionAll(edges.select($"v".as("u"), $"u".as("v")))
     val m = sym.groupBy($"u").agg(min($"v").as("mv"))
       .select($"u", least($"u", $"mv").as("m"))
+    // no distinct here: duplicate (v,m) pairs are bounded by the sym edge
+    // count and the composite round ends in smallStar's distinct — one
+    // fewer exchange per round
     sym.join(m, "u")
       .filter($"v" > $"u")
       .select($"v".as("u"), $"m".as("v"))
-      .distinct()
   }
 
   /** One small-star round: orient larger→smaller, then hang each node's
@@ -100,8 +102,8 @@ object ConnectedComponents {
         coalesce(sum(xxhash64($"u", $"v").cast("decimal(38,0)")), lit(0))).head
       (r.getLong(0), String.valueOf(r.get(1)))
     }
-    if (e.isEmpty) return e.select($"u".as("node"), $"v".as("component"))
     var prevFp = fingerprint(e)
+    if (prevFp._1 == 0L) return e.select($"u".as("node"), $"v".as("component"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -118,6 +120,8 @@ object ConnectedComponents {
       e = next
       rounds += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$rounds")
     if (!converged) throw new IllegalStateException(
       s"star alternation did not converge in $rounds rounds — " +
         "raise maxRounds (O(log² n) bounds it; this graph should be inspected)")

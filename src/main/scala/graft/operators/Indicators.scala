@@ -38,6 +38,7 @@ object Indicators {
     events(s, d)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day_ts"))
       .agg(
+        min_by($"value", $"ts").as("open"),
         max_by($"value", $"ts").as("close"),
         max($"value").as("high"),
         min($"value").as("low"),
@@ -47,6 +48,7 @@ object Indicators {
 
   private val dailySql =
     """SELECT event_type, DATE_TRUNC('day', ts) AS day_ts,
+      |    ARG_MIN(value, ts) AS open,
       |    ARG_MAX(value, ts) AS close, MAX(value) AS high, MIN(value) AS low,
       |    COUNT(*) AS n_trades,
       |    CAST(FLOOR(ARG_MAX(value, ts) * 10000) AS BIGINT) AS cl
@@ -246,15 +248,191 @@ object Indicators {
       |WHERE ABS(0.6745 * (d.value - d.med) / m.mad) > 3.5
       |ORDER BY d.event_type, d.event_id""".stripMargin
 
+  /** Linear interpolation of missing hourly values (extends q68's
+    * zero-fill/forward-fill with the third gap policy a series lake
+    * needs). Neighbor values are order statistics (arg_max per hour,
+    * last/first ignoreNulls over the grid) — raw doubles, no summation —
+    * and the interpolation weight is an integer-hour ratio, so the
+    * arithmetic chain is identical in both engines. Grid build and both
+    * window passes share one (user) partitioning; state is O(1) per row.
+    */
+  def q93Interpolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hl = events(s, d)
+      .filter($"user_id" < 30)
+      .select($"user_id", expr("unix_micros(ts) DIV 3600000000").as("hour"),
+        $"ts", $"value")
+      .groupBy($"user_id", $"hour")
+      .agg(max_by($"value", $"ts").as("val"))
+    val grid = hl.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("hour"))
+    val past = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hl, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last($"val", ignoreNulls = true).over(past))
+      .withColumn("ph", last(when($"val".isNotNull, $"hour"), ignoreNulls = true).over(past))
+      .withColumn("nv", first($"val", ignoreNulls = true).over(future))
+      .withColumn("nh", first(when($"val".isNotNull, $"hour"), ignoreNulls = true).over(future))
+      .withColumn("interp",
+        when($"val".isNotNull, $"val")
+          .when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + ($"nv" - $"pv") *
+              (($"hour" - $"ph").cast("double") / ($"nh" - $"ph").cast("double")))
+          .when($"pv".isNotNull, $"pv")
+          .otherwise($"nv"))
+      .select($"user_id", $"hour", $"val", $"interp", $"val".isNull.as("is_gap"))
+      .orderBy($"user_id", $"hour")
+  }
+
+  val q93Sql: String =
+    """WITH hl AS (
+      |  SELECT user_id, EPOCH_US(ts) // 3600000000 AS hour, ARG_MAX(value, ts) AS val
+      |  FROM events WHERE user_id < 30 GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, UNNEST(RANGE(MIN(hour), MAX(hour) + 1)) AS hour
+      |  FROM hl GROUP BY user_id
+      |), nbr AS (
+      |  SELECT g.user_id, g.hour, h.val,
+      |    LAST_VALUE(h.val IGNORE NULLS) OVER past AS pv,
+      |    LAST_VALUE(CASE WHEN h.val IS NOT NULL THEN g.hour END IGNORE NULLS) OVER past AS ph,
+      |    FIRST_VALUE(h.val IGNORE NULLS) OVER future AS nv,
+      |    FIRST_VALUE(CASE WHEN h.val IS NOT NULL THEN g.hour END IGNORE NULLS) OVER future AS nh
+      |  FROM grid g LEFT JOIN hl h ON h.user_id = g.user_id AND h.hour = g.hour
+      |  WINDOW past AS (PARTITION BY g.user_id ORDER BY g.hour ROWS UNBOUNDED PRECEDING),
+      |    future AS (PARTITION BY g.user_id ORDER BY g.hour
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, hour, val,
+      |  CASE WHEN val IS NOT NULL THEN val
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         pv + (nv - pv) * (CAST(hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+      |       WHEN pv IS NOT NULL THEN pv
+      |       ELSE nv END AS interp,
+      |  val IS NULL AS is_gap
+      |FROM nbr
+      |ORDER BY user_id, hour""".stripMargin
+
+  /** Candle pattern detection (doji / hammer / bullish engulfing /
+    * gap-up) over the daily series. Every predicate is an integer
+    * comparison on fixed-point OHLC (×10⁴) — cross-engine determinism is
+    * structural, not numeric. One window pass for the lagged prior
+    * candle; pure map after that.
+    */
+  def q94CandlePatterns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day_ts")
+    val fxp = dailyCandles(s, d)
+      .withColumn("o", floor($"open" * 10000).cast("long"))
+      .withColumn("h", floor($"high" * 10000).cast("long"))
+      .withColumn("l", floor($"low" * 10000).cast("long"))
+      .withColumn("c", $"cl")
+    val body = abs($"c" - $"o")
+    val lower = least($"o", $"c") - $"l"
+    val upper = $"h" - greatest($"o", $"c")
+    fxp
+      .withColumn("po", lag($"o", 1).over(w))
+      .withColumn("pc", lag($"c", 1).over(w))
+      .withColumn("ph", lag($"h", 1).over(w))
+      .withColumn("doji", body * 10 <= $"h" - $"l")
+      .withColumn("hammer", lower >= body * 2 && upper <= body)
+      .withColumn("bull_engulf",
+        $"po" > $"pc" && $"c" > $"o" && $"o" <= $"pc" && $"c" >= $"po")
+      .withColumn("gap_up", $"l" > $"ph")
+      .filter($"doji" || $"hammer" ||
+        coalesce($"bull_engulf", lit(false)) || coalesce($"gap_up", lit(false)))
+      .select($"event_type", date_format($"day_ts", "yyyy-MM-dd").as("day"),
+        $"open", $"high", $"low", $"close",
+        $"doji", $"hammer",
+        coalesce($"bull_engulf", lit(false)).as("bull_engulf"),
+        coalesce($"gap_up", lit(false)).as("gap_up"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q94Sql: String =
+    s"""WITH daily AS (
+      |  $dailySql
+      |), fxp AS (
+      |  SELECT *, CAST(FLOOR(open * 10000) AS BIGINT) AS o,
+      |    CAST(FLOOR(high * 10000) AS BIGINT) AS h,
+      |    CAST(FLOOR(low * 10000) AS BIGINT) AS l,
+      |    cl AS c
+      |  FROM daily
+      |), lagged AS (
+      |  SELECT *, LAG(o, 1) OVER w AS po, LAG(c, 1) OVER w AS pc, LAG(h, 1) OVER w AS ph
+      |  FROM fxp WINDOW w AS (PARTITION BY event_type ORDER BY day_ts)
+      |), flags AS (
+      |  SELECT *,
+      |    ABS(c - o) * 10 <= h - l AS doji,
+      |    LEAST(o, c) - l >= ABS(c - o) * 2 AND h - GREATEST(o, c) <= ABS(c - o) AS hammer,
+      |    COALESCE(po > pc AND c > o AND o <= pc AND c >= po, FALSE) AS bull_engulf,
+      |    COALESCE(l > ph, FALSE) AS gap_up
+      |  FROM lagged
+      |)
+      |SELECT event_type, STRFTIME(day_ts, '%Y-%m-%d') AS day,
+      |  open, high, low, close, doji, hammer, bull_engulf, gap_up
+      |FROM flags
+      |WHERE doji OR hammer OR bull_engulf OR gap_up
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Cross-series spread monitor — the quant flagship: resample two
+    * series to hourly closes (one scan, one agg), pair them on the hour,
+    * robust-z the spread with q92's MAD machinery (order statistics +
+    * one fixed double chain), flag |z| > 3. The paired relation and both
+    * stat relations are series-sized; the corpus is scanned once.
+    */
+  def q95SpreadMonitor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hc = events(s, d)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour"), $"event_type")
+      .agg(max_by($"value", $"ts").as("close"))
+    val a = hc.filter($"event_type" === "click").select($"hour", $"close".as("ca"))
+    val b = hc.filter($"event_type" === "view").select($"hour", $"close".as("cb"))
+    val sp = a.join(b, "hour").withColumn("spread", $"ca" - $"cb")
+    val med = sp.agg(percentile($"spread", lit(0.5)).as("med"))
+    val dev = sp.crossJoin(broadcast(med)).withColumn("ad", abs($"spread" - $"med"))
+    val mad = dev.agg(percentile($"ad", lit(0.5)).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("rz", lit(0.6745) * ($"spread" - $"med") / $"mad")
+      .filter(abs($"rz") > 3.0)
+      .select($"hour", $"ca", $"cb", $"spread", $"rz")
+      .orderBy($"hour")
+  }
+
+  val q95Sql: String =
+    """WITH hc AS (
+      |  SELECT EPOCH_US(ts) // 3600000000 AS hour, event_type, ARG_MAX(value, ts) AS close
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+      |), sp AS (
+      |  SELECT a.hour, a.close AS ca, b.close AS cb, a.close - b.close AS spread
+      |  FROM hc a JOIN hc b USING (hour)
+      |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+      |), st AS (SELECT QUANTILE_CONT(spread, 0.5) AS med FROM sp),
+      |dev AS (SELECT sp.*, st.med, ABS(spread - med) AS ad FROM sp, st),
+      |m2 AS (SELECT QUANTILE_CONT(ad, 0.5) AS mad FROM dev)
+      |SELECT hour, ca, cb, spread, 0.6745 * (spread - med) / mad AS rz
+      |FROM dev, m2
+      |WHERE ABS(0.6745 * (spread - med) / mad) > 3.0
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_indicators" -> (q90Indicators _),
     "q91_return_corr" -> (q91ReturnCorr _),
     "q92_mad_outliers" -> (q92MadOutliers _),
+    "q93_interpolate" -> (q93Interpolate _),
+    "q94_candle_patterns" -> (q94CandlePatterns _),
+    "q95_spread_monitor" -> (q95SpreadMonitor _),
   )
 
   val oracles: Map[String, String] = Map(
     "q90_indicators" -> q90Sql,
     "q91_return_corr" -> q91Sql,
     "q92_mad_outliers" -> q92Sql,
+    "q93_interpolate" -> q93Sql,
+    "q94_candle_patterns" -> q94Sql,
+    "q95_spread_monitor" -> q95Sql,
   )
 }

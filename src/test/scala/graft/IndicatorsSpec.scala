@@ -74,6 +74,62 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(c.head.getAs[Double]("ret_corr") - 1.0) < 1e-6, c.head.toString)
   }
 
+  test("q93: present hours pass through; gaps interpolate strictly between neighbors") {
+    val rows = Indicators.q93Interpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.getAs[Boolean]("is_gap"))
+        assert(r.getAs[Double]("interp") == r.getAs[Double]("val"), s"pass-through broken: $r")
+      assert(!r.isNullAt(r.fieldIndex("interp")), s"null interp inside grid span: $r")
+    }
+  }
+
+  test("q93: a linear synthetic series interpolates its gap exactly") {
+    // hours 0,1,2,3,10 with value = 5*hour; hours 4..9 missing →
+    // linear interpolation must reconstruct 5*hour exactly
+    val ev = Seq(0, 1, 2, 3, 10).map { h =>
+      (h.toLong, java.sql.Timestamp.valueOf(f"2024-03-01 ${h}%02d:30:00"),
+        1L, "s", 5.0 * h, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q93Interpolate(spark, dir).collect()
+    assert(out.length == 11)
+    out.foreach { r =>
+      val h = r.getAs[Long]("hour") % 24
+      assert(r.getAs[Double]("interp") == 5.0 * h, s"not linear: $r")
+    }
+  }
+
+  test("q94: planted engulfing candle and gap-up fire; flags recompute") {
+    // day1 red (open 110 close 100), day2 green engulfing (95→115),
+    // day3 gaps up (low 130 > day2 high 120)
+    def candle(day: Int, o: Double, h: Double, l: Double, c: Double) = Seq(
+      (day * 10L, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 01:00:00"), 1L, "p", o, "{}"),
+      (day * 10L + 1, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 12:00:00"), 1L, "p", h, "{}"),
+      (day * 10L + 2, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 13:00:00"), 1L, "p", l, "{}"),
+      (day * 10L + 3, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 23:00:00"), 1L, "p", c, "{}"))
+    val ev = (candle(1, 110, 112, 99, 100) ++ candle(2, 95, 120, 94, 115) ++
+      candle(3, 131, 140, 130, 135))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("candle").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q94CandlePatterns(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Boolean]("bull_engulf"), r.getAs[Boolean]("gap_up"))).toMap
+    assert(out.get("2024-04-02").exists(_._1), s"engulfing not flagged: $out")
+    assert(out.get("2024-04-03").exists(_._2), s"gap-up not flagged: $out")
+  }
+
+  test("q95: flagged spreads exceed |z|=3 and rz is reproducible from the row") {
+    val rows = Indicators.q95SpreadMonitor(spark, sf).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rz")) > 3.0, s"under threshold: $r")
+      assert(r.getAs[Double]("spread") ==
+        r.getAs[Double]("ca") - r.getAs[Double]("cb"), s"spread mismatch: $r")
+    }
+  }
+
   test("q92: flagged outliers all exceed the robust-z threshold, both tails") {
     val rows = Indicators.q92MadOutliers(spark, sf).collect()
     assert(rows.nonEmpty)
