@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the grouping
@@ -50,12 +51,14 @@ object ConnectedComponents {
     import s.implicits._
     val sym = edges.select($"u", $"v")
       .unionAll(edges.select($"v".as("u"), $"u".as("v")))
-    val m = sym.groupBy($"u").agg(min($"v").as("mv"))
-      .select($"u", least($"u", $"mv").as("m"))
-    // no distinct here: duplicate (v,m) pairs are bounded by the sym edge
-    // count and the composite round ends in smallStar's distinct — one
-    // fewer exchange per round
-    sym.join(m, "u")
+    // whole-partition window min instead of groupBy+self-join: the
+    // neighborhood minimum rides along each row after ONE hash exchange
+    // on u, where the join formulation re-shuffles the edge relation a
+    // second time. No distinct here either: duplicate (v,m) pairs are
+    // bounded by |sym| and the composite round ends in smallStar's
+    // distinct.
+    val byU = Window.partitionBy($"u")
+    sym.withColumn("m", least($"u", min($"v").over(byU)))
       .filter($"v" > $"u")
       .select($"v".as("u"), $"m".as("v"))
   }
@@ -69,11 +72,12 @@ object ConnectedComponents {
     val oriented = edges
       .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       .filter($"u" =!= $"v")
-    val m = oriented.groupBy($"u").agg(min($"v").as("m"))
-    val hangNbrs = oriented.join(m, "u")
-      .filter($"v" =!= $"m")
-      .select($"v".as("u"), $"m".as("v"))
-    val hangSelf = m.select($"u", $"m".as("v"))
+    val byU = Window.partitionBy($"u")
+    val withM = oriented.withColumn("m", min($"v").over(byU))
+    // (u,m) self-edges duplicate per neighbor row; the closing distinct
+    // dedups them with the round's one intentional exchange
+    val hangNbrs = withM.filter($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
+    val hangSelf = withM.select($"u", $"m".as("v"))
     hangNbrs.unionAll(hangSelf).distinct()
   }
 

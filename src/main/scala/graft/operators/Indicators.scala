@@ -385,13 +385,21 @@ object Indicators {
     */
   def q95SpreadMonitor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hc = events(s, d)
+    // no self-join: both series pair in ONE aggregate via conditional
+    // arg-max (max_by ignores rows whose ordering expr is null), so the
+    // corpus is scanned and shuffled exactly once — per-series filters
+    // would otherwise push into two canonically-different scans and
+    // defeat exchange reuse
+    val sp = events(s, d)
       .filter($"event_type".isin("click", "view"))
-      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour"), $"event_type")
-      .agg(max_by($"value", $"ts").as("close"))
-    val a = hc.filter($"event_type" === "click").select($"hour", $"close".as("ca"))
-    val b = hc.filter($"event_type" === "view").select($"hour", $"close".as("cb"))
-    val sp = a.join(b, "hour").withColumn("spread", $"ca" - $"cb")
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour"))
+      .agg(
+        max_by(when($"event_type" === "click", $"value"),
+          when($"event_type" === "click", $"ts")).as("ca"),
+        max_by(when($"event_type" === "view", $"value"),
+          when($"event_type" === "view", $"ts")).as("cb"))
+      .filter($"ca".isNotNull && $"cb".isNotNull)
+      .withColumn("spread", $"ca" - $"cb")
     val med = sp.agg(percentile($"spread", lit(0.5)).as("med"))
     val dev = sp.crossJoin(broadcast(med)).withColumn("ad", abs($"spread" - $"med"))
     val mad = dev.agg(percentile($"ad", lit(0.5)).as("mad"))
@@ -404,12 +412,13 @@ object Indicators {
 
   val q95Sql: String =
     """WITH hc AS (
-      |  SELECT EPOCH_US(ts) // 3600000000 AS hour, event_type, ARG_MAX(value, ts) AS close
-      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+      |  SELECT EPOCH_US(ts) // 3600000000 AS hour,
+      |    ARG_MAX(value, ts) FILTER (event_type = 'click') AS ca,
+      |    ARG_MAX(value, ts) FILTER (event_type = 'view') AS cb
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
       |), sp AS (
-      |  SELECT a.hour, a.close AS ca, b.close AS cb, a.close - b.close AS spread
-      |  FROM hc a JOIN hc b USING (hour)
-      |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+      |  SELECT hour, ca, cb, ca - cb AS spread
+      |  FROM hc WHERE ca IS NOT NULL AND cb IS NOT NULL
       |), st AS (SELECT QUANTILE_CONT(spread, 0.5) AS med FROM sp),
       |dev AS (SELECT sp.*, st.med, ABS(spread - med) AS ad FROM sp, st),
       |m2 AS (SELECT QUANTILE_CONT(ad, 0.5) AS mad FROM dev)

@@ -161,6 +161,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q90 indicators: one events scan, all four window frames share one sort") {
+    val df = Indicators.q90Indicators(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"expected 1 events scan")
+    // 2 sorts: one under the stacked Window operators, one for the final
+    // ORDER BY — a third means the frames stopped sharing a partitioning
+    assert("Sort ".r.findAllIn(p).length <= 2,
+      "window frames must share a single sort:\n" + p.take(800))
+  }
+
+  test("q91/q95 pair queries scan events once (exchange reuse across self-join)") {
+    for ((name, df) <- Seq(
+        "q91" -> Indicators.q91ReturnCorr(spark, sf),
+        "q95" -> Indicators.q95SpreadMonitor(spark, sf))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$name: expected 1 events scan, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: series-sized relations must broadcast")
+    }
+  }
+
+  test("q92 MAD stats broadcast over the events scan") {
+    val p = plan(Indicators.q92MadOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "|series|-row median/MAD relations must broadcast")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints codegen stages only in the FINAL plan — execute first
     val df = Relational.q01PricingSummary(spark, sf)
