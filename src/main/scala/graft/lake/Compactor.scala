@@ -1,0 +1,95 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the partitioned candle lake — the
+  * maintenance operator every long-running ingest (SURVEY.md §2.2 K1/K2)
+  * eventually needs: each incremental `MergeWriter.merge` writes its
+  * shuffle-parallelism's worth of files into the touched partitions, and
+  * a year of 15-minute merges leaves thousands of kilobyte files whose
+  * open/footer overhead dominates scan time at 100 TB.
+  *
+  * Shape: ONE driver-side metadata listing (the same FileSystem walk any
+  * table format's manifest maintenance does) picks partitions whose file
+  * count exceeds the threshold; only those partitions are read —
+  * broadcast semi join on the partition tuple, so partition pruning
+  * applies — shuffled once on the partition key, and rewritten with
+  * dynamic partition overwrite. Cost scales with the bytes of the
+  * fragmented partitions, never with lake size. Untouched partitions are
+  * never listed by the rewrite (dynamic overwrite replaces only
+  * partitions present in the incoming relation).
+  *
+  * One file per partition is the target (candle partitions are bounded:
+  * a (symbol, interval, exchange, date) holds ≤ 1 day of candles);
+  * `maxRecordsPerFile` caps pathological partitions so a single task
+  * still emits bounded files.
+  */
+object Compactor {
+  private val Keys = Seq("symbol", "interval", "data_type", "exchange", "date")
+
+  /** Partition-level fragmentation report: one row per partition
+    * directory with file count and total bytes. Pure metadata — no data
+    * read. Listing is driver-side but proportional to file count, the
+    * same order as the planner's own listing for any scan of the lake.
+    */
+  def fragmentation(spark: SparkSession, path: String): Seq[(Map[String, String], Int, Long)] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(hPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(fs.makeQualified(hPath).toString)
+      if (f.getPath.getName.endsWith(".parquet")) files += ((rel, f.getLen))
+    }
+    files
+      .groupBy { case (rel, _) =>
+        rel.split("/").filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> v
+        }.toMap
+      }
+      .map { case (part, fs0) => (part, fs0.size, fs0.map(_._2).sum) }
+      .toSeq
+  }
+
+  /** Rewrite every partition holding more than `maxFiles` parquet files
+    * into (up to `maxRecordsPerFile`-bounded) single files. Returns a
+    * summary relation (partition cols, files_before) of what was
+    * compacted; no-op (empty result) when nothing is fragmented.
+    */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 1,
+              maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    import spark.implicits._
+    val frag = fragmentation(spark, path)
+      .filter { case (part, n, _) => n > maxFiles && part.keySet == Keys.toSet }
+    val summary = frag
+      .map { case (part, n, bytes) =>
+        (part("symbol"), part("interval"), part("data_type"), part("exchange"),
+          part("date"), n, bytes)
+      }
+      .toDF("symbol", "interval", "data_type", "exchange", "date",
+        "files_before", "bytes")
+    if (frag.isEmpty) return summary
+    val touched = summary.select(Keys.map(col): _*)
+    val affected = spark.read.parquet(path)
+      .join(broadcast(touched), Keys, "left_semi")
+      // cut lineage from the path being overwritten (same constraint as
+      // MergeWriter.merge); affected partitions are the fragmented ones
+      // only, so checkpoint storage is bounded by what gets rewritten
+      .localCheckpoint()
+    affected
+      // one shuffle on the partition tuple → one task per partition →
+      // one output file (maxRecordsPerFile splits oversized ones)
+      .repartition(Keys.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(Keys: _*)
+      .parquet(path)
+    summary.orderBy(Keys.map(col): _*)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.lake.{Compactor, MergeWriter}
+import graft.model.Candle
+
+/** Lake compaction (K1 maintenance): fragmented partitions collapse to
+  * one file each, data survives byte-identical, untouched partitions'
+  * files are left alone, and a compacted lake is a no-op.
+  */
+class CompactorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1609459200000L // 2021-01-01
+  private val Day = 86400000L
+
+  private def candles(rows: (Long, Double, String)*): DataFrame =
+    rows.map { case (tsMs, close, exch) =>
+      Candle(new Timestamp(tsMs), 1.0, 2.0, 0.5, close, 10.0, "BTC-USDT", exch)
+    }.toDF()
+
+  private def tmpLake(): String =
+    Files.createTempDirectory("graft_compact").toString + "/lake"
+
+  private def fileCounts(lake: String): Map[String, Int] =
+    Compactor.fragmentation(spark, lake)
+      .map { case (part, n, _) => part("date") + "/" + part("exchange") -> n }
+      .toMap
+
+  test("fragmented partition compacts to one file; rows byte-identical") {
+    val lake = tmpLake()
+    // 4-way repartition fans one day's candles across 4 files
+    val batch = MergeWriter.withPartitionCols(
+      candles((0 until 8).map(i => (T0 + i * 900000L, 100.0 + i, "coinbase")): _*),
+      "15m", "spot").repartition(4)
+    batch.withColumn("ingest_seq", org.apache.spark.sql.functions.lit(1L))
+      .write.partitionBy("symbol", "interval", "data_type", "exchange", "date")
+      .parquet(lake)
+    assert(fileCounts(lake).values.head == 4)
+
+    val before = spark.read.parquet(lake).orderBy("timestamp").collect().toSeq
+    val summary = Compactor.compact(spark, lake).collect()
+    assert(summary.length == 1 && summary.head.getAs[Int]("files_before") == 4)
+    assert(fileCounts(lake).values.head == 1)
+    val after = spark.read.parquet(lake).orderBy("timestamp").collect().toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
+  test("only fragmented partitions rewrite; single-file partitions keep their file") {
+    val lake = tmpLake()
+    // day 1: single file; day 2: 3 files
+    MergeWriter.merge(spark, MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase")), "15m", "spot").coalesce(1), lake, 1)
+    MergeWriter.withPartitionCols(
+      candles((0 until 6).map(i => (T0 + Day + i * 900000L, 200.0 + i, "coinbase")): _*),
+      "15m", "spot")
+      .withColumn("ingest_seq", org.apache.spark.sql.functions.lit(2L))
+      .repartition(3)
+      .write.mode("append")
+      .partitionBy("symbol", "interval", "data_type", "exchange", "date")
+      .parquet(lake)
+
+    val hPath = new org.apache.hadoop.fs.Path(lake)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def day1Files(): Set[String] = {
+      val it = fs.listFiles(hPath, true)
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.contains("date=20210101") &&
+          f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.toSet
+    }
+    val day1Before = day1Files()
+
+    val summary = Compactor.compact(spark, lake).collect()
+    assert(summary.map(_.getAs[String]("date")).toSeq == Seq("20210102"),
+      s"only the fragmented day must compact: ${summary.mkString(",")}")
+    assert(day1Files() == day1Before,
+      "dynamic overwrite must not touch the single-file partition")
+    assert(fileCounts(lake) == Map("20210101/coinbase" -> 1, "20210102/coinbase" -> 1))
+  }
+
+  test("compacting a compacted (or absent) lake is a no-op") {
+    val lake = tmpLake()
+    assert(Compactor.compact(spark, lake).isEmpty)
+    MergeWriter.merge(spark, MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase")), "15m", "spot").coalesce(1), lake, 1)
+    Compactor.compact(spark, lake)
+    assert(Compactor.compact(spark, lake).isEmpty)
+  }
+
+  test("maxRecordsPerFile splits an oversized partition into bounded files") {
+    val lake = tmpLake()
+    MergeWriter.withPartitionCols(
+      candles((0 until 40).map(i => (T0 + i * 900000L, 100.0 + i, "coinbase")): _*),
+      "15m", "spot")
+      .withColumn("ingest_seq", org.apache.spark.sql.functions.lit(1L))
+      .repartition(4)
+      .write.partitionBy("symbol", "interval", "data_type", "exchange", "date")
+      .parquet(lake)
+    Compactor.compact(spark, lake, maxFiles = 1, maxRecordsPerFile = 15L)
+    // 40 rows / 15-per-file cap → 3 files, still fewer than the 4 input
+    val counts = fileCounts(lake)
+    assert(counts.values.head == 3, s"expected 3 capped files: $counts")
+    assert(spark.read.parquet(lake).count() == 40)
+  }
+}
