@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.sources.Tables._
+
+/** Distribution-drift monitors — the data-quality instrumentation a
+  * long-running ingest pipeline runs between snapshots: "does source X
+  * still look like the corpus?" (chi-square goodness of fit) and "did
+  * this metric's distribution move between cohorts?" (two-sample
+  * Kolmogorov–Smirnov). The reference collects and stores but never
+  * validates (crypto_collector.py:529–560); production pipelines gate
+  * promotion of a new snapshot on exactly these statistics.
+  *
+  * Determinism contract: all counts are exact longs off one scan;
+  * every derived double is one identical exactly-rounded IEEE chain
+  * (integer→double conversion, one divide, one subtract, one multiply)
+  * in Spark and DuckDB; order-sensitive float SUMs go through
+  * [[Exact.dsum]] (decimal accumulation); KS's MAX is order-free.
+  */
+object Drift {
+
+  /** q96 — per-source chi-square drift of the document-length
+    * distribution against the whole corpus.
+    *
+    * Shape for 100 TB: ONE corpus scan feeds the (source, bucket)
+    * partial+final count aggregate; every marginal (per-source totals,
+    * per-bucket totals, grand total) is re-aggregated FROM that tiny
+    * relation (|sources|×|buckets| rows), never from the corpus. The
+    * grid completion (a source's empty buckets still contribute their
+    * expected count) is a broadcast left join on the same tiny relation.
+    */
+  def q96DriftChi2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = documents(s, d)
+      .select($"source",
+        least(floor($"n_chars" / 60).cast("long"), lit(9L)).as("bucket"))
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("o"))
+    val srcs = obs.groupBy($"source").agg(sum($"o").as("n_src"))
+    val gb = obs.groupBy($"bucket").agg(sum($"o").as("g"))
+    val tot = obs.agg(sum($"o").as("n_all"))
+    val expected = ($"g" * $"n_src").cast("double") / $"n_all"
+    val term = ($"o" - expected) * ($"o" - expected) / expected
+    srcs.crossJoin(broadcast(gb)).crossJoin(broadcast(tot))
+      .join(obs, Seq("source", "bucket"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+      .select($"source", $"n_src", term.as("term"))
+      .groupBy($"source", $"n_src")
+      .agg(Exact.dsum($"term").as("chi2"))
+      .select($"source", $"n_src".as("n_docs"), $"chi2")
+      .orderBy($"source")
+  }
+
+  val q96Sql: String =
+    s"""WITH b AS (
+       |  SELECT source, LEAST(CAST(FLOOR(n_chars / 60) AS BIGINT), 9) AS bucket
+       |  FROM documents),
+       |obs AS (SELECT source, bucket, COUNT(*) AS o FROM b GROUP BY 1, 2),
+       |srcs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_src FROM obs GROUP BY 1),
+       |gb AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS g FROM obs GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM obs),
+       |terms AS (
+       |  SELECT s.source, s.n_src,
+       |    (COALESCE(o.o, 0) - CAST(gl.g * s.n_src AS DOUBLE) / t.n_all)
+       |      * (COALESCE(o.o, 0) - CAST(gl.g * s.n_src AS DOUBLE) / t.n_all)
+       |      / (CAST(gl.g * s.n_src AS DOUBLE) / t.n_all) AS term
+       |  FROM srcs s CROSS JOIN gb gl CROSS JOIN tot t
+       |  LEFT JOIN obs o ON o.source = s.source AND o.bucket = gl.bucket)
+       |SELECT source, n_src AS n_docs, ${Exact.sqlDsum("term")} AS chi2
+       |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Two-phase distributed empirical CDF: global cumulative counts of
+    * the `a`/`b` indicator columns in value order, WITHOUT a global
+    * single-partition window. Phase 1 aggregates per coarse value
+    * bucket (bounded by the value range, not row count) and prefix-sums
+    * that tiny relation; phase 2 windows WITHIN each bucket and adds
+    * the broadcast carry-in — the q23/q68 carry idiom, so sort
+    * parallelism is per-bucket. `RANGE ... CURRENT ROW` makes
+    * same-value ties share one CDF point in both phases and engines.
+    */
+  private[graft] def cdf2(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val bucketed = ev.withColumn("bucket", floor($"value").cast("long"))
+    val per = bucketed.groupBy($"bucket")
+      .agg(sum($"a").as("ba"), sum($"b").as("bb"))
+    // single-partition window over the BUCKET relation only (≤ value
+    // range rows — hundreds), never the event relation
+    val wB = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = per.select($"bucket",
+      coalesce(sum($"ba").over(wB), lit(0L)).as("ca0"),
+      coalesce(sum($"bb").over(wB), lit(0L)).as("cb0"))
+    val wIn = Window.partitionBy($"bucket").orderBy($"value")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(carry), "bucket")
+      .select($"value",
+        ($"ca0" + sum($"a").over(wIn)).as("ca"),
+        ($"cb0" + sum($"b").over(wIn)).as("cb"))
+  }
+
+  /** q97 — two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event cohorts: D = max |F_a(v) − F_b(v)|.
+    * One scan, one bucket agg, one per-bucket window, one max — no
+    * global sort anywhere.
+    */
+  def q97KsDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"value",
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("a"),
+        when($"event_type" === "view", 1L).otherwise(0L).as("b"))
+    val tot = ev.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    cdf2(ev)
+      .crossJoin(broadcast(tot))
+      .select(abs($"ca".cast("double") / $"na" - $"cb".cast("double") / $"nb")
+        .as("dist"), $"na", $"nb")
+      .groupBy($"na", $"nb").agg(max($"dist").as("ks"))
+      .select($"ks", $"na".as("n_a"), $"nb".as("n_b"))
+  }
+
+  val q97Sql: String =
+    """WITH ev AS (
+      |  SELECT value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM ev),
+      |cum AS (
+      |  SELECT value,
+      |    SUM(a) OVER (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    SUM(b) OVER (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM ev)
+      |SELECT MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)) AS ks,
+      |  na AS n_a, nb AS n_b
+      |FROM cum, tot GROUP BY na, nb""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_drift_chi2" -> (q96DriftChi2 _),
+    "q97_ks_drift" -> (q97KsDrift _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q96_drift_chi2" -> q96Sql,
+    "q97_ks_drift" -> q97Sql,
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.CorpusIngest
+import graft.streaming.CorpusIngest.Doc
+
+/** Streaming corpus ingest: in-batch and cross-batch duplicate text must
+  * collapse first-wins inside the watermark horizon, and the quality
+  * gate must reject degenerate rows before the sink.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1609459200000L
+  private val Good =
+    "the quick brown fox jumps over the lazy dog and runs on to the hills in the morning"
+  private val Short = "too short"
+
+  private def d(id: Long, text: String, tsMs: Long): Doc =
+    Doc(id, text, new Timestamp(tsMs), "web")
+
+  private def runPass(mem: MemoryStream[Doc], dir: String): Unit = {
+    val q = CorpusIngest.dedupedQualityStream(mem.toDF(), "1 hour", 0.1)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .start()
+    q.awaitTermination()
+  }
+
+  test("duplicates collapse first-wins across batches; quality gate drops short docs") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val dir = Files.createTempDirectory("graft_corpus_ingest").toString
+
+    // batch 1: one good doc, an in-batch duplicate of it, and a
+    // quality-reject (too short → q31 score 0)
+    mem.addData(d(1, Good, T0), d(2, Good, T0 + 1000), d(3, Short, T0 + 2000))
+    runPass(mem, dir)
+
+    // batch 2: a cross-batch duplicate (inside the watermark horizon)
+    // and one genuinely new doc
+    mem.addData(d(4, Good, T0 + 60000), d(5, Good + " again", T0 + 61000))
+    runPass(mem, dir)
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 5L),
+      s"expected first-wins survivors 1 and 5, got ${out.toSeq}")
+  }
+
+  test("state is keyed by text hash, not doc_id: distinct texts all pass") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val dir = Files.createTempDirectory("graft_corpus_ingest2").toString
+    mem.addData(
+      d(10, Good + " one", T0), d(11, Good + " two", T0), d(12, Good + " three", T0))
+    runPass(mem, dir)
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
+}
