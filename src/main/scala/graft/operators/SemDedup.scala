@@ -55,8 +55,12 @@ object SemDedup {
       .select($"vec_id", $"pos", $"v".cast("double").as("v"))
     val init = e.filter($"vec_id" < k)
       .select($"vec_id".as("c_id"), $"pos", $"v".as("cv"))
-    val cents = VectorOps.lloydStep(e, init)
-    val assign = VectorOps.lloydAssign(e, cents)
+    // both relations are BOUNDED (codebook k×d; assignment one (long,
+    // long) row per vector) and each has 2+ consumers below — without
+    // truncation every consumer re-runs the full Lloyd aggregation
+    // subtree (the q74/q76 checkpoint posture; measured ~2× on q88)
+    val cents = VectorOps.lloydStep(e, init).localCheckpoint()
+    val assign = VectorOps.lloydAssign(e, cents).localCheckpoint()
     val emb = vecs
       .join(assign, Seq("vec_id"))
       .select($"vec_id", $"c_id".cast("int").as("label"), $"embedding")
