@@ -137,13 +137,74 @@ object Drift {
       |  na AS n_a, nb AS n_b
       |FROM cum, tot GROUP BY na, nb""".stripMargin
 
+  /** q99 — data-quality audit: referential integrity (orphans both
+    * directions), temporal sanity (shipped before ordered), and domain
+    * ranges, reported as one (constraint, violation-count) relation —
+    * the promotion gate a pipeline runs before publishing a snapshot.
+    *
+    * Shape for 100 TB: ONE full-outer shuffle join on the key carries
+    * every cross-table constraint (orphans = null-side counts, the
+    * date inversion = matched-row predicate) AND the single-table
+    * range checks (conditional sums ignore the other side's null
+    * rows), so the whole audit is one exchange per input plus a
+    * map-side-partial scalar aggregate. Adding a constraint is a new
+    * aggregate column, not a new pass.
+    */
+  def q99DqAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d)
+      .select($"l_orderkey", $"l_discount", $"l_quantity", $"l_shipdate")
+    val o = orders(s, d).select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    def viol(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(cond, 1L).otherwise(0L))
+    val c = l.join(o, $"l_orderkey" === $"o_orderkey", "full_outer")
+      .agg(
+        viol($"l_orderkey".isNotNull && $"o_orderkey".isNull)
+          .as("fk_orphan_lineitem"),
+        viol($"o_orderkey".isNotNull && $"l_orderkey".isNull)
+          .as("childless_order"),
+        viol($"l_shipdate" < $"o_orderdate").as("ship_before_order"),
+        viol($"l_discount" < 0 || $"l_discount" > 0.08).as("discount_range"),
+        viol($"l_quantity" <= 0).as("qty_nonpositive"),
+        viol($"o_orderkey".isNotNull && $"o_totalprice" <= 0)
+          .as("price_nonpositive"))
+    c.unpivot(Array.empty[org.apache.spark.sql.Column],
+        "constraint_name", "n_violations")
+      .orderBy($"constraint_name")
+  }
+
+  val q99Sql: String =
+    """WITH j AS (
+      |  SELECT l.l_orderkey AS lk, l.l_discount, l.l_quantity, l.l_shipdate,
+      |         o.o_orderkey AS ok, o.o_orderdate, o.o_totalprice
+      |  FROM lineitem l FULL OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN lk IS NOT NULL AND ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_orphan_lineitem,
+      |    CAST(SUM(CASE WHEN ok IS NOT NULL AND lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_order,
+      |    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_nonpositive,
+      |    CAST(SUM(CASE WHEN ok IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_nonpositive
+      |  FROM j)
+      |SELECT * FROM (
+      |  SELECT 'fk_orphan_lineitem' AS constraint_name, fk_orphan_lineitem AS n_violations FROM c
+      |  UNION ALL SELECT 'childless_order', childless_order FROM c
+      |  UNION ALL SELECT 'ship_before_order', ship_before_order FROM c
+      |  UNION ALL SELECT 'discount_range', discount_range FROM c
+      |  UNION ALL SELECT 'qty_nonpositive', qty_nonpositive FROM c
+      |  UNION ALL SELECT 'price_nonpositive', price_nonpositive FROM c)
+      |ORDER BY constraint_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_drift_chi2" -> (q96DriftChi2 _),
     "q97_ks_drift" -> (q97KsDrift _),
+    "q99_dq_audit" -> (q99DqAudit _),
   )
 
   val oracles: Map[String, String] = Map(
     "q96_drift_chi2" -> q96Sql,
     "q97_ks_drift" -> q97Sql,
+    "q99_dq_audit" -> q99Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -127,11 +128,78 @@ object StatsOps {
       |    AS stddev_pop_price
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  /** q98 — multi-quantile `percentile_cont` (p25/p50/p75/p95 of value
+    * per event type) with EXPLICIT order-statistic interpolation, so
+    * both engines run one identical IEEE chain: lo and hi are exact
+    * parquet doubles picked by row_number, h = (n−1)·p and the mix
+    * lo + (hi−lo)·(h−⌊h⌋) are exactly-rounded ops. (q29 leans on
+    * Spark's `percentile` ≡ DuckDB's QUANTILE_CONT only at exact
+    * midpoints of integral values; this formulation is safe at ANY p
+    * over ANY doubles.)
+    *
+    * Scale shape: exact quantiles need the per-group sort — ONE
+    * shuffle on the group key, one sorted pass computing both window
+    * functions (row_number shares count's partitioning), then a
+    * map-side-partial conditional agg touching 8 rows per group. The
+    * sketch-based alternative for when the sort is too dear is q46's
+    * approx tier.
+    */
+  def q98Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.95 -> "95")
+    val wOrd = Window.partitionBy($"event_type").orderBy($"value")
+    val wAll = Window.partitionBy($"event_type")
+    val r = events(s, d).select($"event_type", $"value")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val aggs = ps.flatMap { case (p, sfx) =>
+      val h = ($"n" - 1) * p
+      Seq(max(when($"rn" === floor(h) + 1, $"value")).as(s"lo$sfx"),
+        max(when($"rn" === ceil(h) + 1, $"value")).as(s"hi$sfx"))
+    }
+    val g = r.groupBy($"event_type").agg(max($"n").as("n"), aggs: _*)
+    val qcols = ps.map { case (p, sfx) =>
+      val h = ($"n" - 1) * p
+      (col(s"lo$sfx") + (col(s"hi$sfx") - col(s"lo$sfx")) * (h - floor(h)))
+        .as(s"p$sfx")
+    }
+    g.select(($"event_type" +: $"n" +: qcols): _*).orderBy($"event_type")
+  }
+
+  val q98Sql: String = {
+    val ps = Seq("0.25" -> "25", "0.5" -> "50", "0.75" -> "75", "0.95" -> "95")
+    // CAST(p AS DOUBLE): a bare 0.95 is DECIMAL in DuckDB, making
+    // h − ⌊h⌋ EXACT (0.35) where Spark's double chain gives
+    // 0.34999…905 — the literal's type must match Spark's DoubleType
+    // for the two engines to run the same IEEE chain
+    val caseCols = ps.map { case (p, sfx) =>
+      s"""    MAX(CASE WHEN rn = CAST(FLOOR((n-1)*CAST($p AS DOUBLE)) AS BIGINT)+1 THEN value END) AS lo$sfx,
+         |    MAX(CASE WHEN rn = CAST(CEIL((n-1)*CAST($p AS DOUBLE)) AS BIGINT)+1 THEN value END) AS hi$sfx""".stripMargin
+    }.mkString(",\n")
+    val mixCols = ps.map { case (p, sfx) =>
+      s"  lo$sfx + (hi$sfx - lo$sfx) * ((n-1)*CAST($p AS DOUBLE) - FLOOR((n-1)*CAST($p AS DOUBLE))) AS p$sfx"
+    }.mkString(",\n")
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, MAX(n) AS n,
+       |$caseCols
+       |  FROM r GROUP BY event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |$mixCols
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_corr_stats" -> (q77CorrStats _),
+    "q98_percentiles" -> (q98Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
     "q77_corr_stats" -> q77Sql,
+    "q98_percentiles" -> q98Sql,
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Drift, StatsOps}
+
+/** q98/q99 behaviors the sf0.01 oracle can't isolate: interpolation at
+  * analytic points on a known series, and planted constraint
+  * violations counted exactly once each.
+  */
+class PercentileAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q98 interpolation hits analytic quantiles of 0..100") {
+    val rows = (0 to 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(1609459200000L + i * 1000L), 1L, "click",
+        i.toDouble, "{}"))
+    val df = StatsOps.q98Percentiles(spark, dirWithEvents(rows))
+    val r = df.head()
+    assert(r.getAs[Long]("n") == 101L)
+    assert(r.getAs[Double]("p25") == 25.0)
+    assert(r.getAs[Double]("p50") == 50.0)
+    assert(r.getAs[Double]("p75") == 75.0)
+    assert(r.getAs[Double]("p95") == 95.0)
+  }
+
+  /** Write an events.parquet matching the testdata layout (nanos
+    * timestamps are only a property of the driver's files; Tables.events
+    * falls back to plain timestamp columns).
+    */
+  private def dirWithEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p98d").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q99 counts planted violations exactly once each") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p99").toString
+    val t0 = new java.sql.Timestamp(1609459200000L)
+    val t1 = new java.sql.Timestamp(1609545600000L)
+    // orders: 1 (clean, childful), 2 (childless), 3 (nonpositive price, childful)
+    Seq((1L, 1L, "O", 10.0, t0, "1-URGENT"),
+        (2L, 1L, "O", 10.0, t0, "1-URGENT"),
+        (3L, 1L, "O", -5.0, t0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // lineitems: order 1 clean; order 3 shipped before ordered + bad
+    // discount + nonpositive qty; orderkey 99 is an orphan
+    Seq((1L, 1L, 1L, 1, 5.0, 100.0, 0.05, 0.0, "N", "O", t1),
+        (3L, 1L, 1L, 1, 0.0, 100.0, 0.5, 0.0, "N", "O",
+          new java.sql.Timestamp(1609372800000L)),
+        (99L, 1L, 1L, 1, 5.0, 100.0, 0.05, 0.0, "N", "O", t1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Drift.q99DqAudit(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "fk_orphan_lineitem" -> 1L,
+      "childless_order" -> 1L,
+      "ship_before_order" -> 1L,
+      "discount_range" -> 1L,
+      "qty_nonpositive" -> 1L,
+      "price_nonpositive" -> 1L), s"got $got")
+  }
+}
