@@ -82,7 +82,18 @@ object Drift {
     */
   private[graft] def cdf2(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
+    // Two passes over the input — the textbook distributed-CDF shape:
+    // the counts pass reads only (bucket, a, b) via a column-pruned
+    // scan and its exchange is REUSED by the grand-total aggregate
+    // ([[totalsFromBuckets]] derives totals from the bucket counts, so
+    // totals cost no third scan); the row pass feeds the per-bucket
+    // window through the exchange its required distribution demands
+    // anyway. (A single shared exchange for both passes is impossible
+    // without defeating column pruning: the counts pass must not read
+    // `value`.)
     val bucketed = ev.withColumn("bucket", floor($"value").cast("long"))
+      .repartition($"bucket")
+    // co-partitioned on the group key → partial+final agg, no exchange
     val per = bucketed.groupBy($"bucket")
       .agg(sum($"a").as("ba"), sum($"b").as("bb"))
     // single-partition window over the BUCKET relation only (≤ value
@@ -100,6 +111,17 @@ object Drift {
         ($"cb0" + sum($"b").over(wIn)).as("cb"))
   }
 
+  /** Grand totals derived from the per-bucket relation (not the raw
+    * input), so KS shares [[cdf2]]'s single scan.
+    */
+  private def totalsFromBuckets(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.withColumn("bucket", floor($"value").cast("long"))
+      .repartition($"bucket")
+      .groupBy($"bucket").agg(sum($"a").as("ba"), sum($"b").as("bb"))
+      .agg(sum($"ba").as("na"), sum($"bb").as("nb"))
+  }
+
   /** q97 — two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two event cohorts: D = max |F_a(v) − F_b(v)|.
     * One scan, one bucket agg, one per-bucket window, one max — no
@@ -112,7 +134,7 @@ object Drift {
       .select($"value",
         when($"event_type" === "purchase", 1L).otherwise(0L).as("a"),
         when($"event_type" === "view", 1L).otherwise(0L).as("b"))
-    val tot = ev.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    val tot = totalsFromBuckets(ev)
     cdf2(ev)
       .crossJoin(broadcast(tot))
       .select(abs($"ca".cast("double") / $"na" - $"cb".cast("double") / $"nb")
