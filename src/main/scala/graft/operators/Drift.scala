@@ -34,10 +34,15 @@ object Drift {
     */
   def q96DriftChi2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the count relation is BOUNDED (|sources|×|buckets|) with four
+    // consumers below whose differing column needs would otherwise
+    // prune the partial aggregates apart and re-scan the corpus per
+    // marginal — the q88 bounded-relation checkpoint posture
     val obs = documents(s, d)
       .select($"source",
         least(floor($"n_chars" / 60).cast("long"), lit(9L)).as("bucket"))
       .groupBy($"source", $"bucket").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val srcs = obs.groupBy($"source").agg(sum($"o").as("n_src"))
     val gb = obs.groupBy($"bucket").agg(sum($"o").as("g"))
     val tot = obs.agg(sum($"o").as("n_all"))

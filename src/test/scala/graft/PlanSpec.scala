@@ -200,6 +200,65 @@ class PlanSpec extends SparkSpec {
       "|series|-row median/MAD relations must broadcast")
   }
 
+  test("q96 chi2: marginals re-aggregate from the count relation, one corpus scan") {
+    val df = Drift.q96DriftChi2(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    // the corpus scan runs ONCE, eagerly, materializing the bounded
+    // (source, bucket) count relation; the final plan must consume
+    // only that checkpoint — any parquet scan here is a corpus rescan
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"marginals must derive from the checkpointed " +
+      s"(source,bucket) counts, not rescan the corpus — got $scans scans")
+    assert(p.contains("Scan ExistingRDD"), p.take(400))
+  }
+
+  test("q97 KS: two pruned passes, totals reuse the counts exchange, no event-sized single-partition window") {
+    val df = Drift.q97KsDrift(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2,
+      s"expected the two-pass CDF shape (rows pass + pruned counts pass; " +
+        s"totals must reuse the counts exchange), got $scans scans")
+    assert(p.contains("ReusedExchange"),
+      "grand totals must reuse the bucket-counts exchange")
+  }
+
+  test("q98 percentiles: both windows share one per-group sort; conditional agg is partial+final") {
+    val p = plan(StatsOps.q98Percentiles(spark, sf))
+    // exactly 2 sorts: ONE shared by both window functions (row_number
+    // + partition count), one for the final ORDER BY — a third would
+    // mean the windows stopped sharing
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts == 2, s"expected window sort + output sort only, got $sorts\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning\\(event_type".r.findAllIn(p).length
+    assert(exchanges == 1, s"both windows and the agg must ride ONE group shuffle, got $exchanges")
+    assert(p.contains("partial_"), "conditional agg must combine map-side")
+  }
+
+  test("q99 audit: single join pass, one scan per input, map-side partial aggregate") {
+    val df = Drift.q99DqAudit(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"every constraint must ride ONE full-outer join " +
+      s"(one scan per input), got $scans scans")
+    assert(p.contains("partial_"), "violation counts must combine map-side")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints codegen stages only in the FINAL plan — execute first
     val df = Relational.q01PricingSummary(spark, sf)
