@@ -96,11 +96,16 @@ object Curation {
       |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
       |), fpx AS (
       |  SELECT s.doc_id, s.fp FROM sel s JOIN buckets b USING (fp)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      |  FROM cand c JOIN sel sa ON sa.doc_id = c.doc_a
+      |               JOIN sel sb ON sb.doc_id = c.doc_b AND sb.fp = sa.fp
+      |  GROUP BY 1, 2
       |), pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      |    FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2) p
+      |  SELECT doc_a, doc_b FROM shared
       |  JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
       |  WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
       |), sym AS (

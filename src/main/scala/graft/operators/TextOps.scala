@@ -256,9 +256,12 @@ object TextOps {
     // multi-minute kernel stalls in long sessions), no recompute (the
     // round-1 formulation cost 24.5 s at sf0.1 from 5 references).
     //
-    // The exact verify is `array_intersect` on the 64-bit hash arrays
-    // instead of a shingle-level join: per-candidate-pair O(|doc|) work,
-    // no extra shuffle. Collision risk per pair ≈ n_a·n_b/2^64 ≈ 1e-15.
+    // The exact verify is the codegen'd `sorted_intersect_count` merge
+    // walk on the sorted 64-bit hash arrays instead of a shingle-level
+    // join: per-candidate-pair O(|doc|) primitive work, no extra
+    // shuffle, no per-row boxing (array_intersect builds a boxed hash
+    // set per ROW — measured ~37 µs/pair, over half of q56's wall).
+    // Collision risk per pair ≈ n_a·n_b/2^64 ≈ 1e-15.
     // At 100 TB the per-doc array is the same order as the text column
     // itself, so the one shuffle is no heavier than shuffling the corpus.
     // Explicit join-key null-filters match the predicates the verify
@@ -301,7 +304,8 @@ object TextOps {
     broadcast(broadcast(cand)
         .join(perDoc.select($"source", $"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("source", "doc_a")))
       .join(perDoc.select($"source", $"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("source", "doc_b"))
-      .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
+      .withColumn("common",
+        call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
       .withColumn("jaccard", $"common".cast("double") /
         (size($"hs_a") + size($"hs_b") - $"common"))
       .filter($"jaccard" >= 0.5)
@@ -360,7 +364,20 @@ object TextOps {
     winnowNearDupPairs(documents(s, d))
 
   /** q56's pipeline over an arbitrary (doc_id, text, …) relation — the
-    * near-dup edge stage q59 and q78 compose. */
+    * near-dup edge stage q59 and q78 compose.
+    *
+    * Blocking generates CANDIDATES only; similarity is verified over the
+    * FULL fingerprint sets (q35's split exactly). The earlier form
+    * counted n_shared over the df∈[2,50] blocked fingerprints
+    * themselves, which silently under-reports similarity as the corpus
+    * grows — at sf0.1 every fingerprint of a true duplicate pair above
+    * df 50 vanished from the count and recall collapsed to ZERO (the
+    * pair 932/4556 shares all 158 fingerprints, sim 1.0, and was
+    * reported at sim < 0.4). At 100 TB virtually all fingerprints
+    * exceed any fixed df cap, so the conflated form finds nothing; the
+    * split form's recall is independent of corpus size (any pair
+    * sharing ≥1 rare fingerprint verifies exactly).
+    */
   def winnowNearDupPairs(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
@@ -373,30 +390,31 @@ object TextOps {
       .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)
       .repartition($"doc_id")
-    // ONE exploded relation feeds both downstream consumers. Jaccard
-    // needs only the per-doc fingerprint COUNT, never the array itself:
-    // n_shared comes from the bucket pairing, |A| and |B| from this
-    // count — so unlike q35 (whose exact verify genuinely intersects
-    // the hash arrays) no corpus-sized array column ever reaches a
-    // join. The count aggregate adds NO shuffle: `ex` inherits the
-    // doc_id hash-partitioning through the explode, so groupBy(doc_id)
-    // is already co-partitioned.
+    // df-capped CANDIDATE blocking (collect_capped bounds hot
+    // boilerplate buckets at 51 before the size filter drops them)
     val ex = perDoc.select($"doc_id", explode($"fps").as("fp"))
-    val nf = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
-    val pairs = ex
+    val cand = ex
       .groupBy($"fp")
       .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
       .filter(size($"docs").between(2, 50))
       .select(explode($"docs").as("doc_a"), $"docs")
       .select($"doc_a", explode($"docs").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-    // the tiny pair set broadcasts; both probes read nf's single stage
-    broadcast(broadcast(pairs)
-        .join(nf.select($"doc_id".as("doc_a"), $"n_fp".as("n_a")), Seq("doc_a")))
-      .join(nf.select($"doc_id".as("doc_b"), $"n_fp".as("n_b")), Seq("doc_b"))
-      .withColumn("sim", $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
+      .distinct()
+    // exact verify: winnow_fps arrays are sorted-distinct, so
+    // array_intersect size IS the distinct shared-fingerprint count.
+    // Only the BARE pair list broadcasts (two longs per candidate) —
+    // once fps_a is attached the relation is candidates × array and
+    // must SHUFFLE to meet doc_b, not broadcast (a 300 MB broadcast at
+    // sf0.1); perDoc stays on the probe side of both joins so every
+    // branch reads the one repartition exchange.
+    broadcast(cand)
+      .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a"))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        call_function("sorted_intersect_count", $"fps_a", $"fps_b"))
+      .withColumn("sim", $"n_shared".cast("double") /
+        (size($"fps_a") + size($"fps_b") - $"n_shared"))
       .filter($"sim" >= 0.4)
       .select($"doc_a", $"doc_b", $"n_shared", $"sim")
       .orderBy($"doc_a", $"doc_b")
@@ -432,14 +450,18 @@ object TextOps {
       |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
       |), fpx AS (
       |  SELECT s.doc_id, s.fp FROM sel s JOIN buckets b USING (fp)
-      |), pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      |  FROM cand c JOIN sel sa ON sa.doc_id = c.doc_a
+      |               JOIN sel sb ON sb.doc_id = c.doc_b AND sb.fp = sa.fp
       |  GROUP BY 1, 2
       |)
       |SELECT doc_a, doc_b, n_shared,
       |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS sim
-      |FROM pairs JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
+      |FROM shared JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
       |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
       |ORDER BY doc_a, doc_b""".stripMargin
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SrpBucket, WinnowFps}
+import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -126,11 +126,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
     (children: Seq[Expression]) => BloomContains(children.head, children(1)): Expression)
 
+  private val sortedIntersectCountDescriptor = (
+    new FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[Expression]) =>
+      SortedIntersectCount(children.head, children(1)): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
       fxpDotDescriptor, collectCappedDescriptor, winnowFpsDescriptor,
-      bloomContainsDescriptor)
+      bloomContainsDescriptor, sortedIntersectCountDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

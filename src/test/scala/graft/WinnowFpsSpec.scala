@@ -66,6 +66,28 @@ class WinnowFpsSpec extends SparkSpec {
     assert(a.toSet.intersect(c.toSet).isEmpty)
   }
 
+  test("near-dup sim counts COMMON fingerprints too (df-cap is blocking-only)") {
+    // the sf0.1 regression: 60 docs share boilerplate, so every
+    // boilerplate fingerprint has df > 50 and is excluded from
+    // CANDIDATE blocking — but two identical docs must still report
+    // sim 1.0, which requires counting those common fingerprints in
+    // the verify stage (the conflated form reported sim < 0.4 and
+    // dropped true duplicates as the corpus grew)
+    val boiler = "every document in this synthetic corpus carries this very " +
+      "long shared boilerplate preamble sentence before its own content"
+    val dup = s"$boiler and this pair of documents is completely identical in every way"
+    val docs =
+      Seq((1L, dup), (2L, dup)) ++
+        (3L to 62L).map(i => (i, s"$boiler unique tail number $i with words w${i}a w${i}b"))
+    val out = graft.operators.TextOps
+      .winnowNearDupPairs(docs.toDF("doc_id", "text"))
+      .select($"doc_a", $"doc_b", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val pair = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"identical pair must survive blocking: ${out.toSeq}")
+    assert(pair.get._3 == 1.0, s"identical docs must verify at sim 1.0, got ${pair.get._3}")
+  }
+
   test("works via SQL and stays in whole-stage codegen") {
     graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").createOrReplaceTempView("wf_docs")
