@@ -66,4 +66,26 @@ class ScaleSpec extends SparkSpec {
     }
     assert(joined.count() == n)
   }
+
+  test("sf0.1 near-dup recall: every exact-duplicate pair is found at sim 1.0") {
+    // The guard the sf0.01 oracle can't provide: recall at a LARGER
+    // corpus, where fingerprint document frequencies rise. The r5
+    // conflation bug (n_shared counted over blocked fingerprints only)
+    // passed every sf0.01 check while q56 returned ZERO rows at sf0.1.
+    // Ground truth needs no oracle: identical text ⇒ winnow sim 1.0,
+    // and the pair must also survive candidate blocking.
+    val d = "/root/testdata/sf0.1"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val truth = docs.groupBy(md5($"text").as("m"))
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") === 2)
+      .select(array_min($"ids").as("doc_a"), array_max($"ids").as("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "sf0.1 testdata is expected to contain exact dups")
+    val found = graft.operators.TextOps.q56WinnowFingerprint(spark, d)
+      .filter($"sim" === 1.0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(found),
+      s"missing exact-dup pairs at sf0.1: ${truth.diff(found)}")
+  }
 }
