@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.KeepLast
 
 /** Streaming corpus ingest — the training-data pipeline's live front
   * door: documents arrive as a stream, exact duplicates are dropped in
@@ -48,5 +50,66 @@ object CorpusIngest {
       .dropDuplicatesWithinWatermark("text_md5")
     graft.operators.TextOps.qualityScored(deduped)
       .filter($"quality" >= minQuality)
+  }
+
+  private val Keys = Seq("source", "date")
+
+  /** Wire the cleaned stream into a (source, date)-partitioned parquet
+    * document lake. Each micro-batch is one idempotent [[mergeDocs]]
+    * call keyed by `batchId`, so at-least-once delivery (foreachBatch
+    * retries) upgrades to effectively-exactly-once in the lake — the
+    * same contract as [[LiveIngest.start]] for candles, with the dedup
+    * polarity flipped to FIRST-wins.
+    */
+  def start(spark: SparkSession, docs: DataFrame, lakePath: String,
+            checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
+            watermarkDelay: String = "1 hour",
+            minQuality: Double = 0.25): StreamingQuery = {
+    import docs.sparkSession.implicits._
+    dedupedQualityStream(docs, watermarkDelay, minQuality)
+      .withColumn("date", date_format($"event_time", "yyyyMMdd"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { mergeDocs(spark, batch, lakePath, batchId); () }
+      }
+      .start()
+  }
+
+  /** Idempotent first-wins merge of a cleaned batch into the document
+    * lake: read only the touched (source, date) partitions (broadcast
+    * semi join = metadata-only partition pruning), union, keep the
+    * LOWEST ingest_seq per (partition, text_md5), dynamic-overwrite the
+    * touched partitions. Cost scales with batch size, never lake size
+    * (the [[graft.lake.MergeWriter]] shape; polarity flipped because a
+    * re-delivered document is interchangeable, not a correction).
+    */
+  def mergeDocs(spark: SparkSession, batch: DataFrame, path: String,
+                ingestSeq: Long): DataFrame = {
+    val tagged = batch.withColumn("ingest_seq", lit(ingestSeq))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val combined =
+      if (!fs.exists(hPath)) tagged
+      else {
+        val existing = spark.read.parquet(path)
+        val touched = tagged.select(Keys.map(col): _*).distinct()
+        val affected = existing.join(broadcast(touched), Keys, "left_semi")
+          .localCheckpoint() // lineage must not reference the overwrite target
+        affected.unionByName(tagged)
+      }
+    // greatest of -seq = smallest seq = first writer
+    val deduped = KeepLast.dedup(
+      combined,
+      (Keys :+ "text_md5").map(col),
+      Seq(col("ingest_seq") * -1))
+    deduped.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Keys: _*)
+      .parquet(path)
+    deduped
   }
 }

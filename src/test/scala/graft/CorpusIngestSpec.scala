@@ -54,6 +54,43 @@ class CorpusIngestSpec extends SparkSpec {
       s"expected first-wins survivors 1 and 5, got ${out.toSeq}")
   }
 
+  test("lake sink: stream lands cleaned docs under (source, date) partitions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val dir = Files.createTempDirectory("graft_corpus_lake").toString
+    def pass(): Unit = {
+      val q = CorpusIngest.start(spark, mem.toDF(), s"$dir/lake", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        watermarkDelay = "1 minute", minQuality = 0.1)
+      q.awaitTermination()
+    }
+    mem.addData(d(1, Good, T0), d(2, Good + " two", T0 + 1000),
+      d(3, Short, T0 + 2000)) // quality-reject never reaches storage
+    pass()
+    mem.addData(d(5, Good + " three", T0 + 30 * 3600 * 1000L)) // next date
+    pass()
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(lake.select($"date").distinct().count() == 2)
+  }
+
+  test("mergeDocs: first writer wins per text fingerprint; batch retry is idempotent") {
+    val dir = Files.createTempDirectory("graft_corpus_merge").toString
+    val t0 = new Timestamp(T0)
+    def batch(id: Long, text: String) =
+      Seq((id, text, t0, "web")).toDF("doc_id", "text", "event_time", "source")
+        .withColumn("text_md5", org.apache.spark.sql.functions.md5($"text"))
+        .withColumn("date", org.apache.spark.sql.functions.lit("20210101"))
+    CorpusIngest.mergeDocs(spark, batch(1, Good), s"$dir/lake", 0L)
+    // a later batch re-delivers the same text under a new id: first wins
+    CorpusIngest.mergeDocs(spark, batch(9, Good), s"$dir/lake", 1L)
+    // and a retry of that batch must not duplicate anything
+    CorpusIngest.mergeDocs(spark, batch(9, Good), s"$dir/lake", 1L)
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() == 1)
+    assert(lake.select($"doc_id").as[Long].head() == 1L)
+  }
+
   test("state is keyed by text hash, not doc_id: distinct texts all pass") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Doc]
