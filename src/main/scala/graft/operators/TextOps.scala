@@ -599,6 +599,95 @@ object TextOps {
        |FROM r GROUP BY u
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** q100 — INCREMENTAL near-dup: dedup a new batch against the
+    * existing corpus without re-pairing the corpus against itself. The
+    * production posture at 100 TB: a daily increment is ~10⁻³ of the
+    * lake, and re-running q56 corpus-wide per day is quadratic waste —
+    * here candidate blocking is restricted to fingerprints that occur
+    * in a NEW document (semi join on the increment's fp set), and
+    * corpus×corpus pairs are filtered out, so pairing cost scales with
+    * increment size. Verification is q56's full-set exact intersect.
+    * The (fp → capped docs) bucket relation is exactly what a
+    * production pipeline would maintain as a persistent index; built
+    * here from the same scan for oracle parity.
+    */
+  def q100DedupIncrement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val perDoc = documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", ($"doc_id" % 10 === 0).as("is_new"),
+        call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
+      .filter($"fps".isNotNull && size($"fps") > 0)
+      .repartition($"doc_id")
+    val ex = perDoc.select($"doc_id", $"is_new", explode($"fps").as("fp"))
+    val newFps = ex.filter($"is_new").select($"fp").distinct()
+    val cand = ex
+      .join(newFps, Seq("fp"), "left_semi")
+      .groupBy($"fp")
+      .agg(call_function("collect_capped", struct($"doc_id", $"is_new"), lit(50)).as("docs"))
+      .filter(size($"docs").between(2, 50))
+      .select(explode($"docs").as("a"), $"docs")
+      .select($"a", explode($"docs").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" && ($"a.is_new" || $"b.is_new"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    broadcast(cand)
+      .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a"))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        call_function("sorted_intersect_count", $"fps_a", $"fps_b"))
+      .withColumn("sim", $"n_shared".cast("double") /
+        (size($"fps_a") + size($"fps_b") - $"n_shared"))
+      .filter($"sim" >= 0.4)
+      .select($"doc_a", $"doc_b", $"n_shared", $"sim")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q100Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, TRIM(LOWER(text)) AS t, (doc_id % 10 = 0) AS is_new
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), ch0 AS (
+      |  SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) + 1)) AS i FROM docs
+      |), ch AS (
+      |  SELECT doc_id, i, CAST(ORD(SUBSTRING(t, i, 1)) AS BIGINT) AS c FROM ch0
+      |), grams AS (
+      |  SELECT doc_id, i AS p,
+      |    c*27512614111 + LEAD(c,1) OVER w * 887503681 + LEAD(c,2) OVER w * 28629151
+      |    + LEAD(c,3) OVER w * 923521 + LEAD(c,4) OVER w * 29791
+      |    + LEAD(c,5) OVER w * 961 + LEAD(c,6) OVER w * 31 + LEAD(c,7) OVER w AS gh
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY LEAD(c,7) OVER w IS NOT NULL
+      |), sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    MIN(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams
+      |  QUALIFY COUNT(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) = 4
+      |), nfp AS (SELECT doc_id, COUNT(*) AS n FROM sel GROUP BY 1
+      |), newfp AS (
+      |  SELECT DISTINCT s.fp FROM sel s JOIN docs d USING (doc_id) WHERE d.is_new
+      |), buckets AS (
+      |  SELECT s.fp FROM sel s JOIN newfp nf USING (fp)
+      |  GROUP BY s.fp HAVING COUNT(*) BETWEEN 2 AND 50
+      |), fpx AS (SELECT s.doc_id, s.fp FROM sel s JOIN buckets b USING (fp)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  JOIN docs da ON da.doc_id = a.doc_id JOIN docs db ON db.doc_id = b.doc_id
+      |  WHERE da.is_new OR db.is_new
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      |  FROM cand c JOIN sel sa ON sa.doc_id = c.doc_a
+      |               JOIN sel sb ON sb.doc_id = c.doc_b AND sb.fp = sa.fp
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS sim
+      |FROM shared JOIN nfp na ON na.doc_id = doc_a JOIN nfp nb ON nb.doc_id = doc_b
+      |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -610,6 +699,7 @@ object TextOps {
     "q57_tfidf_terms" -> (q57TfidfTerms _),
     "q58_stratified_sample" -> (q58StratifiedSample _),
     "q59_dedup_clusters" -> (q59DedupClusters _),
+    "q100_dedup_increment" -> (q100DedupIncrement _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,5 +713,6 @@ object TextOps {
     "q57_tfidf_terms" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q59_dedup_clusters" -> q59Sql,
+    "q100_dedup_increment" -> q100Sql,
   )
 }

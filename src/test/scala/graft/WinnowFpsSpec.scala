@@ -88,6 +88,28 @@ class WinnowFpsSpec extends SparkSpec {
     assert(pair.get._3 == 1.0, s"identical docs must verify at sim 1.0, got ${pair.get._3}")
   }
 
+  test("incremental dedup pairs always touch the increment; corpus pairs are excluded") {
+    // ids 3 & 7: identical OLD docs (corpus×corpus — must NOT appear);
+    // id 10 (is_new: %10) duplicates old id 4 — must appear
+    val boiler = "a long enough shared preamble so every document fingerprints " +
+      "the same baseline region of text before its own distinct content"
+    val oldDup = s"$boiler and these two old documents are identical to each other"
+    val matched = s"$boiler and this document has a twin inside the new increment"
+    val rows = Seq(
+      (3L, oldDup), (7L, oldDup),
+      (4L, matched), (10L, matched),
+      (11L, s"$boiler with an unrelated singleton body nothing matches at all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("web")).withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.q100DedupIncrement(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((4L, 10L)), s"new-vs-old dup must be found: $got")
+    assert(!got.contains((3L, 7L)),
+      s"corpus-internal pair must be excluded from the increment run: $got")
+  }
+
   test("works via SQL and stays in whole-stage codegen") {
     graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").createOrReplaceTempView("wf_docs")
