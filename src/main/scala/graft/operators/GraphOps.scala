@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Iterative graph analytics beyond connected components: fixed-point
+  * PageRank over the customer–supplier trade graph (who is central to
+  * the order flow). Demonstrates the second of the two canonical
+  * distributed-graph shapes: [[ConnectedComponents]] is
+  * converge-until-fixpoint; this is FIXED-ITERATION linear algebra —
+  * each step one join + one aggregate shuffle, the textbook Pregel-less
+  * PageRank every Spark graph library lowers to.
+  *
+  * Determinism contract: ranks are integers in parts-per-billion.
+  * Contributions use integral division (`div` ≡ DuckDB `//` on
+  * non-negatives), sums are exact long sums of bounded terms (Σ ranks ≤
+  * 10⁹, so 85·Σ ≤ 8.5·10¹⁰ ≪ 2⁶³), and the damping mix is integer
+  * arithmetic — the oracle unrolls the identical trajectory, so the
+  * result is hash-exact across engines and partitionings with no float
+  * anywhere.
+  */
+object GraphOps {
+
+  /** q101 — 2-iteration damped PageRank (d = 0.85) on the UNDIRECTED
+    * bipartite customer↔supplier graph (edges = distinct trading
+    * pairs; both directions, so no dangling nodes). Node encoding
+    * 2·cust / 2·supp+1 keeps one long key space.
+    *
+    * Scale shape: the edge relation (distinct business pairs, far
+    * smaller than lineitem) localCheckpoints once — each iteration is
+    * then one shuffle join on the node id plus one partial+final sum
+    * aggregate, never re-deriving edges from the fact tables; degrees
+    * and the node count derive from the checkpointed edges. Iterations
+    * are data-independent (fixed count), so the driver loop is pure
+    * plan construction.
+    */
+  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sp"))
+      .distinct()
+    val edges = e0.select($"c".as("u"), $"sp".as("v"))
+      .unionAll(e0.select($"sp".as("u"), $"c".as("v")))
+      .localCheckpoint() // bounded: distinct trading pairs × 2
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("dg"))
+    val nRel = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(nRel))
+      .select($"u", expr("CAST(1000000000 AS BIGINT) div n").as("r"))
+    for (_ <- 1 to 2) {
+      r = edges.join(r, Seq("u")).join(deg, Seq("u"))
+        .select($"v", expr("r div dg").as("contrib"))
+        .groupBy($"v").agg(sum($"contrib").as("cs"))
+        .crossJoin(broadcast(nRel))
+        .select($"v".as("u"),
+          (expr("CAST(150000000 AS BIGINT) div n") + expr("(85 * cs) div 100")).as("r"))
+    }
+    r.select(expr("u div 2").as("node_id"),
+        when($"u" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        $"r".as("rank_ppb"))
+      .orderBy($"rank_ppb".desc, $"node_id")
+      .limit(20)
+  }
+
+  val q101Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (
+      |  SELECT c * 2 AS u, s * 2 + 1 AS v FROM e0
+      |  UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+      |deg AS (SELECT u, COUNT(*) AS dg FROM edges GROUP BY u),
+      |n AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (SELECT u, CAST(1000000000 // n.n AS BIGINT) AS r FROM deg, n),
+      |it1 AS (
+      |  SELECT e.v AS u,
+      |    CAST(150000000 // n.n + (85 * SUM(r0.r // deg.dg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN r0 ON r0.u = e.u JOIN deg ON deg.u = e.u, n
+      |  GROUP BY e.v, n.n),
+      |it2 AS (
+      |  SELECT e.v AS u,
+      |    CAST(150000000 // n.n + (85 * SUM(it1.r // deg.dg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN it1 ON it1.u = e.u JOIN deg ON deg.u = e.u, n
+      |  GROUP BY e.v, n.n)
+      |SELECT u // 2 AS node_id,
+      |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |  r AS rank_ppb
+      |FROM it2 ORDER BY rank_ppb DESC, node_id LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pagerank" -> (q101PageRank _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q101_pagerank" -> q101Sql,
+  )
+}

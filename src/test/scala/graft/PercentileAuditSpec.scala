@@ -34,6 +34,26 @@ class PercentileAuditSpec extends SparkSpec {
     dir
   }
 
+  test("q101 PageRank: star-graph hub outranks its leaves, leaves tie") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p101").toString
+    // customer 1 trades with suppliers 1..5 — a 5-leaf star
+    (1L to 5L).map(i => (i, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    (1L to 5L).map(i => (i, i)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.GraphOps.q101PageRank(spark, dir)
+      .select($"kind", $"rank_ppb").as[(String, Long)].collect()
+    val hub = got.filter(_._1 == "customer").map(_._2)
+    val leaves = got.filter(_._1 == "supplier").map(_._2)
+    assert(hub.length == 1 && leaves.length == 5)
+    assert(leaves.distinct.length == 1, s"symmetric leaves must tie: ${leaves.toSeq}")
+    assert(hub.head > leaves.head, s"hub must outrank leaves: ${got.toSeq}")
+    // mass conservation up to integer-division truncation: Σ ≤ 1e9,
+    // within n·(iterations+1) ulps of it
+    val total = got.map(_._2).sum
+    assert(total <= 1000000000L && total > 999999000L, s"rank mass drifted: $total")
+  }
+
   test("q99 counts planted violations exactly once each") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p99").toString
     val t0 = new java.sql.Timestamp(1609459200000L)
