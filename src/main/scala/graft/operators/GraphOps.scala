@@ -35,16 +35,26 @@ object GraphOps {
     * are data-independent (fixed count), so the driver loop is pure
     * plan construction.
     */
-  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+  /** Undirected bipartite trade graph: edges = distinct (customer,
+    * supplier) pairs in both directions, node encoding 2·cust /
+    * 2·supp+1. Checkpointed once — bounded by distinct business pairs,
+    * far smaller than lineitem — and shared by both graph queries.
+    */
+  private def tradeGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = orders(s, d).select($"o_orderkey", $"o_custkey")
       .join(lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sp"))
       .distinct()
-    val edges = e0.select($"c".as("u"), $"sp".as("v"))
+    e0.select($"c".as("u"), $"sp".as("v"))
       .unionAll(e0.select($"sp".as("u"), $"c".as("v")))
       .localCheckpoint() // bounded: distinct trading pairs × 2
+  }
+
+  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeGraph(s, d)
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("dg"))
     val nRel = deg.agg(count(lit(1)).as("n"))
     var r = deg.crossJoin(broadcast(nRel))
@@ -89,11 +99,59 @@ object GraphOps {
       |  r AS rank_ppb
       |FROM it2 ORDER BY rank_ppb DESC, node_id LIMIT 20""".stripMargin
 
+  /** q102 — BFS hop distance from the lowest-keyed customer over the
+    * trade graph ("supply-chain distance"): 4 rounds of frontier
+    * relaxation, each ONE join + ONE min-aggregate shuffle on the node
+    * id — the bounded-iteration sibling of [[ConnectedComponents]]'
+    * converge-until-fixpoint loop. Nodes unreached within 4 hops are
+    * absent (at 100 TB you bound hops, not rounds-until-quiet; the
+    * bipartite trade graph's diameter is tiny anyway). The source is
+    * data-derived (MIN customer id), so the query stays one
+    * deterministic plan with no parameters.
+    */
+  def q102BfsDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeGraph(s, d)
+    val src = edges.filter($"u" % 2 === 0).agg(min($"u").as("u"))
+    var dist = src.select($"u", lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      dist = dist
+        .unionAll(edges.join(dist, Seq("u")).select($"v".as("u"), ($"dist" + 1).as("dist")))
+        .groupBy($"u").agg(min($"dist").as("dist"))
+    }
+    dist.select(expr("u div 2").as("node_id"),
+        when($"u" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        $"dist")
+      .orderBy($"dist", $"node_id", $"kind")
+  }
+
+  val q102Sql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (
+      |  SELECT c * 2 AS u, s * 2 + 1 AS v FROM e0
+      |  UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+      |src AS (SELECT MIN(u) AS u FROM edges WHERE u % 2 = 0),
+      |walk(u, dist) AS (
+      |  SELECT u, CAST(0 AS BIGINT) FROM src
+      |  UNION
+      |  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.u
+      |  WHERE w.dist < 4
+      |)
+      |SELECT u // 2 AS node_id,
+      |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |  MIN(dist) AS dist
+      |FROM walk GROUP BY u
+      |ORDER BY dist, node_id, kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
+    "q102_bfs_distance" -> (q102BfsDistance _),
   )
 
   val oracles: Map[String, String] = Map(
     "q101_pagerank" -> q101Sql,
+    "q102_bfs_distance" -> q102Sql,
   )
 }

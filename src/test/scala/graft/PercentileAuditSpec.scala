@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Drift, StatsOps}
+import org.apache.spark.sql.functions._
 
 /** q98/q99 behaviors the sf0.01 oracle can't isolate: interpolation at
   * analytic points on a known series, and planted constraint
@@ -52,6 +53,26 @@ class PercentileAuditSpec extends SparkSpec {
     // within n·(iterations+1) ulps of it
     val total = got.map(_._2).sum
     assert(total <= 1000000000L && total > 999999000L, s"rank mass drifted: $total")
+  }
+
+  test("q102 BFS: path-graph distances are exact; nodes beyond 4 hops are absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p102").toString
+    // chain: cust1 — supp1 — cust2 — supp2 — cust3 — supp3:
+    // each order links one customer to one supplier; consecutive pairs
+    // share a node, so hop distance from cust1 grows along the chain
+    val links = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 2L, 2L),
+      (4L, 3L, 2L), (5L, 3L, 3L))
+    links.map { case (ok, ck, _) => (ok, ck) }
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    links.map { case (ok, _, sk) => (ok, sk) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.GraphOps.q102BfsDistance(spark, dir)
+      .select(concat($"kind", lit(":"), $"node_id"), $"dist")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "customer:1" -> 0L, "supplier:1" -> 1L, "customer:2" -> 2L,
+      "supplier:2" -> 3L, "customer:3" -> 4L), // supplier:3 is 5 hops → absent
+      s"got $got")
   }
 
   test("q99 counts planted violations exactly once each") {
