@@ -254,7 +254,42 @@ object CorpusOps {
       |  ("offset" // 512) <> (("offset" + t - 1) // 512) AS straddles
       |FROM o ORDER BY lang, doc_id""".stripMargin
 
+  /** q103 — EXACT-k per-stratum sample (k = 5 per source): rank each
+    * stratum by a portable multiplicative hash of the doc id (the q58/
+    * q78 split-hash idiom — engine-identical integer arithmetic, no
+    * engine RNG) and keep the first k. Complements q58's rate-based
+    * per-mille sampling: rates give proportional splits, exact-k gives
+    * fixed-size eval/holdout sets that stay STABLE as the corpus grows
+    * (a doc's rank only changes if an earlier-hashed doc arrives in
+    * its stratum).
+    *
+    * Scale shape: one shuffle on the stratum key, per-stratum sort of
+    * hash-typed longs, rank filter — the same bounded-window cost as
+    * any per-group top-k; no global sort, no RNG state.
+    */
+  def q103ExactKSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy((($"doc_id" % 1000003L) * 2654435761L % 1000000007L).asc, $"doc_id".asc)
+    documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .orderBy($"source", $"rk")
+  }
+
+  val q103Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rk
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT doc_id, source, lang, n_chars, rk
+      |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_exact_k_sample" -> (q103ExactKSample _),
     "q71_repetition_signals" -> (q71RepetitionSignals _),
     "q72_ngram_topk" -> (q72NgramTopk _),
     "q73_text_scrub" -> (q73TextScrub _),
@@ -263,6 +298,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_exact_k_sample" -> q103Sql,
     "q71_repetition_signals" -> q71Sql,
     "q72_ngram_topk" -> q72Sql,
     "q73_text_scrub" -> q73Sql,

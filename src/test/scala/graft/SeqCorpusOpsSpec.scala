@@ -158,4 +158,36 @@ class SeqCorpusOpsSpec extends SparkSpec {
     // the corpus contains 'a'/'the' so the scrub must remove something
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
   }
+
+  test("q103 exact-k sample is stable: later-hashed arrivals never perturb it") {
+    import org.apache.spark.sql.functions._
+    def sample(dir: String) =
+      graft.operators.CorpusOps.q103ExactKSample(spark, dir)
+        .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    def write(dir: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"doc $i", "en", "web", 100L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def hkey(i: Long): Long = (i % 1000003L) * 2654435761L % 1000000007L
+
+    val base = (1L to 40L)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_q103a").toString
+    write(dir1, base)
+    val s1 = sample(dir1)
+    assert(s1.size == 5)
+
+    // a newcomer hashing AFTER every current sample member must not
+    // change the sample; one hashing before must enter it
+    val maxSampleKey = s1.map(p => hkey(p._2)).max
+    val later = (100L to 400L).find(i => hkey(i) > maxSampleKey).get
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q103b").toString
+    write(dir2, base :+ later)
+    assert(sample(dir2) == s1, "later-hashed arrival must not perturb the sample")
+
+    val earlier = (100L to 4000L).find(i => hkey(i) < s1.map(p => hkey(p._2)).min).get
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_q103c").toString
+    write(dir3, base :+ earlier)
+    val s3 = sample(dir3)
+    assert(s3.contains(("web", earlier)) && s3.size == 5)
+  }
 }
