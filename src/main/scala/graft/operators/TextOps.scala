@@ -620,26 +620,40 @@ object TextOps {
         call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)
       .repartition($"doc_id")
+    // "fp occurs in a new document" ⇔ "the capped bucket has a new
+    // member" — testing the collected structs (instead of a semi join
+    // against the increment's fp set) keeps candidate generation to ONE
+    // ex consumer, so all branches reuse the perDoc exchange; a
+    // production deployment with increment ≪ corpus would swap this
+    // for a probe of its persistent fp index
     val ex = perDoc.select($"doc_id", $"is_new", explode($"fps").as("fp"))
-    val newFps = ex.filter($"is_new").select($"fp").distinct()
     val cand = ex
-      .join(newFps, Seq("fp"), "left_semi")
       .groupBy($"fp")
       .agg(call_function("collect_capped", struct($"doc_id", $"is_new"), lit(50)).as("docs"))
-      .filter(size($"docs").between(2, 50))
+      .filter(size($"docs").between(2, 50) &&
+        exists($"docs", x => x("is_new")))
       .select(explode($"docs").as("a"), $"docs")
       .select($"a", explode($"docs").as("b"))
       .filter($"a.doc_id" < $"b.doc_id" && ($"a.is_new" || $"b.is_new"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    // verify joins carry `is_new` so all three perDoc consumers read
+    // the IDENTICAL column set — the q35 reuse precondition (pruning
+    // would otherwise specialize each branch into its own scan)
     broadcast(cand)
-      .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a"))
-      .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
+      .join(perDoc.select($"doc_id".as("doc_a"), $"is_new".as("new_a"),
+        $"fps".as("fps_a")), Seq("doc_a"))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"is_new".as("new_b"),
+        $"fps".as("fps_b")), Seq("doc_b"))
       .withColumn("n_shared",
         call_function("sorted_intersect_count", $"fps_a", $"fps_b"))
       .withColumn("sim", $"n_shared".cast("double") /
         (size($"fps_a") + size($"fps_b") - $"n_shared"))
-      .filter($"sim" >= 0.4)
+      // candidate generation already guarantees a new member; restating
+      // it here keeps new_a/new_b ALIVE in the verify branches so their
+      // pruned column set equals the candidate branch's and the one
+      // perDoc exchange is reused (Catalyst cannot prove the redundancy)
+      .filter(($"new_a" || $"new_b") && $"sim" >= 0.4)
       .select($"doc_a", $"doc_b", $"n_shared", $"sim")
       .orderBy($"doc_a", $"doc_b")
   }

@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
       "q35" -> TextOps.q35NgramJaccard(spark, sf),
       "q36" -> MinHashLsh.q36MinhashDedup(spark, sf),
       "q37" -> SimHash.q37SimhashDedup(spark, sf),
-      "q56" -> TextOps.q56WinnowFingerprint(spark, sf))
+      "q56" -> TextOps.q56WinnowFingerprint(spark, sf),
+      "q100" -> TextOps.q100DedupIncrement(spark, sf))
     cases.foreach { case (name, df) =>
       df.collect()
       val p = df.queryExecution.executedPlan match {
