@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Language-model-flavoured corpus diagnostics — the perplexity-family
+  * quality signals of an LLM training-data pipeline (the CCNet / Gopher
+  * filter stage), re-expressed with engine-portable EXACT arithmetic so
+  * a DuckDB oracle reproduces every row bit-for-bit.
+  *
+  * The classic formulation scores each document by its cross-entropy
+  * under a corpus unigram LM: H(doc) = −Σ log p(tok). `ln`/`log` are
+  * transcendental and NOT guaranteed correctly rounded across libm
+  * implementations (this repo's oracles deliberately use only IEEE-exact
+  * `sqrt` and fixed double chains), so q104 quantizes surprisal to whole
+  * bits via floor(log2 x) = LENGTH(BIN(x)) − 1 — an integer identity both
+  * engines compute exactly from the binary string representation.
+  *
+  * Scale shape (100 TB posture):
+  *   - q104: the unigram count is the canonical word-count partial+final
+  *     hash agg (the exchange moves |vocab|·partitions partials, never
+  *     corpus tokens). The scored HEAD is provably bounded — at most F
+  *     tokens can each carry ≥ 1/F of the total mass — so the lookup side
+  *     broadcasts and the corpus is never shuffled on token; tail tokens
+  *     take the backoff surprisal floor(log2 F) without any join. Two
+  *     corpus scans total (count pass + score pass), zero corpus-sized
+  *     shuffles: the per-doc agg partial-aggregates map-side because doc
+  *     rows are co-located within input splits.
+  *   - q105: ONE evaluation of the shingle relation; the shingle document
+  *     frequency rides a window over the shingle hash partitioning rather
+  *     than a groupBy + join-back, so the whole query is two exchanges
+  *     (shingle, then doc) over a single scan.
+  *
+  * Reference analog: the reference normalizes per-exchange payloads into
+  * one schema (crypto_collector.py:120–131); a training pipeline applies
+  * exactly these per-document scorers to such normalized corpora.
+  */
+object LmOps {
+  /** Head-mass threshold: a token enters the scored head iff it carries
+    * ≥ 1/F of the corpus token mass — at most F such tokens exist, so the
+    * head always broadcasts regardless of corpus size.
+    */
+  private val F = 4096L
+
+  /** Backoff surprisal for tail tokens: floor(log2 F) bits. A head token's
+    * ratio n/cnt is ≤ F by construction, so head surprisal never exceeds
+    * this — the quantized score is monotone across the head/tail boundary.
+    */
+  private val SCap = 12L
+
+  /** Per-document quantized unigram surprisal (perplexity proxy).
+    * s(tok) = floor(log2(N div cnt)) whole bits for head tokens, SCap for
+    * tail; mean is reported in milli-bits by exact integer division.
+    * `flag_rare` marks documents whose mean surprisal exceeds 9 bits —
+    * the "unusual vocabulary" quality gate.
+    */
+  def unigramSurprisal(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val inst = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val counts = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum($"cnt").as("n"))
+    val head = counts.crossJoin(broadcast(tot))
+      .filter($"cnt" * F >= $"n")
+      .select($"tok", (length(bin(expr("n div cnt"))) - 1).cast("long").as("s"))
+    inst.join(broadcast(head), Seq("tok"), "left")
+      .select($"doc_id", coalesce($"s", lit(SCap)).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"s").as("sum_surprisal"))
+      .withColumn("mean_milli", expr("(sum_surprisal * 1000) div n_tokens"))
+      .withColumn("flag_rare", $"mean_milli" > 9000L)
+      .orderBy($"doc_id")
+  }
+
+  def q104UnigramSurprisal(s: SparkSession, d: String): DataFrame =
+    unigramSurprisal(documents(s, d))
+
+  val q104Sql: String =
+    """WITH inst AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), counts AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM inst GROUP BY tok
+      |), tot AS (
+      |  SELECT SUM(cnt) AS n FROM counts
+      |), head AS (
+      |  SELECT tok, CAST(LENGTH(BIN(n // cnt)) - 1 AS BIGINT) AS s
+      |  FROM counts, tot WHERE cnt * 4096 >= n
+      |), scored AS (
+      |  SELECT i.doc_id, COALESCE(h.s, 12) AS s
+      |  FROM inst i LEFT JOIN head h USING (tok)
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+      |  CAST((SUM(s) * 1000) // COUNT(*) AS BIGINT) AS mean_milli,
+      |  ((SUM(s) * 1000) // COUNT(*)) > 9000 AS flag_rare
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-document duplicated-shingle fraction [Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * diagnostic that motivates substring-level dedup]: the share of a
+    * document's distinct word 3-grams that also occur in at least one
+    * other document. Documents shorter than 3 tokens have no shingles and
+    * are absent (both engines derive the output from the shingle rows).
+    */
+  def dupShingleFraction(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val sh = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  def q105DupShingleFraction(s: SparkSession, d: String): DataFrame =
+    dupShingleFraction(documents(s, d))
+
+  val q105Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(sh) AS shingle FROM docs
+      |), wdf AS (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM wdf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
+    "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q104_unigram_surprisal" -> q104Sql,
+    "q105_dup_shingle_frac" -> q105Sql,
+  )
+}

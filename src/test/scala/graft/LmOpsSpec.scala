@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.LmOps
+
+/** The LM-diagnostic tier: the hash-matching oracle agrees on VALUES at
+  * sf0.01, so these pin the semantics a co-broken oracle could still get
+  * wrong — the quantized surprisal against a from-scratch BigInt
+  * recount, the head/tail backoff boundary, and the planted-duplicate
+  * behaviour of the shingle-duplication diagnostic.
+  */
+class LmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+
+  test("q104 surprisal matches a from-scratch BigInt recount (head + backoff)") {
+    // 'a' dominates (head, low surprisal); with n > 4096 total tokens the
+    // singleton 'zebra' falls below the 1/4096 head-mass bar → backoff 12
+    val corpus = docs(
+      1L -> ("a " * 5000).trim,
+      2L -> "a zebra",
+      3L -> "a a a a b b")
+    val gotByDoc = LmOps.unigramSurprisal(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surprisal"), r.getAs[Long]("mean_milli"))).toMap
+
+    // from-scratch truth
+    val toks = Map(
+      1L -> Seq.fill(5000)("a"),
+      2L -> Seq("a", "zebra"),
+      3L -> Seq("a", "a", "a", "a", "b", "b"))
+    val counts = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = counts.values.sum
+    def s(tok: String): Long = {
+      val cnt = counts(tok)
+      if (cnt * 4096L >= n) BigInt(n / cnt).bitLength - 1L else 12L
+    }
+    for ((id, ts) <- toks) {
+      val sumS = ts.map(s).sum
+      val exp = (ts.size.toLong, sumS, sumS * 1000 / ts.size)
+      assert(gotByDoc(id) == exp, s"doc $id: got ${gotByDoc(id)}, want $exp")
+    }
+    // the singleton token really takes the backoff cap, not a head score
+    assert(s("zebra") == 12L)
+    assert(gotByDoc(2L)._2 == s("a") + 12L)
+  }
+
+  test("q104 flag_rare fires for rare-vocabulary docs and not for head-only docs") {
+    // one dominant token + one doc written entirely in singletons; n > 4096
+    // so the singletons take the full 12-bit backoff (mean 12000 milli-bits)
+    val corpus = docs(
+      1L -> ("common " * 5000).trim,
+      2L -> "qq ww ee rr tt yy uu ii oo pp")
+    val got = LmOps.unigramSurprisal(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("flag_rare")).toMap
+    assert(!got(1L), "head-only doc must not be flagged")
+    assert(got(2L), "all-singleton doc must be flagged (mean = 12000 milli-bits)")
+  }
+
+  test("q105 planted duplicate shingles are found; unique docs score zero") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over",
+      2L -> "intro text the quick brown fox again",  // shares 'the quick brown' + 'quick brown fox'
+      3L -> "completely different words here now")
+    val got = LmOps.dupShingleFraction(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"))).toMap
+    assert(got(1L)._2 == 2, s"doc 1 shares exactly 2 shingles, got ${got(1L)}")
+    assert(got(2L)._2 == 2, s"doc 2 shares exactly 2 shingles, got ${got(2L)}")
+    assert(got(3L)._2 == 0, s"doc 3 is unique, got ${got(3L)}")
+    assert(got(1L)._1 == 4 && got(3L)._1 == 3)
+  }
+
+  test("q105 short docs (<3 tokens) produce no row; within-doc repeats don't count") {
+    val corpus = docs(
+      1L -> "too short",
+      2L -> "x y z x y z x y z") // repeats its own shingles only
+    val got = LmOps.dupShingleFraction(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup")).toMap
+    assert(!got.contains(1L), "2-token doc has no shingles")
+    assert(got(2L) == 0, "self-repeated shingles are distinct-per-doc, df=1")
+  }
+
+  test("q104/q105 run end-to-end on the sf0.001 tables") {
+    assert(LmOps.q104UnigramSurprisal(spark, sf).count() > 0)
+    assert(LmOps.q105DupShingleFraction(spark, sf).count() > 0)
+  }
+}
