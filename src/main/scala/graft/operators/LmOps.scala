@@ -140,13 +140,121 @@ object LmOps {
       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
       |FROM wdf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Adjacent token-pair frequencies — the statistic a BPE / WordPiece
+    * tokenizer-training step maximizes over (the merge candidate table).
+    * Pairs keep multiplicity (unlike the dedup tiers' distinct shingles);
+    * one doc-keyed window pass builds them, a partial+final hash agg
+    * counts them, and the top 20 leave through TakeOrderedAndProject —
+    * no global sort materializes. Ties break on the pair string, so the
+    * cut at k is deterministic in both engines.
+    */
+  def bpePairStats(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val ex = docs.select($"doc_id",
+      posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+    ex.withColumn("nxt", lead($"tok", 1).over(win))
+      .filter($"nxt".isNotNull)
+      .select(concat_ws(" ", $"tok", $"nxt").as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n_pair"))
+      .orderBy($"n_pair".desc, $"pair")
+      .limit(20)
+  }
+
+  def q106BpePairStats(s: SparkSession, d: String): DataFrame =
+    bpePairStats(documents(s, d))
+
+  val q106Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+      |      i -> t[i] || ' ' || t[i+1]) AS prs
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), ex AS (
+      |  SELECT UNNEST(prs) AS pair FROM docs
+      |)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+      |FROM ex GROUP BY pair
+      |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin
+
+  /** Per-source vocabulary divergence vs the whole corpus — a KL-style
+    * drift signal in the same quantized-bit space as q104: each token
+    * instance contributes (corpus surprisal − in-source surprisal), so a
+    * source whose vocabulary is locally predictable but globally rare
+    * scores high. Both levels use the bounded-head/backoff scheme.
+    *
+    * Scale shape: the corpus is scanned ONCE into the (source, tok, cnt)
+    * vocab relation (map-side-combining hash agg); corpus counts, totals,
+    * heads, and the final per-source rollup all derive from that
+    * vocab-sized relation — no second corpus pass, and the only broadcast
+    * sides are the ≤F-row corpus head and the |sources|-row totals.
+    */
+  def sourceDivergence(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val vocab = docs.select($"source", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    val corpus = vocab.groupBy($"tok").agg(sum($"cnt").as("ccnt"))
+    val totc = corpus.agg(sum($"ccnt").as("n"))
+    val headC = corpus.crossJoin(broadcast(totc))
+      .filter($"ccnt" * F >= $"n")
+      .select($"tok", (length(bin(expr("n div ccnt"))) - 1).cast("long").as("sc"))
+    val totS = vocab.groupBy($"source").agg(sum($"cnt").as("ns"))
+    vocab.join(broadcast(totS), Seq("source"))
+      .join(broadcast(headC), Seq("tok"), "left")
+      .select($"source", $"ns", $"cnt",
+        coalesce($"sc", lit(SCap)).as("sc"),
+        when($"cnt" * F >= $"ns", (length(bin(expr("ns div cnt"))) - 1).cast("long"))
+          .otherwise(SCap).as("ss"))
+      .groupBy($"source", $"ns")
+      .agg(sum($"cnt" * ($"sc" - $"ss")).as("div_bits"))
+      .select($"source", $"ns".as("n_tokens"), $"div_bits",
+        (($"div_bits" * 1000).cast("double") / $"ns").as("div_milli"))
+      .orderBy($"source")
+  }
+
+  def q107SourceDivergence(s: SparkSession, d: String): DataFrame =
+    sourceDivergence(documents(s, d))
+
+  val q107Sql: String =
+    """WITH vocab AS (
+      |  SELECT source, tok, COUNT(*) AS cnt FROM (
+      |    SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id IS NOT NULL) GROUP BY source, tok
+      |), corpus AS (
+      |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM vocab GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(ccnt) AS BIGINT) AS n FROM corpus
+      |), headc AS (
+      |  SELECT tok, CAST(LENGTH(BIN(n // ccnt)) - 1 AS BIGINT) AS sc
+      |  FROM corpus, tot WHERE ccnt * 4096 >= n
+      |), tots AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS ns FROM vocab GROUP BY source
+      |), scored AS (
+      |  SELECT v.source, t.ns, v.cnt,
+      |    COALESCE(h.sc, 12) AS sc,
+      |    CASE WHEN v.cnt * 4096 >= t.ns
+      |         THEN CAST(LENGTH(BIN(t.ns // v.cnt)) - 1 AS BIGINT)
+      |         ELSE 12 END AS ss
+      |  FROM vocab v JOIN tots t USING (source) LEFT JOIN headc h USING (tok)
+      |)
+      |SELECT source, ns AS n_tokens,
+      |  CAST(SUM(cnt * (sc - ss)) AS BIGINT) AS div_bits,
+      |  CAST(SUM(cnt * (sc - ss)) * 1000 AS DOUBLE) / ns AS div_milli
+      |FROM scored GROUP BY source, ns ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
+    "q106_bpe_pair_stats" -> (q106BpePairStats _),
+    "q107_source_divergence" -> (q107SourceDivergence _),
   )
 
   val oracles: Map[String, String] = Map(
     "q104_unigram_surprisal" -> q104Sql,
     "q105_dup_shingle_frac" -> q105Sql,
+    "q106_bpe_pair_stats" -> q106Sql,
+    "q107_source_divergence" -> q107Sql,
   )
 }

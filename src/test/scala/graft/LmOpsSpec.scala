@@ -84,8 +84,60 @@ class LmOpsSpec extends SparkSpec {
     assert(got(2L) == 0, "self-repeated shingles are distinct-per-doc, df=1")
   }
 
-  test("q104/q105 run end-to-end on the sf0.001 tables") {
+  private def docsSrc(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+
+  test("q106 pair counts keep multiplicity; ordering and ties are deterministic") {
+    val corpus = docs(
+      1L -> "a b a b a",
+      2L -> "c d")
+    val got = LmOps.bpePairStats(corpus)
+      .as[(String, Long)].collect().toSeq
+    // 'a b' and 'b a' both occur twice — tie breaks on the pair string
+    assert(got == Seq("a b" -> 2L, "b a" -> 2L, "c d" -> 1L), s"got $got")
+  }
+
+  test("q106 pairs never cross document boundaries") {
+    val corpus = docs(1L -> "x y", 2L -> "z w")
+    val pairs = LmOps.bpePairStats(corpus).as[(String, Long)].collect().map(_._1).toSet
+    assert(pairs == Set("x y", "z w"), s"cross-doc pair leaked: $pairs")
+  }
+
+  test("q107 divergence matches a from-scratch recount; specialized source scores higher") {
+    // source B's vocabulary is exclusive (globally rare, locally common);
+    // source A speaks the corpus-dominant token
+    val corpus = docsSrc(
+      (1L, ("a " * 40).trim, "A"),
+      (2L, ("a " * 40).trim, "A"),
+      (3L, "bzz bzz bzz bzz qux qux", "B"))
+    val got = LmOps.sourceDivergence(corpus)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("div_bits"), r.getAs[Double]("div_milli"))).toMap
+
+    // from-scratch truth with the same head/backoff scheme
+    val toks = Map("A" -> (Seq.fill(80)("a")), "B" -> Seq("bzz", "bzz", "bzz", "bzz", "qux", "qux"))
+    val corpusCnt = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = corpusCnt.values.sum
+    def bits(x: Long): Long = BigInt(x).bitLength - 1L
+    def sCorp(t: String): Long =
+      if (corpusCnt(t) * 4096L >= n) bits(n / corpusCnt(t)) else 12L
+    for ((src, ts) <- toks) {
+      val ns = ts.size.toLong
+      val local = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      def sLoc(t: String): Long = if (local(t) * 4096L >= ns) bits(ns / local(t)) else 12L
+      val divBits = local.map { case (t, c) => c * (sCorp(t) - sLoc(t)) }.sum
+      val exp = (ns, divBits, divBits * 1000.0 / ns)
+      assert(got(src) == exp, s"source $src: got ${got(src)}, want $exp")
+    }
+    assert(got("B")._3 > got("A")._3, "exclusive-vocab source must diverge more")
+  }
+
+  test("q104–q107 run end-to-end on the sf0.001 tables") {
     assert(LmOps.q104UnigramSurprisal(spark, sf).count() > 0)
     assert(LmOps.q105DupShingleFraction(spark, sf).count() > 0)
+    assert(LmOps.q106BpePairStats(spark, sf).count() > 0)
+    assert(LmOps.q107SourceDivergence(spark, sf).count() > 0)
   }
 }
