@@ -192,8 +192,13 @@ object LmOps {
     */
   def sourceDivergence(docs0: DataFrame): DataFrame = {
     import docs0.sparkSession.implicits._
-    val docs = docs0.filter($"doc_id".isNotNull)
+    // the joins below infer IsNotNull(source)/IsNotNull(tok) on SOME
+    // branches of the shared vocab subtree; stating them here keeps every
+    // branch canonically equal so the vocab exchange is computed once
+    // (ReusedExchange) instead of re-scanning the corpus per branch
+    val docs = docs0.filter($"doc_id".isNotNull && $"source".isNotNull)
     val vocab = docs.select($"source", explode(TextOps.tokens($"text")).as("tok"))
+      .filter($"tok".isNotNull)
       .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
     val corpus = vocab.groupBy($"tok").agg(sum($"cnt").as("ccnt"))
     val totc = corpus.agg(sum($"ccnt").as("n"))
@@ -221,7 +226,8 @@ object LmOps {
     """WITH vocab AS (
       |  SELECT source, tok, COUNT(*) AS cnt FROM (
       |    SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
-      |    FROM documents WHERE doc_id IS NOT NULL) GROUP BY source, tok
+      |    FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+      |  WHERE tok IS NOT NULL GROUP BY source, tok
       |), corpus AS (
       |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM vocab GROUP BY tok
       |), tot AS (

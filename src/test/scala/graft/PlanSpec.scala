@@ -267,4 +267,42 @@ class PlanSpec extends SparkSpec {
     // compact plan strings mark codegen stages with "*(n)"
     assert(plan(df).contains("*(1)"), "agg pipeline must codegen")
   }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+  }
+
+  test("q104 surprisal: head lookup broadcasts — the corpus never shuffles on token") {
+    val p = finalPlan(LmOps.q104UnigramSurprisal(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the bounded head must broadcast; an SMJ here shuffles every corpus token")
+  }
+
+  test("q105 dup fraction: one shingle-relation evaluation, no join anywhere") {
+    val p = finalPlan(LmOps.q105DupShingleFraction(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"df must ride the window, not a groupBy+join-back, got $scans scans")
+    assert(!p.contains("Join"), "q105 is window+agg only")
+  }
+
+  test("q106 pair stats finish in TakeOrderedAndProject, no global sort") {
+    val p = finalPlan(LmOps.q106BpePairStats(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("q107 divergence: all derived relations reuse the one vocab exchange") {
+    val p = finalPlan(LmOps.q107SourceDivergence(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"corpus counts/totals/heads must derive from the vocab relation " +
+        s"(ReusedExchange), not re-scan the corpus: got $scans scans")
+    assert(!p.contains("SortMergeJoin"),
+      "head and totals are bounded — must broadcast")
+  }
 }
