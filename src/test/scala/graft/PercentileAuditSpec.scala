@@ -75,6 +75,22 @@ class PercentileAuditSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("q108 triangles: planted K4 yields 3 per node; unsupported pair excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p108").toString
+    // two orders each holding parts 1..4 → all 6 pairs supported (2 orders);
+    // one order holding {1,5} → pair (1,5) seen once, below support → no edge
+    val rows = (for (ok <- Seq(1L, 2L); p <- 1L to 4L) yield (ok, p)) :+
+      (3L, 1L) :+ (3L, 5L)
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    (1L to 5L).map(p => (p, s"Brand#$p"))
+      .toDF("p_partkey", "p_brand").write.parquet(s"$dir/part.parquet")
+    val got = graft.operators.GraphOps.q108TriangleCount(spark, dir)
+      .select($"p_partkey", $"n_tri", $"deg").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // K4 has 4 triangles; each vertex sits in C(3,2)=3 of them, degree 3
+    assert(got.toSeq == (1L to 4L).map(p => (p, 3L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("q99 counts planted violations exactly once each") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p99").toString
     val t0 = new java.sql.Timestamp(1609459200000L)
