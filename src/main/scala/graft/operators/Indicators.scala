@@ -427,6 +427,138 @@ object Indicators {
       |WHERE ABS(0.6745 * (spread - med) / mad) > 3.0
       |ORDER BY hour""".stripMargin
 
+  /** q109 — exponentially weighted moving average with DYADIC weights:
+    * the classic EWMA recursion s_t = α·x_t + (1−α)·s_{t−1} is not
+    * hash-reproducible across engines (each step compounds a float
+    * rounding), so the weights are fixed at α = 1/2 and the window
+    * truncated to K = 8 lags — weight 2^(K−1−k) for lag k, all integer.
+    * Truncation error is ≤ 2^−8 of the oldest mass, below the 1e−4
+    * close quantization anyway. Numerator/denominator stay exact longs
+    * (Σ 2^j·cl ≤ 255·10⁹ ≪ 2⁶³); the reported double is ONE division of
+    * exactly-representable integers, identical in both engines. The
+    * adaptive denominator (missing lags at a series head drop their
+    * weight) reproduces pandas' `ewm(adjust=True)` semantics.
+    *
+    * Scale shape: one window pass over the daily relation, ROWS-bounded
+    * frame (8 lags) so state per series is O(K); the q22-style resample
+    * agg upstream dominates and is partial+final.
+    */
+  def q109Ewma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day_ts")
+    val K = 8
+    val lags = (0 until K).map(k =>
+      (lag($"cl", k).over(w) * (1L << (K - 1 - k))).as(s"t$k"))
+    val wts = (0 until K).map(k =>
+      when(lag($"cl", k).over(w).isNotNull, 1L << (K - 1 - k))
+        .otherwise(0L).as(s"w$k"))
+    dailyCandles(s, d)
+      .select(Seq($"event_type", $"day_ts", $"cl") ++ lags ++ wts: _*)
+      .withColumn("num", (0 until K).map(k => coalesce(col(s"t$k"), lit(0L))).reduce(_ + _))
+      .withColumn("den", (0 until K).map(k => col(s"w$k")).reduce(_ + _))
+      .select($"event_type", date_format($"day_ts", "yyyy-MM-dd").as("day"),
+        $"cl", $"num", $"den",
+        ($"num".cast("double") / $"den" / 10000.0).as("ewma"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q109Sql: String = {
+    val K = 8
+    val lagCols = (0 until K).map(k =>
+      s"LAG(cl, $k) OVER (PARTITION BY event_type ORDER BY day_ts) AS l$k").mkString(",\n      |    ")
+    val num = (0 until K).map(k => s"COALESCE(l$k, 0) * ${1L << (K - 1 - k)}").mkString(" + ")
+    val den = (0 until K).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${1L << (K - 1 - k)} ELSE 0 END").mkString(" + ")
+    s"""WITH daily AS (
+      |  $dailySql
+      |), lagged AS (
+      |  SELECT event_type, day_ts, cl,
+      |    $lagCols
+      |  FROM daily
+      |)
+      |SELECT event_type, STRFTIME(day_ts, '%Y-%m-%d') AS day, cl,
+      |  CAST($num AS BIGINT) AS num,
+      |  CAST($den AS BIGINT) AS den,
+      |  CAST($num AS DOUBLE) / ($den) / 10000.0 AS ewma
+      |FROM lagged ORDER BY event_type, day""".stripMargin
+  }
+
+  /** q110 — lag-1 autocorrelation of daily returns per series (momentum
+    * vs mean-reversion diagnostic). Returns are q91's exact basis-point
+    * floor-division integers; the pairing is a LAG window (no join —
+    * the series is already sorted for the return lag), and the
+    * correlation is the q77/q91 fixed-point co-moment: every sum
+    * DECIMAL(38,0)/HUGEINT-exact, reduced by exact floor-division
+    * before ONE identical IEEE chain. One shuffle per series total.
+    */
+  def q110Autocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day_ts")
+    val D = "decimal(38,0)"
+    dailyCandles(s, d)
+      .withColumn("prev", lag($"cl", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("num", ($"cl" - $"prev") * 10000L)
+      .withColumn("r", expr("(num - ((num % prev + prev) % prev)) div prev"))
+      .withColumn("rp", lag($"r", 1).over(w))
+      .filter($"rp".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast(D).as("n"),
+        sum($"r".cast(D)).as("sx"), sum($"rp".cast(D)).as("sy"),
+        sum(($"r" * $"rp").cast(D)).as("sxy"),
+        sum(($"r" * $"r").cast(D)).as("sxx"),
+        sum(($"rp" * $"rp").cast(D)).as("syy"))
+      .withColumn("covnum", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("varxnum", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("varynum", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("cr", expr("(covnum - ((covnum % n + n) % n)) div n"))
+      .withColumn("vxr", expr("(varxnum - ((varxnum % n + n) % n)) div n"))
+      .withColumn("vyr", expr("(varynum - ((varynum % n + n) % n)) div n"))
+      .select($"event_type", $"n".cast("long").as("n_pairs"),
+        ($"cr".cast("double") / sqrt($"vxr".cast("double") * $"vyr".cast("double")))
+          .as("autocorr_lag1"))
+      .orderBy($"event_type")
+  }
+
+  val q110Sql: String =
+    s"""WITH daily AS (
+      |  $dailySql
+      |), rets AS (
+      |  SELECT event_type, day_ts,
+      |    (num - ((num % prev + prev) % prev)) // prev AS r
+      |  FROM (
+      |    SELECT *, (cl - LAG(cl, 1) OVER (PARTITION BY event_type ORDER BY day_ts)) * 10000 AS num,
+      |      LAG(cl, 1) OVER (PARTITION BY event_type ORDER BY day_ts) AS prev
+      |    FROM daily)
+      |  WHERE prev IS NOT NULL
+      |), paired AS (
+      |  SELECT event_type, r,
+      |    LAG(r, 1) OVER (PARTITION BY event_type ORDER BY day_ts) AS rp
+      |  FROM rets
+      |), st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(r AS HUGEINT)) AS sx, SUM(CAST(rp AS HUGEINT)) AS sy,
+      |    SUM(CAST(r * rp AS HUGEINT)) AS sxy,
+      |    SUM(CAST(r * r AS HUGEINT)) AS sxx,
+      |    SUM(CAST(rp * rp AS HUGEINT)) AS syy
+      |  FROM paired WHERE rp IS NOT NULL GROUP BY event_type
+      |), cm AS (
+      |  SELECT event_type, n,
+      |    n * sxy - sx * sy AS covnum,
+      |    n * sxx - sx * sx AS varxnum,
+      |    n * syy - sy * sy AS varynum
+      |  FROM st
+      |), red AS (
+      |  SELECT event_type, n,
+      |    CAST((covnum - ((covnum % n + n) % n)) // n AS BIGINT) AS cr,
+      |    CAST((varxnum - ((varxnum % n + n) % n)) // n AS BIGINT) AS vxr,
+      |    CAST((varynum - ((varynum % n + n) % n)) // n AS BIGINT) AS vyr
+      |  FROM cm
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(cr AS DOUBLE) / SQRT(CAST(vxr AS DOUBLE) * CAST(vyr AS DOUBLE)) AS autocorr_lag1
+      |FROM red ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_indicators" -> (q90Indicators _),
     "q91_return_corr" -> (q91ReturnCorr _),
@@ -434,6 +566,8 @@ object Indicators {
     "q93_interpolate" -> (q93Interpolate _),
     "q94_candle_patterns" -> (q94CandlePatterns _),
     "q95_spread_monitor" -> (q95SpreadMonitor _),
+    "q109_ewma" -> (q109Ewma _),
+    "q110_autocorr" -> (q110Autocorr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +577,7 @@ object Indicators {
     "q93_interpolate" -> q93Sql,
     "q94_candle_patterns" -> q94Sql,
     "q95_spread_monitor" -> q95Sql,
+    "q109_ewma" -> q109Sql,
+    "q110_autocorr" -> q110Sql,
   )
 }

@@ -74,6 +74,42 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(c.head.getAs[Double]("ret_corr") - 1.0) < 1e-6, c.head.toString)
   }
 
+  test("q109: constant series EWMA equals the constant; head denominator adapts") {
+    val ev = (1 to 12).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+        1L, "flat", 42.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ind109").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q109Ewma(spark, dir).orderBy("day").collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      assert(r.getAs[Double]("ewma") == 42.5, s"constant series must hold: $r")
+    }
+    // head adaptivity: row k (0-based, k < 8) has k+1 populated lags →
+    // den = sum of the TOP k+1 dyadic weights 128,64,... = 256 - 2^(7-k)
+    out.take(8).zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Long]("den") == 256L - (1L << (7 - k)),
+        s"adaptive denominator wrong at row $k: $r")
+    }
+    assert(out.drop(8).forall(_.getAs[Long]("den") == 255L))
+  }
+
+  test("q110: alternating series has strongly negative lag-1 autocorrelation") {
+    val ev = (1 to 20).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+        1L, "zig", if (i % 2 == 0) 110.0 else 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ind110").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q110Autocorr(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 18L, s"20 days -> 19 returns -> 18 pairs: $r")
+    val ac = r.getAs[Double]("autocorr_lag1")
+    assert(ac < -0.99, s"alternating returns must anti-correlate: $r")
+  }
+
   test("q93: present hours pass through; gaps interpolate strictly between neighbors") {
     val rows = Indicators.q93Interpolate(spark, sf).collect()
     assert(rows.nonEmpty)
