@@ -250,11 +250,117 @@ object LmOps {
       |  CAST(SUM(cnt * (sc - ss)) * 1000 AS DOUBLE) / ns AS div_milli
       |FROM scored GROUP BY source, ns ORDER BY source""".stripMargin
 
+  /** q111 — inverted-index build (the retrieval side of a training-data
+    * pipeline: token → posting list of documents). Each token carries
+    * its document frequency and the first 20 doc ids, comma-joined.
+    *
+    * Scale shape: ONE partial+final aggregation on the distinct
+    * (token, doc) relation. The posting buffer is the bounded-heap
+    * [[graft.functions.TopK]] aggregate keeping the 20 SMALLEST doc ids
+    * (price = −doc_id makes the heap's best-first order ascending-id) —
+    * per-key state is O(k) and each map task ships ≤ k entries per
+    * (token, partition) into the shuffle, so a stopword indexing every
+    * document costs the same as a hapax. A `sort_array(collect_list)`
+    * + slice would instead buffer the token's ENTIRE posting set (and a
+    * `collect_capped` truncation would be nondeterministic); the heap is
+    * the only formulation that is both bounded and exact.
+    */
+  def invertedIndex(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val pairs = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .distinct()
+    val first20 = graft.functions.TopK(20)
+    pairs.groupBy($"tok")
+      .agg(count(lit(1)).as("df"),
+        first20((-$"doc_id").cast("double"), $"doc_id").as("heap"))
+      .select($"tok", $"df",
+        array_join(transform($"heap", r => r.getField("key").cast("string")), ",")
+          .as("postings"))
+      .orderBy($"df".desc, $"tok")
+      .limit(100)
+  }
+
+  def q111InvertedIndex(s: SparkSession, d: String): DataFrame =
+    invertedIndex(documents(s, d))
+
+  val q111Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id IS NOT NULL)
+      |), idx AS (
+      |  SELECT tok, COUNT(*) AS df,
+      |    ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id)[1:20], ',') AS postings
+      |  FROM pairs GROUP BY tok
+      |)
+      |SELECT tok, CAST(df AS BIGINT) AS df, postings
+      |FROM idx ORDER BY df DESC, tok LIMIT 100""".stripMargin
+
+  /** q112 — per-source vocabulary statistics: token count, vocabulary
+    * size, type-token ratio (Heaps'-law proxy), and unigram entropy in
+    * q104's quantized-bit space — H ≈ Σ cnt·floor(log2(N div cnt)) / N,
+    * reported in milli-bits by exact integer division. Entropy is the
+    * standard single-number summary of how concentrated a source's
+    * vocabulary is (boilerplate-heavy sources score low); the quantized
+    * form keeps it hash-exact across engines (no transcendental log).
+    *
+    * Scale shape: the (source, token) count is the canonical word-count
+    * partial+final hash agg; everything after runs on the vocab-bounded
+    * relation (surprisal bits are computed per DISTINCT token, never per
+    * instance), and the final per-source rollup touches |vocab| rows.
+    * The corpus is scanned once and never shuffled on the token.
+    */
+  def vocabEntropy(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val vocab = docs
+      .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.groupBy($"source").agg(sum($"cnt").as("n"))
+    vocab.join(broadcast(totals), Seq("source"))
+      .withColumn("bits", (length(bin(expr("n div cnt"))) - 1).cast("long"))
+      .groupBy($"source")
+      .agg(max($"n").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum($"cnt" * $"bits").as("wbits"))
+      .select($"source", $"n_tokens", $"vocab_size",
+        expr("(vocab_size * 1000) div n_tokens").as("ttr_milli"),
+        expr("(wbits * 1000) div n_tokens").as("entropy_milli"))
+      .orderBy($"source")
+  }
+
+  def q112VocabEntropy(s: SparkSession, d: String): DataFrame =
+    vocabEntropy(documents(s, d))
+
+  val q112Sql: String =
+    """WITH inst AS (
+      |  SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), vocab AS (
+      |  SELECT source, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT source, SUM(cnt) AS n FROM vocab GROUP BY source
+      |), scored AS (
+      |  SELECT v.source, v.cnt, t.n,
+      |    CAST(LENGTH(BIN(t.n // v.cnt)) - 1 AS BIGINT) AS bits
+      |  FROM vocab v JOIN totals t USING (source)
+      |)
+      |SELECT source,
+      |  CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |  CAST((COUNT(*) * 1000) // MAX(n) AS BIGINT) AS ttr_milli,
+      |  CAST((SUM(cnt * bits) * 1000) // MAX(n) AS BIGINT) AS entropy_milli
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
     "q106_bpe_pair_stats" -> (q106BpePairStats _),
     "q107_source_divergence" -> (q107SourceDivergence _),
+    "q111_inverted_index" -> (q111InvertedIndex _),
+    "q112_vocab_entropy" -> (q112VocabEntropy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +368,7 @@ object LmOps {
     "q105_dup_shingle_frac" -> q105Sql,
     "q106_bpe_pair_stats" -> q106Sql,
     "q107_source_divergence" -> q107Sql,
+    "q111_inverted_index" -> q111Sql,
+    "q112_vocab_entropy" -> q112Sql,
   )
 }

@@ -134,6 +134,31 @@ class LmOpsSpec extends SparkSpec {
     assert(got("B")._3 > got("A")._3, "exclusive-vocab source must diverge more")
   }
 
+  test("q111 postings keep the 20 smallest doc ids, complete lists below the cap") {
+    // token 'common' in 25 docs (df 25 → postings truncate to ids 1..20);
+    // token 'solo' only in doc 7 (df 1, complete)
+    val corpus = docs((1L to 25L).map(i =>
+      i -> (if (i == 7L) "common solo" else "common")): _*)
+    val got = LmOps.invertedIndex(corpus)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("common", 25L, (1L to 20L).mkString(",")),
+      ("solo", 1L, "7")), s"got $got")
+  }
+
+  test("q112 entropy: one-token source scores 0, uniform two-token source 1 bit") {
+    val corpus = docsSrc(
+      (1L, "a a a a", "mono"),
+      (2L, "x y x y", "duo"))
+    val got = LmOps.vocabEntropy(corpus)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_size"),
+          r.getAs[Long]("ttr_milli"), r.getAs[Long]("entropy_milli"))).toMap
+    // mono: N=4, cnt=4 → floor(log2 1)=0 bits; duo: cnt=2 each → 1 bit/token
+    assert(got("mono") == (4L, 1L, 250L, 0L), s"got ${got("mono")}")
+    assert(got("duo") == (4L, 2L, 500L, 1000L), s"got ${got("duo")}")
+  }
+
   test("q104–q107 run end-to-end on the sf0.001 tables") {
     assert(LmOps.q104UnigramSurprisal(spark, sf).count() > 0)
     assert(LmOps.q105DupShingleFraction(spark, sf).count() > 0)
