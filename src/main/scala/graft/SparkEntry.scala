@@ -18,7 +18,7 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ SeqOps.queries ++ CorpusOps.queries ++
       StatsOps.queries ++ Curation.queries ++ PortableMinHash.queries ++ PortableAnn.queries ++
       Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++ Indicators.queries ++
-      Drift.queries ++ GraphOps.queries ++ LmOps.queries ++
+      Drift.queries ++ GraphOps.queries ++ LmOps.queries ++ Sketches.queries ++
       Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
@@ -33,7 +33,7 @@ object SparkEntry {
       TextOps.oracles ++ VectorOps.oracles ++ SeqOps.oracles ++ CorpusOps.oracles ++
       StatsOps.oracles ++ Curation.oracles ++ PortableMinHash.oracles ++ PortableAnn.oracles ++
       Mixing.oracles ++ SemDedup.oracles ++ RuntimeFilter.oracles ++ Indicators.oracles ++
-      Drift.oracles ++ GraphOps.oracles ++ LmOps.oracles ++
+      Drift.oracles ++ GraphOps.oracles ++ LmOps.oracles ++ Sketches.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql)
 }

@@ -168,10 +168,20 @@ object GraphOps {
     */
   def q108TriangleCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Pair generation WITHOUT a self-join: collect each order's distinct
+    // part set (bounded by order size — single-digit parts per order at
+    // any SF) and explode its C(k,2) ordered combinations in a pure map.
+    // Two exchanges total — (order) for the basket build, (pair) for the
+    // support count — where the order-key self-join form needs four and
+    // materializes the same pair multiset through join machinery. The
+    // sorted set makes each pair appear once per order, so support is a
+    // plain partial+final count.
     val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey")
-    val e = li.toDF("ok", "x").join(li.toDF("ok", "y"), "ok")
-      .filter($"x" < $"y")
-      .groupBy($"x", $"y").agg(countDistinct($"ok").as("support"))
+    val e = li.groupBy($"ok").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + lit(2), size($"ps")),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy($"p.x".as("x"), $"p.y".as("y")).agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .select($"x", $"y")
       .localCheckpoint() // bounded: supported pairs, ~3.5k at any SF
@@ -190,11 +200,13 @@ object GraphOps {
   }
 
   val q108Sql: String =
-    """WITH e AS (
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
       |  SELECT a.l_partkey AS x, b.l_partkey AS y
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
       |  WHERE a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       |deg AS (
       |  SELECT u, COUNT(*) AS deg FROM (
       |    SELECT x AS u FROM e UNION ALL SELECT y FROM e) GROUP BY u),

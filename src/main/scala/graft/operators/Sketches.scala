@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Count–Min sketch [Cormode & Muthukrishnan '05] heavy-hitter
+  * estimation in PORTABLE integer arithmetic — the last of the classic
+  * sketch families in this engine (Bloom q89, HLL q46, MinHash q36/q79,
+  * SimHash q37) and, like q79/q80, built so a DuckDB oracle reproduces
+  * every cell: the token hash is q79's base-31 polynomial, the R row
+  * hashes are fixed-constant universal rehashes (a·h + b mod P) mod W,
+  * and every count is an exact long sum. The query reports, for the
+  * exact top-10 tokens, the true count next to the sketch estimate —
+  * the CMS one-sided error (est ≥ true) is thereby visible in the
+  * scored output itself.
+  *
+  * Scale shape: the exact word count runs first (canonical partial+
+  * final hash agg), so hashing touches only the VOCAB relation — the
+  * corpus is never hashed per-instance or shuffled on anything but the
+  * token. The sketch build explodes each vocab row to its R = 4 cells
+  * and re-aggregates into a grid hard-bounded at R×W = 2048 cells
+  * (map-side combine caps every partial at that too); the grid then
+  * BROADCASTS into the estimate join against the top-10 relation
+  * (TakeOrderedAndProject, never a global sort). At 100 TB the sketch
+  * is the only thing that moves after the word count: 2048 longs.
+  */
+object Sketches {
+  private val P = 1000000007L // universal-hash modulus (q79's)
+  private val W = 512         // buckets per row
+  private val A = Seq(3L, 5L, 7L, 11L)     // row multipliers
+  private val B = Seq(17L, 89L, 233L, 610L) // row offsets
+
+  def countMinHeavyHitters(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull)
+    val vocab = docs
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // h < 2^53 from the polynomial; reduce mod P FIRST so a·hp + b stays
+    // far inside int64 (a ≤ 11, hp < 1e9)
+    val hashed = vocab
+      .withColumn("hp", PortableMinHash.polyHash($"tok") % P)
+      .localCheckpoint() // bounded: the vocab relation, reused 3×
+    val rowCells = (0 until 4).map(r =>
+      struct(lit(r).as("r"),
+        (((lit(A(r)) * $"hp" + lit(B(r))) % P) % W).as("b")))
+    val cells = hashed
+      .select($"cnt", explode(array(rowCells: _*)).as("rb"))
+      .groupBy($"rb.r".as("r"), $"rb.b".as("b"))
+      .agg(sum($"cnt").as("cell"))
+    val top10 = hashed.orderBy($"cnt".desc, $"tok").limit(10)
+    top10
+      .select($"tok", $"cnt", explode(array(rowCells: _*)).as("rb"))
+      .join(broadcast(cells), $"rb.r" === $"r" && $"rb.b" === $"b")
+      .groupBy($"tok")
+      .agg(max($"cnt").as("true_cnt"), min($"cell").as("cms_est"))
+      .select($"tok", $"true_cnt", $"cms_est",
+        ($"cms_est" - $"true_cnt").as("over_est"))
+      .orderBy($"true_cnt".desc, $"tok")
+  }
+
+  def q113CountMin(s: SparkSession, d: String): DataFrame =
+    countMinHeavyHitters(documents(s, d))
+
+  val q113Sql: String =
+    """WITH inst AS (
+      |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), vocab AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM inst WHERE LENGTH(tok) > 0 GROUP BY tok
+      |), hashed AS (
+      |  SELECT tok, cnt,
+      |    list_reduce(list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT)),
+      |      (acc, x) -> (acc * 31 + x) % 9007199254740881) % 1000000007 AS hp
+      |  FROM vocab
+      |), rows_ AS (
+      |  SELECT * FROM (VALUES (0, 3, 17), (1, 5, 89), (2, 7, 233), (3, 11, 610)) t(r, a, b)
+      |), cells AS (
+      |  SELECT r, ((a * hp + b) % 1000000007) % 512 AS bkt, SUM(cnt) AS cell
+      |  FROM hashed CROSS JOIN rows_ GROUP BY 1, 2
+      |), top10 AS (
+      |  SELECT tok, cnt, hp FROM hashed ORDER BY cnt DESC, tok LIMIT 10
+      |)
+      |SELECT t.tok, CAST(t.cnt AS BIGINT) AS true_cnt,
+      |  CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+      |  CAST(MIN(c.cell) - t.cnt AS BIGINT) AS over_est
+      |FROM top10 t CROSS JOIN rows_ v
+      |  JOIN cells c ON c.r = v.r AND c.bkt = ((v.a * t.hp + v.b) % 1000000007) % 512
+      |GROUP BY t.tok, t.cnt
+      |ORDER BY true_cnt DESC, tok""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_countmin_hh" -> (q113CountMin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q113_countmin_hh" -> q113Sql,
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Sketches
+
+/** q113 Count–Min semantics the sf0.01 hash-match can't isolate: the
+  * one-sided error guarantee, exactness in the collision-free case, and
+  * a from-scratch recount of the whole 4×512 grid.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+
+  private val M = 9007199254740881L
+  private val P = 1000000007L
+  private val A = Seq(3L, 5L, 7L, 11L)
+  private val B = Seq(17L, 89L, 233L, 610L)
+
+  private def hp(tok: String): Long =
+    tok.map(_.toLong).foldLeft(0L)((acc, c) => (acc * 31 + c) % M) % P
+
+  private def bucket(r: Int, h: Long): Long = ((A(r) * h + B(r)) % P) % 512
+
+  test("q113 estimates match a from-scratch grid recount and never undercount") {
+    // 26 token types with distinct counts 1..26 (token = letter repeated
+    // 3x so poly hashes spread), one doc per instance batch
+    val types = ('a' to 'z').map(c => s"$c$c$c")
+    val corpus = docs(types.zipWithIndex.map { case (t, i) =>
+      (i + 1).toLong -> Seq.fill(i + 1)(t).mkString(" ")
+    }: _*)
+    val got = Sketches.countMinHeavyHitters(corpus)
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+    // from-scratch truth
+    val counts = types.zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
+    val grid = Array.fill(4)(collection.mutable.Map.empty[Long, Long].withDefaultValue(0L))
+    for ((t, c) <- counts; r <- 0 until 4) grid(r)(bucket(r, hp(t))) += c
+    def est(t: String): Long = (0 until 4).map(r => grid(r)(bucket(r, hp(t)))).min
+    val top10 = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    val want = top10.map { case (t, c) => (t, c, est(t), est(t) - c) }
+    assert(got == want, s"got $got\nwant $want")
+    got.foreach { case (t, tc, e, over) =>
+      assert(e >= tc && over == e - tc, s"CMS must never undercount: $t")
+    }
+  }
+
+  test("q113 is exact when a token collides with nothing in some row") {
+    // a single token type: its cells contain only its own count → est == true
+    val corpus = docs(1L -> Seq.fill(7)("lonely").mkString(" "))
+    val got = Sketches.countMinHeavyHitters(corpus)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("lonely", 7L, 7L, 0L)), s"got $got")
+  }
+}
