@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Hybrid retrieval flagship — the query a RAG / dataset-search stack
+  * runs against a corpus this engine curates: a LEXICAL retriever
+  * (distinct-token overlap with the query document, the q111 inverted
+  * index's scoring side) and a SEMANTIC retriever (q41's fixed-point
+  * exact cosine over the aligned embeddings table) each produce a
+  * top-50 list, fused by Reciprocal Rank Fusion
+  * [Cormack et al. SIGIR'09]: rrf = 1/(60+r_lex) + 1/(60+r_sem), with
+  * unretrieved-list membership penalized at rank 1000. The query is the
+  * corpus's own doc 0 (data-derived, parameter-free, like q102's BFS
+  * source).
+  *
+  * Determinism: overlap counts and ranks are integers (rank ties broken
+  * by doc id), cosine is the q41 floor-quantized dot/norm chain, and the
+  * RRF score is two IEEE divisions and one add of exactly-agreed
+  * inputs — hash-identical across engines.
+  *
+  * Scale shape: the query-token set and query vector BROADCAST; the
+  * corpus-side token relation shuffles once on doc_id for the overlap
+  * count and the embedding relation once for the dot products; both
+  * retrievers end in `orderBy().limit(50)` — TakeOrderedAndProject, no
+  * global sort — and everything after (rank windows, full-outer fuse,
+  * final top-10) runs on ≤ 50-row relations. RRF over full corpora
+  * would need a corpus-wide rank; fusing bounded per-retriever top-k
+  * lists is both the standard formulation and the scale-safe one.
+  */
+object Retrieval {
+
+  def q114HybridRetrieval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val qtoks = docs.filter($"doc_id" === 0)
+      .select(explode(TextOps.tokens($"text")).as("tok")).distinct()
+    val lexTop = docs.filter($"doc_id" =!= 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok")).distinct()
+      .join(broadcast(qtoks), Seq("tok"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("lex_overlap"))
+      .orderBy($"lex_overlap".desc, $"doc_id").limit(50)
+    val lexR = lexTop.withColumn("lex_rank",
+      row_number().over(Window.orderBy($"lex_overlap".desc, $"doc_id")).cast("long"))
+
+    val e = VectorOps.exploded(s, d)
+    val norms = e.groupBy($"vec_id").agg(VectorOps.xsum($"v" * $"v").as("n2"))
+    val qv = e.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
+    val qn = norms.filter($"vec_id" === 0).select($"n2".as("qn2"))
+    val semTop = broadcast(qv).join(e, Seq("pos"))
+      .filter($"vec_id" =!= 0)
+      .groupBy($"vec_id").agg(VectorOps.xsum($"qv" * $"v").as("dot"))
+      .join(broadcast(norms), Seq("vec_id"))
+      .crossJoin(broadcast(qn))
+      .select($"vec_id".as("doc_id"),
+        ($"dot" / (sqrt($"n2") * sqrt($"qn2"))).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(50)
+    val semR = semTop.withColumn("sem_rank",
+      row_number().over(Window.orderBy($"cos".desc, $"doc_id")).cast("long"))
+
+    lexR.join(semR, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"lex_overlap", lit(0L)).as("lex_overlap"),
+        $"cos",
+        coalesce($"lex_rank", lit(1000L)).as("lex_rank"),
+        coalesce($"sem_rank", lit(1000L)).as("sem_rank"))
+      .withColumn("rrf",
+        lit(1.0) / ($"lex_rank" + 60L) + lit(1.0) / ($"sem_rank" + 60L))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q114Sql: String =
+    """WITH qt AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id = 0)
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id IS NOT NULL AND doc_id <> 0)
+      |), lex AS (
+      |  SELECT doc_id, COUNT(*) AS lex_overlap
+      |  FROM dt JOIN qt USING (tok) GROUP BY doc_id
+      |  ORDER BY lex_overlap DESC, doc_id LIMIT 50
+      |), lexr AS (
+      |  SELECT doc_id, lex_overlap,
+      |    ROW_NUMBER() OVER (ORDER BY lex_overlap DESC, doc_id) AS lex_rank
+      |  FROM lex
+      |), e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT c.vec_id, CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id = 0 AND c.vec_id <> 0
+      |  GROUP BY c.vec_id
+      |), sem AS (
+      |  SELECT d.vec_id AS doc_id, d.dot / (SQRT(n.n2) * SQRT(qn.n2)) AS cos
+      |  FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+      |    JOIN norms qn ON qn.vec_id = 0
+      |  ORDER BY cos DESC, doc_id LIMIT 50
+      |), semr AS (
+      |  SELECT doc_id, cos,
+      |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      |  FROM sem
+      |)
+      |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |  COALESCE(l.lex_overlap, 0) AS lex_overlap,
+      |  s.cos AS cos,
+      |  CAST(COALESCE(l.lex_rank, 1000) AS BIGINT) AS lex_rank,
+      |  CAST(COALESCE(s.sem_rank, 1000) AS BIGINT) AS sem_rank,
+      |  CAST(1.0 AS DOUBLE) / (COALESCE(l.lex_rank, 1000) + 60)
+      |    + CAST(1.0 AS DOUBLE) / (COALESCE(s.sem_rank, 1000) + 60) AS rrf
+      |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_hybrid_retrieval" -> (q114HybridRetrieval _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q114_hybrid_retrieval" -> q114Sql,
+  )
+}
