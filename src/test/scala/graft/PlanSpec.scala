@@ -305,4 +305,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "head and totals are bounded — must broadcast")
   }
+
+  test("q108 triangles: support-bounded edges close wedges via broadcast only") {
+    val p = finalPlan(GraphOps.q108TriangleCount(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      "every join runs on the ~3.5k-edge checkpointed relation — must broadcast")
+    // pair generation is the basket explode, not an order-key self-join:
+    // the only parquet scans are one lineitem pass and the part dim
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"triangle stage reads checkpointed edges + part dim, got $scans parquet scans")
+  }
+
+  test("q111 inverted index: posting heap partial-aggregates map-side") {
+    val p = finalPlan(LmOps.q111InvertedIndex(spark, sf))
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      s"TopK must run partial+final, got: ${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"), "final top-100 must not global-sort")
+  }
+
+  test("q113 count-min: the 2048-cell grid broadcasts into the estimate join") {
+    val p = finalPlan(Sketches.q113CountMin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "sketch cells and top-10 are bounded relations — must broadcast")
+  }
+
+  test("q114 hybrid retrieval: both retrievers end in TakeOrderedAndProject") {
+    val p = finalPlan(Retrieval.q114HybridRetrieval(spark, sf))
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topk >= 2, s"lex and sem top-50 must be TakeOrdered, got $topk")
+    assert(!p.contains("CartesianProduct"), "the scalar qn2 crossJoin must broadcast")
+  }
 }
