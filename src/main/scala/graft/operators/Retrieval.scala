@@ -22,8 +22,12 @@ import graft.sources.Tables._
   * inputs — hash-identical across engines.
   *
   * Scale shape: the query-token set and query vector BROADCAST; the
-  * corpus-side token relation shuffles once on doc_id for the overlap
-  * count and the embedding relation once for the dot products; both
+  * corpus-side token relation is semi-filtered map-side against the
+  * broadcast query-token set BEFORE any exchange, so the lexical arm's
+  * shuffles (the (doc_id, tok) distinct and the overlap count) carry
+  * only query-overlapping token instances — the full-corpus token
+  * relation never shuffles. The embedding relation shuffles once for
+  * the dot products; both
   * retrievers end in `orderBy().limit(50)` — TakeOrderedAndProject, no
   * global sort — and everything after (rank windows, full-outer fuse,
   * final top-10) runs on ≤ 50-row relations. RRF over full corpora
@@ -37,9 +41,19 @@ object Retrieval {
     val docs = documents(s, d).filter($"doc_id".isNotNull)
     val qtoks = docs.filter($"doc_id" === 0)
       .select(explode(TextOps.tokens($"text")).as("tok")).distinct()
+    // Broadcast-filter BEFORE distinct: the exploded (doc_id, tok)
+    // relation joins the broadcast query-token set first — a map-side
+    // semi-filter with no exchange — so the (doc_id, tok) distinct that
+    // follows shuffles ONLY query-overlapping token instances (bounded
+    // by |qtoks| × docs containing them), not the full corpus token
+    // relation. distinct-then-join and join-then-distinct agree because
+    // qtoks is itself distinct: the inner join never multiplies rows.
+    // Pinned in PlanSpec: no exchange in the lexical arm carries `text`
+    // or a pre-filter token relation.
     val lexTop = docs.filter($"doc_id" =!= 0)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok")).distinct()
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
       .join(broadcast(qtoks), Seq("tok"))
+      .distinct()
       .groupBy($"doc_id").agg(count(lit(1)).as("lex_overlap"))
       .orderBy($"lex_overlap".desc, $"doc_id").limit(50)
     val lexR = lexTop.withColumn("lex_rank",

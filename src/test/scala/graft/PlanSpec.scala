@@ -336,4 +336,40 @@ class PlanSpec extends SparkSpec {
     assert(topk >= 2, s"lex and sem top-50 must be TakeOrdered, got $topk")
     assert(!p.contains("CartesianProduct"), "the scalar qn2 crossJoin must broadcast")
   }
+
+  test("q114 lexical arm: corpus tokens broadcast-filtered BEFORE any exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = Retrieval.q114HybridRetrieval(spark, sf)
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // AQE materializes stages as leaf nodes — expand them so collect
+    // reaches the map-stage operators where the lexical join lives
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => nodes(q.plan)
+      case r: ReusedExchangeExec => nodes(r.child)
+      case _ => p.children.flatMap(nodes)
+    })
+    val lexJoins = nodes(root).collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "tok")) => j
+    }
+    assert(lexJoins.nonEmpty, s"lexical arm must broadcast-join on tok\n$root")
+    for (j <- lexJoins) {
+      // streamed side = the corpus token relation (qtoks is the build
+      // side); it must be scan → explode → join with NO exchange below —
+      // the full-corpus (doc_id, tok) relation never shuffles
+      val streamed = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }).toString
+      assert(!streamed.contains("Exchange") && !streamed.contains("QueryStage"),
+        s"corpus tokens must join the broadcast query-token set before any exchange:\n$streamed")
+    }
+  }
 }
