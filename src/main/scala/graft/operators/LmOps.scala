@@ -110,7 +110,21 @@ object LmOps {
     import docs0.sparkSession.implicits._
     val docs = docs0.filter($"doc_id".isNotNull)
     val sh = TextOps.explodedShingles(docs, Seq("doc_id"), "text", 3)
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+    // Shingle document-frequency via groupBy + join-back, NOT a
+    // `count over (partition by shingle)` window. The window form saves
+    // one exchange at small SF but is a skew cliff: a window partition
+    // cannot be split, so one boilerplate trigram shared by most
+    // documents lands its entire instance list on a single task with no
+    // recourse. The aggregate side here collapses hot shingles to ONE
+    // row pre-shuffle (partial+final map-side combine), and the
+    // join-back's skew surface is a shuffle JOIN — exactly what AQE's
+    // skew-join split handles at runtime (a hot shingle's instance
+    // partition splits into sub-tasks, the collapsed one-row df side
+    // replicates). Both shingle-keyed exchanges hash the same relation
+    // on the same key, so the scan+explode pipeline is shared via
+    // exchange reuse rather than recomputed (pinned in PlanSpec).
+    val dfc = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfc, Seq("shingle"))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -74,6 +74,29 @@ class LmOpsSpec extends SparkSpec {
     assert(got(1L)._1 == 4 && got(3L)._1 == 3)
   }
 
+  test("q105 hot shingle: df is a combinable aggregate, not an unsplittable window") {
+    // one boilerplate shingle planted in 90% of docs — the skew shape
+    // that motivated replacing `count over (partition by shingle)`:
+    // a window partition cannot split, a shuffle join under AQE can,
+    // and the aggregate side collapses the hot key map-side.
+    val corpus = docs((1L to 100L).map { i =>
+      if (i <= 90) i -> s"aa bb cc u$i v$i" else i -> s"x$i y$i z$i w$i q$i"
+    }: _*)
+    val res = LmOps.dupShingleFraction(corpus)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l => l.contains("Window") && l.contains("shingle")),
+      "shingle df must not run through a shingle-partitioned window")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"df aggregate must map-side combine the hot shingle:\n${plan.take(800)}")
+    val got = res.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"))).toMap
+    // hot docs: shingles "aa bb cc","bb cc u_i","cc u_i v_i" → exactly
+    // the first is duplicated; unique docs share nothing
+    assert((1L to 90L).forall(i => got(i) == (3L, 1L)),
+      s"hot docs must count exactly the planted shingle, got ${got(1L)}")
+    assert((91L to 100L).forall(i => got(i)._2 == 0L))
+  }
+
   test("q105 short docs (<3 tokens) produce no row; within-doc repeats don't count") {
     val corpus = docs(
       1L -> "too short",

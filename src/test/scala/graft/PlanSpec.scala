@@ -284,11 +284,18 @@ class PlanSpec extends SparkSpec {
       "the bounded head must broadcast; an SMJ here shuffles every corpus token")
   }
 
-  test("q105 dup fraction: one shingle-relation evaluation, no join anywhere") {
+  test("q105 shingle df: combinable agg + join-back, one scan, no shingle-keyed window") {
     val p = finalPlan(LmOps.q105DupShingleFraction(spark, sf))
+    // the per-doc lead windows inside explodedShingles are fine (doc-
+    // bounded partitions); what must NOT exist is a window PARTITIONED
+    // BY the shingle — that partition can't split under skew, while the
+    // join-back's shuffle join can (AQE skew split) and its agg side
+    // map-side-combines the hot key
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("shingle")),
+      "shingle df must not run through a shingle-partitioned window")
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"df must ride the window, not a groupBy+join-back, got $scans scans")
-    assert(!p.contains("Join"), "q105 is window+agg only")
+    assert(scans == 1,
+      s"instance relation and df aggregate must share one scan via exchange reuse, got $scans scans")
   }
 
   test("q106 pair stats finish in TakeOrderedAndProject, no global sort") {
