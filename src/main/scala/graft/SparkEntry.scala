@@ -19,7 +19,7 @@ object SparkEntry {
       StatsOps.queries ++ Curation.queries ++ PortableMinHash.queries ++ PortableAnn.queries ++
       Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++ Indicators.queries ++
       Drift.queries ++ GraphOps.queries ++ LmOps.queries ++ Sketches.queries ++
-      Retrieval.queries ++
+      Retrieval.queries ++ PortableSimHash.queries ++
       Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
@@ -35,7 +35,7 @@ object SparkEntry {
       StatsOps.oracles ++ Curation.oracles ++ PortableMinHash.oracles ++ PortableAnn.oracles ++
       Mixing.oracles ++ SemDedup.oracles ++ RuntimeFilter.oracles ++ Indicators.oracles ++
       Drift.oracles ++ GraphOps.oracles ++ LmOps.oracles ++ Sketches.oracles ++
-      Retrieval.oracles ++
+      Retrieval.oracles ++ PortableSimHash.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql)
 }

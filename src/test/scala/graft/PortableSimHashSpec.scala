@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PortableSimHash, SimHash}
+
+/** The portable (oracle-checkable) SimHash tier must behave like a
+  * SimHash: identical distinct-token sets collide at Hamming 0,
+  * unrelated vocabularies never pair, the w=1 kernel hash matches the
+  * relational fold, and the production q37 tier agrees on planted
+  * duplicates.
+  */
+class PortableSimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poly_shingle_hashes(w=1) matches distinct polyHash over the token pipeline") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id".isNotNull)
+    val kernel = docs
+      .select($"doc_id", call_function("poly_shingle_hashes", $"text", lit(1)).as("hl"))
+      .filter(size($"hl") > 0)
+      .as[(Long, Seq[Long])].collect().map { case (d, hl) => d -> hl.sorted.toSeq }.toMap
+    val pipeline = docs
+      .select($"doc_id", explode(graft.operators.TextOps.tokens($"text")).as("tok"))
+      .select($"doc_id", graft.operators.PortableMinHash.polyHash($"tok").as("h"))
+      .groupBy($"doc_id").agg(collect_set($"h").as("hl"))
+      .as[(Long, Seq[Long])].collect().map { case (d, hl) => d -> hl.sorted.toSeq }.toMap
+    assert(kernel == pipeline)
+  }
+
+  test("same distinct token set (reordered, repeated) pairs at Hamming 0; unrelated never pairs") {
+    val vocabA = (1 to 120).map(i => s"alpha$i")
+    val corpus = Seq(
+      1L -> vocabA.mkString(" "),
+      2L -> (vocabA.reverse ++ vocabA.take(30)).mkString(" "), // same SET
+      3L -> (1 to 120).map(i => s"omega$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val got = PortableSimHash.pairs(corpus)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L),
+      s"set-identical docs must pair at Hamming 0, got ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      "orthogonal-vocabulary doc must not pair")
+  }
+
+  test("q37 and q115 agree on a planted duplicate through their full pairing pipelines") {
+    val base = (1 to 150).map(i => s"tok$i").mkString(" ")
+    val unrelated = (1 to 150).map(i => s"other$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("psh").toString
+    Seq((1L, base), (2L, base), (3L, unrelated))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val portable = PortableSimHash.q115SimhashPortable(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val production = SimHash.q37SimhashDedup(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(portable.contains((1L, 2L)) && production.contains((1L, 2L)),
+      s"both tiers must surface the planted dup: portable=$portable production=$production")
+    assert(!portable.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!production.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
