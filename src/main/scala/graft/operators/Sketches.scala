@@ -91,11 +91,91 @@ object Sketches {
       |GROUP BY t.tok, t.cnt
       |ORDER BY true_cnt DESC, tok""".stripMargin
 
+  /** q116 — KMV (k-minimum-values) distinct-count estimation [Bar-Yossef
+    * et al. '02; Beyer et al. SIGMOD'07] in portable integer arithmetic —
+    * the oracle-checked sibling of q46's HLL, closing the last
+    * `no_oracle` pair. Per group the estimator keeps the K = 256
+    * smallest DISTINCT universal hashes of the key; if fewer than K
+    * exist the group is counted exactly, else the unbiased estimate is
+    * (K−1)·P div h_(K) (hashes uniform on [0, P) ⇒ the K-th order
+    * statistic ≈ K·P/n). Every step — the fixed-constant hash, the
+    * order statistic, the floor division — is exact int64 that DuckDB
+    * replays, so even the ESTIMATE hash-matches; the exact count rides
+    * along and the |error| in per-mille makes the bound visible in the
+    * scored output (error-bound spec in SketchesSpec: E|err| ≈ 1/√K).
+    *
+    * Scale shape: the hash relation distincts on (group, hash) — the
+    * canonical partial+final combine, one slim shuffle — and the K
+    * minima come from the bounded-heap [[graft.functions.TopK]]
+    * aggregate, NOT a windowed row_number: shuffle volume after the
+    * distinct is O(groups × K × partitions) regardless of input size,
+    * and no task ever holds more than K entries per group. q46's HLL
+    * keeps the smaller-state production path; this is the engine's
+    * portable, exactly-reproducible alternative.
+    */
+  def q116KmvCardinality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 256
+    val a = 2654435761L % P
+    val b = 40503L % P
+    val hashed = lineitem(s, d)
+      .select($"l_returnflag", ((($"l_partkey" % P) * a + b) % P).as("h"))
+      .distinct()
+    val kmin = graft.functions.TopK(K)
+    val agg = hashed.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_hashes"),
+        kmin((-$"h").cast("double"), $"h").as("heap"))
+      .select($"l_returnflag", $"n_hashes",
+        // try_: a group with fewer than K distinct hashes has no K-th
+        // order statistic — NULL here, exact-count branch below
+        try_element_at($"heap", lit(K)).getField("key").as("kth"))
+    val exact = lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    agg.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"exact_parts",
+        when($"n_hashes" < K, $"n_hashes")
+          .otherwise(expr(s"${(K - 1).toLong * P} div kth")).as("kmv_estimate"))
+      .withColumn("err_permille",
+        expr("(abs(kmv_estimate - exact_parts) * 1000) div exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q116Sql: String =
+    """WITH hashed AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ((l_partkey % 1000000007) * (2654435761 % 1000000007)
+      |      + (40503 % 1000000007)) % 1000000007 AS h
+      |  FROM lineitem
+      |), ranked AS (
+      |  SELECT l_returnflag, h,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS r
+      |  FROM hashed
+      |), agg AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_hashes,
+      |    MAX(CASE WHEN r = 256 THEN h END) AS kth
+      |  FROM ranked GROUP BY l_returnflag
+      |), exact AS (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT a.l_returnflag,
+      |  CAST(e.exact_parts AS BIGINT) AS exact_parts,
+      |  CAST(CASE WHEN a.n_hashes < 256 THEN a.n_hashes
+      |       ELSE (CAST(255 AS BIGINT) * 1000000007) // a.kth END AS BIGINT) AS kmv_estimate,
+      |  CAST((ABS(CASE WHEN a.n_hashes < 256 THEN a.n_hashes
+      |       ELSE (CAST(255 AS BIGINT) * 1000000007) // a.kth END - e.exact_parts) * 1000)
+      |       // e.exact_parts AS BIGINT) AS err_permille
+      |FROM agg a JOIN exact e USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_countmin_hh" -> (q113CountMin _),
+    "q116_kmv_cardinality" -> (q116KmvCardinality _),
   )
 
   val oracles: Map[String, String] = Map(
     "q113_countmin_hh" -> q113Sql,
+    "q116_kmv_cardinality" -> q116Sql,
   )
 }

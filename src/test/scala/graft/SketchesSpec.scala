@@ -54,4 +54,25 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("lonely", 7L, 7L, 0L)), s"got $got")
   }
+
+  test("q116 KMV: exact below K, within the order-statistic error bound above it") {
+    // planted lineitem: group X has 10k distinct keys (estimator path),
+    // group S has 100 (< K = 256 → counted exactly)
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    val rows =
+      (1L to 10000L).map(k => ("X", k)) ++
+      (1L to 10000L).map(k => ("X", k)) ++ // duplicates must not matter
+      (1L to 100L).map(k => ("S", k))
+    rows.toDF("l_returnflag", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Sketches.q116KmvCardinality(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("S") == ((100L, 100L, 0L)),
+      s"below-K group must be exact, got ${got("S")}")
+    val (exactX, estX, errX) = got("X")
+    assert(exactX == 10000L)
+    // KMV relative-error std dev ≈ 1/√(K−2) ≈ 63‰ at K = 256; 4σ bound
+    assert(errX <= 250L, s"estimate $estX strays ${errX}‰ from 10000")
+  }
 }
