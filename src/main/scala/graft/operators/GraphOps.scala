@@ -132,7 +132,19 @@ object GraphOps {
     */
   def q102BfsDistance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = tradeGraph(s, d)
+    // BFS reachability is insensitive to duplicate edges (each round's
+    // expansion is followed by a distinct on the delta), so unlike
+    // q101 — whose degree counts NEED the deduped pair relation — this
+    // query skips tradeGraph's 750k-row pair distinct entirely: the
+    // only shuffle in the whole graph build disappears, and the edge
+    // relation is scan → broadcast-join → union, checkpointed once.
+    val e0 = broadcast(orders(s, d).select($"o_orderkey", $"o_custkey"))
+      .join(lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sp"))
+    val edges = e0.select($"c".as("u"), $"sp".as("v"))
+      .unionAll(e0.select($"sp".as("u"), $"c".as("v")))
+      .localCheckpoint() // bounded: 2× the (order, part) fact projection
     val src = edges.filter($"u" % 2 === 0).agg(min($"u").as("u"))
     var frontier = src.select($"u", lit(0L).as("dist")).localCheckpoint()
     var settled = frontier
