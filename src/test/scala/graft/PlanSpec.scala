@@ -344,6 +344,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the scalar qn2 crossJoin must broadcast")
   }
 
+  test("q115 simhash: one corpus scan, vote aggregate partial+final") {
+    val p = finalPlan(PortableSimHash.q115SimhashPortable(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"signature pipeline must read documents once, got $scans scans")
+    assert(p.contains("partial_sum"), "48 vote sums must map-side combine")
+  }
+
+  test("q116 KMV: bounded-heap aggregate, no windowed row_number") {
+    val p = finalPlan(Sketches.q116KmvCardinality(spark, sf))
+    assert(!p.contains("Window"), "k-minima must come from the TopK aggregate, not a window")
+    assert(p.contains("partial_"), "heap + count aggregates must map-side combine")
+  }
+
   test("q114 lexical arm: corpus tokens broadcast-filtered BEFORE any exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
