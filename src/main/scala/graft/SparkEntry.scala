@@ -25,7 +25,8 @@ object SparkEntry {
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
         "q43_ann_lsh" -> (AnnLsh.q43AnnLsh _),
         "q50_blob_meta" -> (Multimodal.q50BlobMeta _),
-        "q51_image_pipeline" -> (Multimodal.q51ImagePipeline _))
+        "q51_image_pipeline" -> (Multimodal.q51ImagePipeline _),
+        "q117_audio_pipeline" -> (Multimodal.q117AudioPipeline _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       Drift.oracles ++ GraphOps.oracles ++ LmOps.oracles ++ Sketches.oracles ++
       Retrieval.oracles ++ PortableSimHash.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
-        "q51_image_pipeline" -> Multimodal.q51Sql)
+        "q51_image_pipeline" -> Multimodal.q51Sql,
+        "q117_audio_pipeline" -> Multimodal.q117Sql)
 }

@@ -238,4 +238,138 @@ object Multimodal {
       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_sampled
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Typed metadata a real audio decoder would emit. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** REAL WAV (RIFF) header decode — the audio sibling of
+    * [[decodeImageHeader]], pure JVM byte inspection: walk the RIFF
+    * chunk list, read PCM format fields from `fmt `, take the declared
+    * `data` chunk size (a decoder trusts declared sizes; the payload
+    * itself needs no codec). duration_ms = dataBytes·1000 / byteRate in
+    * exact integer arithmetic. Returns null for non-RIFF, truncated, or
+    * non-PCM payloads.
+    */
+  def decodeWavHeader(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 36) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def tag(i: Int, t: String): Boolean = t.indices.forall(j => u8(i + j) == t.charAt(j))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var pos = 12
+    var sampleRate = -1; var channels = -1; var bits = -1; var byteRate = -1L
+    var dataBytes = -1L
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataBytes < 0)) {
+      val size = le32(pos + 4)
+      if (tag(pos, "fmt ")) {
+        if (pos + 24 > bytes.length) return null
+        if (le16(pos + 8) != 1) return null // PCM only
+        channels = le16(pos + 10)
+        sampleRate = le32(pos + 12).toInt
+        byteRate = le32(pos + 16)
+        bits = le16(pos + 22)
+      } else if (tag(pos, "data")) {
+        dataBytes = size
+      }
+      // chunks are word-aligned; declared size may exceed stored payload
+      // (header-valid synthesis) — advancing past the end just ends the walk
+      pos += 8 + (size + (size & 1L)).toInt
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits <= 0 || byteRate <= 0 || dataBytes < 0) return null
+    val blockAlign = channels * bits / 8
+    if (blockAlign <= 0) return null
+    Row(sampleRate, channels, bits, dataBytes / blockAlign,
+      dataBytes * 1000L / byteRate)
+  }
+
+  /** The [[imageMeta]] seam for audio: slim (id, blob) through one
+    * mapPartitions decode pass.
+    */
+  def audioMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val slim = df.select(df.col(idCol), df.col(blobCol))
+    val outSchema = StructType(slim.schema.fields :+ StructField("audio_meta", AudioMetaSchema))
+    slim.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(1).asInstanceOf[Array[Byte]]
+        Row.fromSeq(row.toSeq :+ decodeWavHeader(bytes))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Header-valid PCM WAV: real RIFF/fmt/data structure with the
+    * declared data size; the payload body is elided (a header decoder
+    * never reads it) — the q51 synthesis posture for audio.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val byteRate = sampleRate.toLong * blockAlign
+    val dataBytes = nSamples * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataBytes).toInt)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate.toInt).putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes.toInt)
+    b.array()
+  }
+
+  /** q117 — audio pipeline, oracle-checked like q51: each doc gets a
+    * header-valid PCM WAV whose parameters derive from SQL-expressible
+    * doc attributes (sample rate routed over 3 standard rates by doc_id
+    * mod 3, mono/stereo by parity, sample count from n_chars), and
+    * [[decodeWavHeader]] parses them back; DuckDB predicts the decode
+    * output — including the exact integer duration — independently, so
+    * the oracle verifies the synthesize→decode round trip. Spark-side
+    * plumbing is the q51 shape: only the slim (doc_id, params) relation
+    * crosses the mapPartitions codec seam, decode is one pure
+    * projection, no shuffle before the final sort.
+    */
+  def q117AudioPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = documents(s, d).select($"doc_id",
+      element_at(array(lit(8000), lit(16000), lit(44100)),
+        ($"doc_id" % 3 + 1).cast("int")).as("sr"),
+      (lit(1) + $"doc_id" % 2).cast("int").as("ch"),
+      (lit(1) + $"n_chars" % 2048).as("ns"))
+    val blobSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("blob", BinaryType)))
+    val blobs = dims.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), syntheticWav(r.getInt(1), r.getInt(2), r.getLong(3)))
+      }
+    }(org.apache.spark.sql.Encoders.row(blobSchema))
+    audioMeta(blobs, "doc_id", "blob")
+      .select($"doc_id", $"audio_meta".as("m"))
+      .select($"doc_id",
+        $"m.sample_rate".cast("long").as("sample_rate"),
+        $"m.channels".cast("long").as("channels"),
+        $"m.bits_per_sample".cast("long").as("bits_per_sample"),
+        $"m.n_samples".as("n_samples"),
+        $"m.duration_ms".as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  // The oracle recomputes what a correct RIFF decode MUST return from
+  // the same doc attributes: duration_ms = dataBytes·1000 // byteRate
+  // with dataBytes = n_samples·blockAlign and byteRate = sr·blockAlign,
+  // which collapses to n_samples·1000 // sr — exact integer in both
+  // engines.
+  val q117Sql: String =
+    """SELECT doc_id,
+      |  CAST([8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(1 + n_chars % 2048 AS BIGINT) AS n_samples,
+      |  CAST((1 + n_chars % 2048) * 1000 // [8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

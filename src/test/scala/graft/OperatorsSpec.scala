@@ -138,6 +138,28 @@ class OperatorsSpec extends SparkSpec {
     assert(moved > out.length / 2, "Lloyd steps must move the centroids")
   }
 
+  test("real WAV-header decode: RIFF walk parses, garbage/non-PCM -> null") {
+    import org.apache.spark.sql.Row
+    // 44.1 kHz stereo, 44100 samples → exactly 1000 ms
+    val wav = Multimodal.syntheticWav(44100, 2, 44100L)
+    assert(Multimodal.decodeWavHeader(wav) == Row(44100, 2, 16, 44100L, 1000L))
+    // mono 8 kHz, 4000 samples → 500 ms
+    assert(Multimodal.decodeWavHeader(Multimodal.syntheticWav(8000, 1, 4000L)) ==
+      Row(8000, 1, 16, 4000L, 500L))
+    // a chunk BEFORE fmt (e.g. LIST) must be skipped by the walk
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val shifted = wav.take(12) ++ list ++ wav.drop(12)
+    val riffFixed = shifted.clone() // header tag positions unchanged at 0/8
+    assert(Multimodal.decodeWavHeader(riffFixed) == Row(44100, 2, 16, 44100L, 1000L))
+    // non-PCM (format code 3 = IEEE float) refuses
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodeWavHeader(nonPcm) == null)
+    // garbage, truncated, null
+    assert(Multimodal.decodeWavHeader("RIFFxxxxJUNK".getBytes) == null)
+    assert(Multimodal.decodeWavHeader(wav.take(20)) == null)
+    assert(Multimodal.decodeWavHeader(null) == null)
+  }
+
   test("real image-header decode: PNG/JPEG/GIF parse, garbage -> null") {
     // planted headers, incl. one real-world-layout JPEG with leading APPn
     val png = Multimodal.syntheticPng(640, 480)
