@@ -43,6 +43,23 @@ class PortableSimHashSpec extends SparkSpec {
       "orthogonal-vocabulary doc must not pair")
   }
 
+  test("pigeonhole: any two 48-bit signatures within Hamming 3 share a 12-bit chunk") {
+    // the blocking recall guarantee: 3 differing bits touch at most 3 of
+    // the 4 chunks, so one chunk always matches exactly — checked over a
+    // deterministic sweep of signatures and 3-bit perturbations
+    val rng = new scala.util.Random(42)
+    def chunks(sig: Long): Seq[Long] = (0 until 4).map(c => (sig >>> (c * 12)) & 0xFFFL)
+    for (_ <- 1 to 500) {
+      val sig = rng.nextLong() & 0xFFFFFFFFFFFFL // 48 bits
+      val flips = Seq.fill(rng.nextInt(3) + 1)(rng.nextInt(48))
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      val ham = java.lang.Long.bitCount(sig ^ other)
+      if (ham <= 3)
+        assert(chunks(sig).zip(chunks(other)).exists(p => p._1 == p._2),
+          f"sig=$sig%x other=$other%x ham=$ham must share a chunk")
+    }
+  }
+
   test("q37 and q115 agree on a planted duplicate through their full pairing pipelines") {
     val base = (1 to 150).map(i => s"tok$i").mkString(" ")
     val unrelated = (1 to 150).map(i => s"other$i").mkString(" ")
