@@ -59,14 +59,21 @@ object Retrieval {
     val lexR = lexTop.withColumn("lex_rank",
       row_number().over(Window.orderBy($"lex_overlap".desc, $"doc_id")).cast("long"))
 
+    // dot products AND norms in ONE aggregate pass: the broadcast query
+    // vector joins on pos (keeps every row — the query embedding is
+    // dense), then a single groupBy(vec_id) computes both fixed-point
+    // sums. The previous shape aggregated norms and dots in separate
+    // passes over the exploded relation — two scan+explode+shuffle
+    // chains where one suffices; values are bit-identical (same xsum
+    // over the same products), so the oracle is untouched.
     val e = VectorOps.exploded(s, d)
-    val norms = e.groupBy($"vec_id").agg(VectorOps.xsum($"v" * $"v").as("n2"))
     val qv = e.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
-    val qn = norms.filter($"vec_id" === 0).select($"n2".as("qn2"))
-    val semTop = broadcast(qv).join(e, Seq("pos"))
-      .filter($"vec_id" =!= 0)
-      .groupBy($"vec_id").agg(VectorOps.xsum($"qv" * $"v").as("dot"))
-      .join(broadcast(norms), Seq("vec_id"))
+    val both = e.join(broadcast(qv), Seq("pos"))
+      .groupBy($"vec_id")
+      .agg(VectorOps.xsum($"qv" * $"v").as("dot"),
+        VectorOps.xsum($"v" * $"v").as("n2"))
+    val qn = both.filter($"vec_id" === 0).select($"n2".as("qn2"))
+    val semTop = both.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(qn))
       .select($"vec_id".as("doc_id"),
         ($"dot" / (sqrt($"n2") * sqrt($"qn2"))).as("cos"))
