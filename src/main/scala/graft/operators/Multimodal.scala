@@ -279,8 +279,11 @@ object Multimodal {
         dataBytes = size
       }
       // chunks are word-aligned; declared size may exceed stored payload
-      // (header-valid synthesis) — advancing past the end just ends the walk
-      pos += 8 + (size + (size & 1L)).toInt
+      // (header-valid synthesis) — advancing past the end just ends the
+      // walk. Advance in LONG and clamp to the array length: a corrupt
+      // size near 2^31 would otherwise wrap pos negative and turn a bad
+      // blob into an ArrayIndexOutOfBounds instead of a null
+      pos = math.min(pos.toLong + 8L + size + (size & 1L), bytes.length.toLong).toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bits <= 0 || byteRate <= 0 || dataBytes < 0) return null
     val blockAlign = channels * bits / 8

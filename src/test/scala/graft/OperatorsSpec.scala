@@ -158,6 +158,12 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader("RIFFxxxxJUNK".getBytes) == null)
     assert(Multimodal.decodeWavHeader(wav.take(20)) == null)
     assert(Multimodal.decodeWavHeader(null) == null)
+    // corrupt chunk size near 2^31 must yield null, not wrap pos
+    // negative and throw
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0,0,0,0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ new Array[Byte](24)
+    assert(Multimodal.decodeWavHeader(evil) == null)
   }
 
   test("real image-header decode: PNG/JPEG/GIF parse, garbage -> null") {
