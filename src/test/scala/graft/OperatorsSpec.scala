@@ -166,6 +166,24 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(evil) == null)
   }
 
+  test("header decoders never throw on arbitrary bytes (fuzz)") {
+    // blob columns at 100 TB WILL contain corrupt payloads; the decode
+    // contract is null, never an executor-killing exception
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val b = new Array[Byte](rng.nextInt(200)); rng.nextBytes(b)
+      Multimodal.decodeWavHeader(b)
+      Multimodal.decodeImageHeader(b)
+      if (b.length >= 12) { // magic-prefixed random tails hit the deep paths
+        System.arraycopy("RIFF0000WAVE".getBytes("US-ASCII"), 0, b, 0, 12)
+        Multimodal.decodeWavHeader(b)
+        val png = Multimodal.syntheticPng(1, 1)
+        System.arraycopy(png, 0, b, 0, math.min(12, png.length))
+        Multimodal.decodeImageHeader(b)
+      }
+    }
+  }
+
   test("real image-header decode: PNG/JPEG/GIF parse, garbage -> null") {
     // planted headers, incl. one real-world-layout JPEG with leading APPn
     val png = Multimodal.syntheticPng(640, 480)
