@@ -96,8 +96,11 @@ object PortableSimHash {
     * bit-OR signature, 12-bit chunks, the BETWEEN 2 AND 100 bucket cap,
     * and the Hamming ≤ 3 verify.
     */
-  val q115Sql: String =
-    """WITH toks AS (
+  /** The signature→blocking→pair pipeline as oracle CTEs, shared by
+    * q115 (pair output) and q118 (cluster rollup).
+    */
+  val pairCtes: String =
+    """toks AS (
       |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tl
       |  FROM documents WHERE doc_id IS NOT NULL
       |), hsets AS (
@@ -132,18 +135,66 @@ object PortableSimHash {
       |  JOIN buckets u ON a.chunk_idx = u.chunk_idx AND a.chunk = u.chunk
       |  JOIN chunks b ON b.chunk_idx = a.chunk_idx AND b.chunk = a.chunk
       |    AND a.doc_id < b.doc_id
-      |)
-      |SELECT doc_a, doc_b, sig_a, sig_b,
-      |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-      |FROM pairs
-      |WHERE bit_count(xor(sig_a, sig_b)) <= 3
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |), near AS (
+      |  SELECT doc_a, doc_b, sig_a, sig_b,
+      |    CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |  FROM pairs
+      |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      |)""".stripMargin
+
+  val q115Sql: String =
+    s"""WITH $pairCtes
+       |SELECT doc_a, doc_b, sig_a, sig_b, hamming
+       |FROM near
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q118 — near-dup CLUSTERS over the q115 pair relation: the cluster
+    * rollup every dedup family here ends in (winnow→q59, SemDeDup→q88,
+    * now SimHash), via the same large-star/small-star connected
+    * components. Output: one row per cluster with its representative
+    * (min doc id), size, and id span — the relation a curation job
+    * consumes to keep one doc per cluster.
+    *
+    * Scale shape: pairs are the capped q115 relation (never all-pairs),
+    * CC rounds checkpoint bounded edge lists, and the rollup is one
+    * partial+final agg on the component key. The oracle replays the
+    * pair CTEs and closes them with the q88 recursive-CTE closure.
+    */
+  def q118SimhashClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = pairs(documents(s, d)).select($"doc_a", $"doc_b")
+    ConnectedComponents.labels(s, p, "doc_a", "doc_b")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+      .select($"component".as("cluster_rep"), $"n_docs", $"max_doc")
+      .orderBy($"cluster_rep")
+  }
+
+  val q118Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+       |sym AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM near
+       |  UNION ALL SELECT doc_b, doc_a FROM near
+       |), r(u, v) AS (
+       |  SELECT u, u FROM sym
+       |  UNION
+       |  SELECT r.u, s2.v FROM r JOIN sym s2 ON r.v = s2.u
+       |), comp AS (
+       |  SELECT u AS node, MIN(v) AS component FROM r GROUP BY u
+       |)
+       |SELECT component AS cluster_rep,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MAX(node) AS BIGINT) AS max_doc
+       |FROM comp GROUP BY component
+       |ORDER BY cluster_rep""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_simhash_portable" -> (q115SimhashPortable _),
+    "q118_simhash_clusters" -> (q118SimhashClusters _),
   )
 
   val oracles: Map[String, String] = Map(
     "q115_simhash_portable" -> q115Sql,
+    "q118_simhash_clusters" -> q118Sql,
   )
 }

@@ -60,6 +60,20 @@ class PortableSimHashSpec extends SparkSpec {
     }
   }
 
+  test("q118 clusters: planted families roll up to one row each; singletons absent") {
+    val famA = (1 to 100).map(i => s"alpha$i").mkString(" ")
+    val famB = (1 to 100).map(i => s"beta$i").mkString(" ")
+    val lone = (1 to 100).map(i => s"gamma$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("pshc").toString
+    Seq((1L, famA), (2L, famA), (3L, famA), (10L, famB), (11L, famB), (99L, lone))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = PortableSimHash.q118SimhashClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (10L, 2L, 11L)),
+      s"expected clusters {1:(3 docs ≤3), 10:(2 docs ≤11)}, got $got")
+  }
+
   test("q37 and q115 agree on a planted duplicate through their full pairing pipelines") {
     val base = (1 to 150).map(i => s"tok$i").mkString(" ")
     val unrelated = (1 to 150).map(i => s"other$i").mkString(" ")
