@@ -269,6 +269,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (sampleRate < 0 || dataBytes < 0)) {
       val size = le32(pos + 4)
       if (tag(pos, "fmt ")) {
+        // the 16 PCM format bytes below are only meaningful if the chunk
+        // DECLARES at least 16 bytes — a shorter declared size would read
+        // format fields past the chunk boundary into the next chunk's
+        // bytes, a bogus-but-accepted decode rather than a crash
+        if (size < 16) return null
         if (pos + 24 > bytes.length) return null
         if (le16(pos + 8) != 1) return null // PCM only
         channels = le16(pos + 10)

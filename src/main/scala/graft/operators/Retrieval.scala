@@ -66,6 +66,15 @@ object Retrieval {
     // passes over the exploded relation — two scan+explode+shuffle
     // chains where one suffices; values are bit-identical (same xsum
     // over the same products), so the oracle is untouched.
+    // FIXED-WIDTH ASSUMPTION: n2 is summed over the positions that
+    // survive the inner join with the query vector's pos set, which is
+    // bit-identical to a norm over ALL positions only while every
+    // embedding shares the query vector's exact dimensionality (the
+    // corpus-wide fixed width VectorOps documents). A corpus vector
+    // longer than the query — or a truncated doc-0 embedding — would
+    // silently deflate n2. RetrievalSpec pins one distinct
+    // size(embedding) across the shipped testdata; if variable dims ever
+    // become legal, compute n2 from `e` BEFORE this join.
     val e = VectorOps.exploded(s, d)
     val qv = e.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
     val both = e.join(broadcast(qv), Seq("pos"))

@@ -134,6 +134,14 @@ object Sketches {
       .agg(countDistinct($"l_partkey").as("exact_parts"))
     agg.join(exact, Seq("l_returnflag"))
       .select($"l_returnflag", $"exact_parts",
+        // below-K branch: n_hashes (count of DISTINCT universal hashes)
+        // is the exact distinct-key count ONLY because the key domain is
+        // smaller than the modulus P — l_partkey < 1e9+7 makes the affine
+        // hash a bijection, so distinct hashes = distinct keys. Two keys
+        // ≥ P apart could collide and undercount; any wider key domain
+        // must pre-hash keys into [0, P) injectively or take the exact
+        // branch from countDistinct instead. The oracle replays the same
+        // arithmetic, so the assumption is shared, not hidden.
         when($"n_hashes" < K, $"n_hashes")
           .otherwise(expr(s"${(K - 1).toLong * P} div kth")).as("kmv_estimate"))
       .withColumn("err_permille",

@@ -164,6 +164,11 @@ class OperatorsSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
       Array[Byte](-1, -1, -1, 0x7f) ++ new Array[Byte](24)
     assert(Multimodal.decodeWavHeader(evil) == null)
+    // fmt chunk DECLARING fewer than its 16 format bytes must refuse:
+    // reading the fields would cross the chunk boundary into the next
+    // chunk's bytes — a bogus-but-accepted decode, not a crash
+    val shortFmt = wav.clone(); shortFmt(16) = 8; shortFmt(17) = 0
+    assert(Multimodal.decodeWavHeader(shortFmt) == null)
   }
 
   test("header decoders never throw on arbitrary bytes (fuzz)") {

@@ -43,4 +43,20 @@ class RetrievalSpec extends SparkSpec {
     assert(rrf.map(_._1) == Seq(7L, 3L, 5L))
     assert(rrf.head._2 == 1.0 / 61 + 1.0 / 61, s"dup rrf: ${rrf.head}")
   }
+
+  test("q114 precondition: every shipped embedding shares one width (n2-after-join soundness)") {
+    // q114 computes corpus norms over positions surviving the join with
+    // the query vector's pos set — sound only under a corpus-wide fixed
+    // embedding width. Pin that precondition against the real testdata
+    // so a future variable-width corpus fails HERE, not as a silent
+    // oracle divergence.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists) {
+        val widths = spark.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("size(embedding) AS w").distinct().as[Int].collect().toSeq
+        assert(widths.size == 1, s"$sf embeddings have mixed widths: $widths")
+      }
+    }
+  }
 }
