@@ -27,6 +27,43 @@ object Debug {
         println(f"[debug] $name pass $i: ${(System.nanoTime() - w0) / 1e9}%.2fs")
       }
     }
+    // "jobs" arg: per-job wall timeline of one noop run — the fastest
+    // way to see whether a query's floor is plan execution or driver-
+    // action count (each line = one job: submit→complete wall, #stages,
+    // #tasks, summed task time)
+    if (args.contains("jobs")) {
+      import org.apache.spark.scheduler._
+      import scala.collection.mutable
+      case class J(var t0: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
+                   var taskMs: Long = 0L)
+      val jobs = mutable.LinkedHashMap[Int, J]()
+      val stageToJob = mutable.HashMap[Int, Int]()
+      val listener = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
+          val j = J(e.time, e.stageIds.size)
+          jobs(e.jobId) = j
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+        }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
+          stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
+            j.tasks += 1
+            if (e.taskMetrics != null) j.taskMs += e.taskMetrics.executorRunTime
+          }
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
+          jobs.get(e.jobId).foreach { j =>
+            System.err.println(f"[jobs] job=${e.jobId}%3d wall=${(e.time - j.t0) / 1e3}%6.2fs stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%6.2fs")
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val w0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Thread.sleep(1500) // let the async listener bus drain
+      val nJobs = jobs.synchronized(jobs.size)
+      println(f"[debug] $name jobs=$nJobs wall=${(System.nanoTime() - w0) / 1e9}%.2fs")
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
     // same execution shape as Bench: noop write runs the full plan
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()

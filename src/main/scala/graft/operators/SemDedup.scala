@@ -55,11 +55,16 @@ object SemDedup {
       .select($"vec_id", $"pos", $"v".cast("double").as("v"))
     val init = e.filter($"vec_id" < k)
       .select($"vec_id".as("c_id"), $"pos", $"v".as("cv"))
-    // both relations are BOUNDED (codebook k×d; assignment one (long,
-    // long) row per vector) and each has 2+ consumers below — without
-    // truncation every consumer re-runs the full Lloyd aggregation
-    // subtree (the q74/q76 checkpoint posture; measured ~2× on q88)
-    val cents = VectorOps.lloydStep(e, init).localCheckpoint()
+    // `assign` is BOUNDED (one (long, long) row per vector) and has 2+
+    // consumers below — without truncation every consumer re-runs the
+    // full Lloyd aggregation subtree (the q74/q76 checkpoint posture;
+    // measured ~2× on q88). The codebook is NOT checkpointed: its only
+    // consumer is the assignment below, so a checkpoint there bought
+    // lineage truncation nobody reuses at the price of one extra driver
+    // job — at this corpus size the query's cost is fixed per-job
+    // overhead, and the assign checkpoint materializes Lloyd inline in
+    // the same job.
+    val cents = VectorOps.lloydStep(e, init)
     val assign = VectorOps.lloydAssign(e, cents).localCheckpoint()
     val emb = vecs
       .join(assign, Seq("vec_id"))
