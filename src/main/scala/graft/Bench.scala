@@ -121,8 +121,15 @@ object Bench {
     // number. So: per-query detail first on its own line (fine if its
     // head is clipped), then a compact final line whose length is
     // independent of query count — worst case well under 500 chars.
+    // The harness tail keeps the LAST json object intact but clips the
+    // per-query line's head, so the hot tier's timings must live on the
+    // FINAL line to survive as an artifact: slowest-20 queries, 2-decimal
+    // (≈ 700 chars for 20 entries — final line stays well under the
+    // observed 2000-char tail window even with the fixed fields)
+    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
