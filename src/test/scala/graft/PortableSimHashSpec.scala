@@ -83,7 +83,7 @@ class PortableSimHashSpec extends SparkSpec {
       .parquet(s"$dir/documents.parquet")
     val portable = PortableSimHash.q115SimhashPortable(spark, dir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
-    val production = SimHash.q37SimhashDedup(spark, dir)
+    val production = SimHash.foundPairs(spark, dir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(portable.contains((1L, 2L)) && production.contains((1L, 2L)),
       s"both tiers must surface the planted dup: portable=$portable production=$production")
