@@ -230,18 +230,31 @@ object GraphOps {
     import s.implicits._
     // Pair generation WITHOUT a self-join: collect each order's distinct
     // part set (bounded by order size — single-digit parts per order at
-    // any SF) and explode its C(k,2) ordered combinations in a pure map.
-    // Two exchanges total — (order) for the basket build, (pair) for the
-    // support count — where the order-key self-join form needs four and
+    // any SF) and explode its C(k,2) ordered combinations. Two exchanges
+    // total — (order) for the basket build, (pair) for the support
+    // count — where the order-key self-join form needs four and
     // materializes the same pair multiset through join machinery. The
     // sorted set makes each pair appear once per order, so support is a
     // plain partial+final count.
+    //
+    // The expansion is TWO stacked generators (posexplode + explode over
+    // a slice), not the nested transform+flatten lambda form: Catalyst
+    // evaluates higher-order functions interpreted and re-inlines the
+    // array child into every lambda reference, while Generate
+    // participates in whole-stage codegen — same pair multiset, one
+    // fused loop (the q105/q36 kernel lesson applied to pair explode).
+    //
+    // Rejected (measured, round 7): pre-filtering parts that appear in
+    // < 2 distinct orders before the expansion — at sf0.1 EVERY one of
+    // the 20 000 parts appears in ≥ 2 of the ~600 000 (order, part)
+    // rows (mean frequency ~30), so the broadcast semi-filter would
+    // prune zero rows at any shipped scale; the A-Priori bound only has
+    // teeth on the PAIR relation, where the support filter already sits.
     val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey")
     val e = li.groupBy($"ok").agg(sort_array(collect_set($"l_partkey")).as("ps"))
-      .select(explode(flatten(transform($"ps", (x, i) =>
-        transform(slice($"ps", i + lit(2), size($"ps")),
-          y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .groupBy($"p.x".as("x"), $"p.y".as("y")).agg(count(lit(1)).as("support"))
+      .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .select($"x", $"y")
       .localCheckpoint() // bounded: supported pairs, ~3.5k at any SF
