@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLsh, SimHash, VectorOps}
+
+/** Skew stress rehearsal (round-6 verdict item 6): the "100 TB posture"
+  * claims — collect_capped / maxBucket / maxCell / bounded heaps bound
+  * per-task work no matter how degenerate one key gets — exercised as
+  * MEASURED behavior on a planted-skew corpus ~10× the sf0.1 document
+  * volume: 45 000 IDENTICAL boilerplate docs (one degenerate MinHash
+  * band bucket per band, one degenerate SimHash value in every 16-bit
+  * chunk) + 5 000 unique docs carrying 25 planted near-dup pairs.
+  *
+  * What quadratic failure would look like: the boilerplate clique alone
+  * yields C(45k, 2) ≈ 10⁹ candidate pairs — hours of work and an OOM on
+  * the pairing task. The caps must (a) finish, (b) emit a candidate set
+  * bounded by the cap arithmetic, (c) never give one task more than a
+  * LINEAR share of the corpus (partial aggregation caps each map-side
+  * buffer, so even the hot groups shuffle ≤ cap × n_maps rows), and
+  * (d) still find every planted pair among the healthy tier — the cap
+  * may only drop pathological buckets, not recall on disjoint normal
+  * docs.
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Max records any single task read from a shuffle during `body`. */
+  private def maxTaskShuffleRead(body: => Unit): Long = {
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && e.taskMetrics.shuffleReadMetrics != null)
+          max.accumulateAndGet(e.taskMetrics.shuffleReadMetrics.recordsRead, Math.max(_, _))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(1500) /* drain the async listener bus */ }
+    finally spark.sparkContext.removeSparkListener(listener)
+    max.get()
+  }
+
+  private val hot = (1 to 15).map(i => s"boiler$i").mkString(" ")
+
+  /** 45k identical + 5k unique docs; unique docs pair up (2i, 2i+1):
+    * the first 25 pairs are IDENTICAL (J = 1), the rest differ in one
+    * trailing token of 15 (shingle J ≈ 0.63) — 2500 planted near-dup
+    * pairs total, all above the 16×2 banding's 0.25 midpoint.
+    */
+  private def skewDocs = {
+    val n = 50000
+    spark.range(n).select($"id".as("doc_id"),
+      when($"id" < 45000, lit(hot))
+        .otherwise(concat_ws(" ",
+          (1 to 14).map(i => concat(lit(s"u${i}_"), floor($"id" / 2).cast("long").cast("string"))) :+
+            when($"id" % 2 === 0, lit("even")).otherwise(
+              when($"id" < 45050, lit("even")).otherwise(lit("odd"))): _*))
+      .as("text"))
+  }
+
+  test("MinHash banding: degenerate 45k-doc band buckets are capped away; planted pairs survive", SlowTag) {
+    val docs = skewDocs
+    var candCount = 0L
+    var planted = 0L
+    val maxRead = maxTaskShuffleRead {
+      val cand = MinHashLsh.candidates(MinHashLsh.signatures(docs), "doc_id")
+        .localCheckpoint()
+      candCount = cand.count()
+      planted = cand.filter($"a" >= 45000L && $"b" === $"a" + 1 && ($"a" % 2) === 0)
+        .count()
+    }
+    // uncapped, the boilerplate clique alone is ~1e9 pairs; capped, the
+    // candidate set is bounded by healthy-tier pairing
+    assert(candCount < 50000, s"candidate set should be cap-bounded, got $candCount")
+    assert(planted == 2500L, s"all 2500 planted near-dup pairs must survive the cap, got $planted")
+    // per-task shuffle input stays LINEAR in the corpus (partial
+    // aggregation caps map-side buffers at maxBucket+1 per group; a
+    // quadratic task would read tens of millions)
+    assert(maxRead < 2000000L,
+      s"one task read $maxRead shuffled records — per-task input is no longer corpus-linear")
+  }
+
+  test("SimHash chunk blocking: one degenerate 16-bit chunk value cannot go quadratic", SlowTag) {
+    val docs = skewDocs
+    var found = 0L
+    var plantedExact = 0L
+    val maxRead = maxTaskShuffleRead {
+      val pairs = SimHash.foundPairs(spark, {
+        // foundPairs reads documents(s, d); write the skew corpus as a
+        // lake the source can read
+        val dir = java.nio.file.Files.createTempDirectory("skew_sim").toString
+        docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }).localCheckpoint()
+      found = pairs.count()
+      plantedExact = pairs.filter($"doc_a" >= 45000L).count()
+    }
+    // the 45k identical docs share ALL four chunks — every one of those
+    // buckets is over maxBucket and must drop; near-dup pairs among the
+    // unique tier (identical first 14 tokens → Hamming ≤ 3) survive
+    assert(found < 50000, s"found pairs should be cap-bounded, got $found")
+    assert(plantedExact >= 25L, s"planted near-identical pairs must be found, got $plantedExact")
+    assert(maxRead < 2000000L,
+      s"one task read $maxRead shuffled records — chunk cap failed to bound the pairing")
+  }
+
+  test("embedding near-dup: a hot cell over maxCell is excluded, not exploded", SlowTag) {
+    // 20k vectors, ALL in one cell → |cell| ≫ maxCell → the exact-verify
+    // tier sees zero candidates instead of C(20k,2) ≈ 2·10⁸ dot products
+    val vecs = spark.range(20000).select($"id".as("vec_id"), lit(0).as("label"),
+      array((0 until 8).map(i => ($"id" % (i + 7)).cast("float")): _*).as("embedding"))
+    var pairs = -1L
+    val maxRead = maxTaskShuffleRead {
+      pairs = VectorOps.embeddingNearDup(vecs, threshold = 0.35, maxCell = 1000).count()
+    }
+    assert(pairs == 0L, s"the over-cap cell must be excluded entirely, got $pairs pairs")
+    assert(maxRead < 100000L,
+      s"one task read $maxRead shuffled records — the hot cell leaked past the cap")
+  }
+
+  test("bounded top-k heap: one group absorbing 500k rows keeps K entries", SlowTag) {
+    graft.plans.GraftExtensions.register(spark)
+    val topk = graft.functions.TopK(16)
+    val r = spark.range(500000).select(lit("g").as("k"), $"id")
+      .groupBy($"k").agg(topk($"id".cast("double"), $"id").as("heap"))
+      .select(size($"heap").as("n")).as[Int].head()
+    assert(r == 16, s"heap must stay at K=16 entries under a 500k-row group, got $r")
+  }
+}
