@@ -27,7 +27,8 @@ object SparkEntry {
         "q43_ann_lsh" -> (AnnLsh.q43AnnLsh _),
         "q50_blob_meta" -> (Multimodal.q50BlobMeta _),
         "q51_image_pipeline" -> (Multimodal.q51ImagePipeline _),
-        "q117_audio_pipeline" -> (Multimodal.q117AudioPipeline _))
+        "q117_audio_pipeline" -> (Multimodal.q117AudioPipeline _),
+        "q119_video_pipeline" -> (Multimodal.q119VideoPipeline _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,6 +42,7 @@ object SparkEntry {
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql,
         "q117_audio_pipeline" -> Multimodal.q117Sql,
+        "q119_video_pipeline" -> Multimodal.q119Sql,
         // the LSH pipeline's verified OUTPUT is hash-free, so the oracle
         // checks it end to end (recall-1 banding argument in MinHashLsh);
         // q37/q43 are planted-invariant audits (ground truth + floors)

@@ -380,4 +380,176 @@ object Multimodal {
       |  CAST(1 + n_chars % 2048 AS BIGINT) AS n_samples,
       |  CAST((1 + n_chars % 2048) * 1000 // [8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- video
+
+  /** Typed metadata a real video demuxer would emit from the container
+    * header alone (no codec).
+    */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("us_per_frame", LongType, nullable = false),
+    StructField("fps_milli", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** REAL AVI (RIFF) container-header decode — the video sibling of
+    * [[decodeWavHeader]], completing the image/audio/video triad. Walks
+    * the outer RIFF chunk list to the `LIST/hdrl` chunk, then its
+    * sub-chunks to `avih` (MainAVIHeader: µs-per-frame at +0, total
+    * frames at +16, width/height at +32/+36 — the OpenDML AVI spec's
+    * fixed field layout). fps_milli = 10⁹ // µsPerFrame and
+    * duration_ms = frames·µsPerFrame // 1000 are exact integer
+    * arithmetic. Returns null for non-AVI, truncated, or corrupt
+    * payloads — same never-throw contract as the other decoders (the
+    * fuzz test covers all three).
+    */
+  def decodeAviHeader(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 24) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def tag(i: Int, t: String): Boolean = t.indices.forall(j => u8(i + j) == t.charAt(j))
+    if (!tag(0, "RIFF") || !tag(8, "AVI ")) return null
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val size = le32(pos + 4)
+      if (tag(pos, "LIST") && pos + 12 <= bytes.length && tag(pos + 8, "hdrl")) {
+        // sub-chunk walk bounded by BOTH the declared list size and the
+        // stored bytes (declared sizes are untrusted — the WAV lesson)
+        val listEnd = math.min(pos.toLong + 8L + size, bytes.length.toLong)
+        var sub = pos + 12
+        while (sub + 8 <= listEnd) {
+          val subSize = le32(sub + 4)
+          if (tag(sub, "avih")) {
+            // MainAVIHeader must DECLARE and STORE at least the 40 bytes
+            // through dwHeight; a shorter chunk would read past its
+            // boundary into sibling-chunk bytes (the fmt-chunk lesson)
+            if (subSize < 40 || sub + 8 + 40 > bytes.length) return null
+            val uspf = le32(sub + 8)
+            val frames = le32(sub + 24)
+            val w = le32(sub + 40)
+            val h = le32(sub + 44)
+            if (uspf <= 0 || frames <= 0 || w <= 0 || h <= 0 ||
+              w > Int.MaxValue || h > Int.MaxValue) return null
+            return Row(w.toInt, h.toInt, frames, uspf,
+              1000000000L / uspf, frames * uspf / 1000L)
+          }
+          sub = math.min(sub.toLong + 8L + subSize + (subSize & 1L), listEnd).toInt
+        }
+        return null // hdrl present but no valid avih
+      }
+      pos = math.min(pos.toLong + 8L + size + (size & 1L), bytes.length.toLong).toInt
+    }
+    null
+  }
+
+  /** The [[imageMeta]] seam for video: slim (id, blob) through one
+    * mapPartitions decode pass.
+    */
+  def videoMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val slim = df.select(df.col(idCol), df.col(blobCol))
+    val outSchema = StructType(slim.schema.fields :+ StructField("video_meta", VideoMetaSchema))
+    slim.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(1).asInstanceOf[Array[Byte]]
+        Row.fromSeq(row.toSeq :+ decodeAviHeader(bytes))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Header-valid AVI: real RIFF/LIST-hdrl/avih structure with the
+    * spec's 56-byte MainAVIHeader; movi payload elided (a header
+    * demuxer never reads it) — the q51/q117 synthesis posture.
+    */
+  def syntheticAvi(usPerFrame: Int, nFrames: Int, width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(88).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(80).put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(68).put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame)   // dwMicroSecPerFrame
+      .putInt(0)            // dwMaxBytesPerSec
+      .putInt(0)            // dwPaddingGranularity
+      .putInt(0)            // dwFlags
+      .putInt(nFrames)      // dwTotalFrames
+      .putInt(0)            // dwInitialFrames
+      .putInt(1)            // dwStreams
+      .putInt(0)            // dwSuggestedBufferSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    b.array()
+  }
+
+  /** q119 — video pipeline, oracle-checked like q51/q117, PLUS the
+    * frame-sample step a training pipeline runs before any expensive
+    * per-frame decode: each doc gets a header-valid AVI whose parameters
+    * derive from SQL-expressible doc attributes (frame cadence routed
+    * over 30/23.976/60 fps by doc_id mod 3, resolution over three 16:9
+    * ladder rungs, frame count from n_chars), [[decodeAviHeader]]
+    * parses them back, and the DECODED frame count drives a
+    * deterministic uniform frame sample (stride = max(1, n//8) → ≤ 15
+    * frame indices). DuckDB predicts decode AND sample output
+    * independently, so the oracle verifies the synthesize→decode→sample
+    * round trip end to end. Plumbing is the q51 shape: slim
+    * (doc_id, params) crosses the codec seam, decode + sampling are
+    * pure projections, no shuffle before the final sort.
+    */
+  def q119VideoPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = documents(s, d).select($"doc_id",
+      element_at(array(lit(33333), lit(41708), lit(16667)),
+        ($"doc_id" % 3 + 1).cast("int")).as("uspf"),
+      element_at(array(lit(640), lit(1280), lit(1920)),
+        (($"doc_id" + 1) % 3 + 1).cast("int")).as("w"),
+      (lit(1) + $"n_chars" % 1024).cast("int").as("nf"))
+    val blobSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("blob", BinaryType)))
+    val blobs = dims.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0),
+          syntheticAvi(r.getInt(1), r.getInt(3), r.getInt(2), r.getInt(2) * 9 / 16))
+      }
+    }(org.apache.spark.sql.Encoders.row(blobSchema))
+    videoMeta(blobs, "doc_id", "blob")
+      .select($"doc_id", $"video_meta".as("m"))
+      .select($"doc_id",
+        $"m.width".cast("long").as("width"),
+        $"m.height".cast("long").as("height"),
+        $"m.n_frames".as("n_frames"),
+        $"m.fps_milli".as("fps_milli"),
+        $"m.duration_ms".as("duration_ms"))
+      .withColumn("stride", greatest(lit(1L), expr("n_frames DIV 8")))
+      .withColumn("sampled_idx",
+        array_join(transform(sequence(lit(0L), $"n_frames" - 1, $"stride"),
+          x => x.cast("string")), ","))
+      .withColumn("n_sampled", expr("(n_frames - 1) DIV stride + 1").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  // The oracle derives what a correct avih decode + uniform stride
+  // sample MUST produce from the same doc attributes — both engines in
+  // exact integer arithmetic (DuckDB // ≡ Spark long division on
+  // non-negatives; range(0,n,s) ≡ sequence(0,n-1,s) for n ≥ 1).
+  val q119Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    [33333, 41708, 16667][CAST(doc_id % 3 + 1 AS INT)] AS uspf,
+      |    [640, 1280, 1920][CAST((doc_id + 1) % 3 + 1 AS INT)] AS w,
+      |    1 + n_chars % 1024 AS nf
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(w AS BIGINT) AS width, CAST(w * 9 // 16 AS BIGINT) AS height,
+      |    CAST(nf AS BIGINT) AS n_frames,
+      |    CAST(1000000000 // uspf AS BIGINT) AS fps_milli,
+      |    CAST(nf * uspf // 1000 AS BIGINT) AS duration_ms,
+      |    CAST(GREATEST(1, nf // 8) AS BIGINT) AS stride
+      |  FROM p)
+      |SELECT doc_id, width, height, n_frames, fps_milli, duration_ms, stride,
+      |  array_to_string(list_transform(range(0, n_frames, stride),
+      |    x -> CAST(x AS VARCHAR)), ',') AS sampled_idx,
+      |  CAST((n_frames - 1) // stride + 1 AS BIGINT) AS n_sampled
+      |FROM m ORDER BY doc_id""".stripMargin
 }

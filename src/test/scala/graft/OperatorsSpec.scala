@@ -171,6 +171,35 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(shortFmt) == null)
   }
 
+  test("real AVI-header decode: RIFF/hdrl/avih walk parses, garbage -> null") {
+    import org.apache.spark.sql.Row
+    // 30 fps (33333 µs/frame), 300 frames, 640x360 → 9999 ms
+    val avi = Multimodal.syntheticAvi(33333, 300, 640, 360)
+    assert(Multimodal.decodeAviHeader(avi) ==
+      Row(640, 360, 300L, 33333L, 30000L, 9999L))
+    // 60 fps, single frame
+    assert(Multimodal.decodeAviHeader(Multimodal.syntheticAvi(16667, 1, 1920, 1080)) ==
+      Row(1920, 1080, 1L, 16667L, 59998L, 16L))
+    // a top-level chunk BEFORE the hdrl LIST must be skipped
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val shifted = avi.take(12) ++ junk ++ avi.drop(12)
+    assert(Multimodal.decodeAviHeader(shifted) ==
+      Row(640, 360, 300L, 33333L, 30000L, 9999L))
+    // garbage, WAV-not-AVI, truncated, null
+    assert(Multimodal.decodeAviHeader("RIFFxxxxJUNKJUNKJUNKJUNK".getBytes) == null)
+    assert(Multimodal.decodeAviHeader(Multimodal.syntheticWav(8000, 1, 100L)) == null)
+    assert(Multimodal.decodeAviHeader(avi.take(30)) == null)
+    assert(Multimodal.decodeAviHeader(null) == null)
+    // avih DECLARING fewer than its 40 header bytes must refuse (the
+    // fmt-chunk lesson: fields would read past the chunk boundary)
+    val shortAvih = avi.clone(); shortAvih(28) = 8; shortAvih(29) = 0
+    assert(Multimodal.decodeAviHeader(shortAvih) == null)
+    // zero µs-per-frame (division guard) and zero frames refuse
+    val zeroUspf = avi.clone()
+    zeroUspf(32) = 0; zeroUspf(33) = 0; zeroUspf(34) = 0; zeroUspf(35) = 0
+    assert(Multimodal.decodeAviHeader(zeroUspf) == null)
+  }
+
   test("header decoders never throw on arbitrary bytes (fuzz)") {
     // blob columns at 100 TB WILL contain corrupt payloads; the decode
     // contract is null, never an executor-killing exception
@@ -179,9 +208,12 @@ class OperatorsSpec extends SparkSpec {
       val b = new Array[Byte](rng.nextInt(200)); rng.nextBytes(b)
       Multimodal.decodeWavHeader(b)
       Multimodal.decodeImageHeader(b)
+      Multimodal.decodeAviHeader(b)
       if (b.length >= 12) { // magic-prefixed random tails hit the deep paths
         System.arraycopy("RIFF0000WAVE".getBytes("US-ASCII"), 0, b, 0, 12)
         Multimodal.decodeWavHeader(b)
+        System.arraycopy("RIFF0000AVI ".getBytes("US-ASCII"), 0, b, 0, 12)
+        Multimodal.decodeAviHeader(b)
         val png = Multimodal.syntheticPng(1, 1)
         System.arraycopy(png, 0, b, 0, math.min(12, png.length))
         Multimodal.decodeImageHeader(b)

@@ -59,12 +59,16 @@ class ResampleSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within its 1% error bound") {
+    // q46's oracle-checked form folds the bound INTO the output (the
+    // hll_within_5rsd audit flag); the spec asserts every group passes
+    // and the exact side is sane
     val df = Relational3.q46ApproxDistinct(spark, sf)
-    df.collect().foreach { r =>
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx too far from exact $exact")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_parts") > 0L)
+      assert(r.getAs[Boolean]("hll_within_5rsd"),
+        s"HLL estimate outside 5% of exact for ${r.getAs[String]("l_returnflag")}")
     }
   }
 }
