@@ -155,6 +155,15 @@ object ConnectedComponents {
       if (prevFp._1 == 0L) return e.select($"u".as("node"), $"v".as("component"))
       var converged = false
       var rounds = 0
+      // Rejected alternative, measured (same host window, min-of-6):
+      // checkpointing/probing every TWO composite rounds — to halve the
+      // per-round action + materialization floor — was ~0.9 s SLOWER on
+      // q88 (4.5 vs 3.6 s floor). The probe stride doesn't change the
+      // exchange count per round, and fingerprint equality is now
+      // detected a full stride late, so the loop runs up to two extra
+      // rounds of real exchanges past the fixpoint — more than the
+      // saved fixed cost on the small-round graphs the dedup tiers
+      // produce (6 rounds at sf0.1).
       while (!converged && rounds < maxRounds) {
         val (next, nextFp) = checkpointWithFingerprint(smallStar(largeStar(e)))
         if (nextFp == prevFp) {

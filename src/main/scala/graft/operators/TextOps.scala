@@ -384,7 +384,20 @@ object TextOps {
     graft.plans.GraftExtensions.register(s) // winnow_fps, collect_capped
     // same reuse discipline as q35/q36: one payload column, explicit
     // null-filter matching the join-inferred predicate, repartition as
-    // the materialization point all branches read via ReuseExchange
+    // the materialization point all branches read via ReuseExchange.
+    // The kernel runs BEFORE the exchange — this is load-bearing, not
+    // incidental: the exchange MATERIALIZES the fps arrays, so every
+    // consumer reads computed results. Moving the kernel after the
+    // exchange was measured 4× WORSE at sf0.1 (3.4 → 14 s): Catalyst
+    // has no cross-operator common-subexpression elimination, so each
+    // consuming operator (filter, explode, both join branches, size())
+    // re-evaluates the full rolling hash per row, and AQE coalesces the
+    // tiny exchange to one partition so the recompute isn't even
+    // parallel. At small SF the pre-exchange kernel serializes onto the
+    // single parquet split (~0.8 s of q56's floor — an artifact of a
+    // one-row-group file); at 100 TB the scan has thousands of natural
+    // splits and the kernel parallelizes with them, exactly where an
+    // expensive scan-fused projection should sit.
     val perDoc = documents
       .filter($"doc_id".isNotNull)
       .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
