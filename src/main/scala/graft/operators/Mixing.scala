@@ -184,15 +184,101 @@ object Mixing {
       |WHERE rk <= 5
       |ORDER BY source, rk""".stripMargin
 
+  /** q120 — priority sampling (Duffield–Lund–Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM'07) in
+    * portable integer arithmetic: the weighted-sampling-without-
+    * replacement scheme whose k-sample supports UNBIASED subset-sum
+    * estimates. Each doc with weight w (= n_chars) draws priority
+    * p = w·P div h with h a fixed-constant universal hash of doc_id on
+    * [1, P] (the u ∈ (0,1] uniform as a rational h/P — no RNG state,
+    * reproducible anywhere); the sample is the top k by priority, the
+    * threshold τ is the (k+1)-th priority, and each kept doc's
+    * estimator is ŵ = max(w, τ) — Σŵ over the sample estimates the
+    * corpus total (near-unbiased; the div floors τ by < 1 weight unit).
+    * The rolled-along exact total makes the error visible per row
+    * (q113/q116's audit posture), and every step is exact int64 both
+    * engines replay — same doc_id < P domain assumption as q116,
+    * shared with the oracle rather than hidden.
+    *
+    * Scale shape: priorities are a pure map fused into the scan; the
+    * top-(k+1) heap is ONE partial+final [[graft.functions.TopK]]
+    * aggregate (shuffle O(k × partitions) — never a global sort); the
+    * k-row sample broadcasts back for the weight join; the exact total
+    * is one map-side-combined sum. The corpus is read twice and never
+    * shuffled.
+    */
+  def q120PrioritySample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val P = 1000000007L
+    val a = 2654435761L % P
+    val b = 97911L
+    val w = documents(s, d)
+      .filter($"doc_id".isNotNull && $"n_chars" > 0)
+      .select($"doc_id", $"n_chars".cast("long").as("weight"),
+        ((($"doc_id" % P) * a + b) % P + 1L).as("h"))
+      .select($"doc_id", $"weight", expr(s"(weight * $P) div h").as("priority"))
+    // top-(k+1) bounded heap: priorities < 2^53, so the double-ranked
+    // heap is exact; ties impossible to get wrong (total order on
+    // (priority DESC, doc_id ASC) in both engines)
+    val heap = w.agg(graft.functions.TopK(k + 1)(
+        $"priority".cast("double"), $"doc_id").as("top"))
+      .select($"top",
+        // below-(k+1) corpora (tiny SFs) have no threshold: τ = 0 makes
+        // every estimator exact, matching the estimator's whole-
+        // population degenerate case
+        coalesce(try_element_at($"top", lit(k + 1)).getField("price"), lit(0.0))
+          .cast("long").as("tau"))
+      .select(explode(slice($"top", 1, k)).as("r"), $"tau")
+      .select($"r.key".as("doc_id"), $"tau")
+    val exactTot = w.agg(sum($"weight").as("exact_total"))
+    broadcast(heap)
+      .join(w, Seq("doc_id"))
+      .withColumn("est_weight", greatest($"weight", $"tau"))
+      .crossJoin(broadcast(exactTot))
+      .withColumn("est_total", sum($"est_weight").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("err_permille",
+        expr("(abs(est_total - exact_total) * 1000) div exact_total"))
+      .select($"doc_id", $"weight", $"priority", $"tau", $"est_weight",
+        $"est_total", $"exact_total", $"err_permille")
+      .orderBy($"priority".desc, $"doc_id")
+  }
+
+  val q120Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+      |    ((doc_id % 1000000007) * (2654435761 % 1000000007) + 97911) % 1000000007 + 1 AS h
+      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+      |p AS (
+      |  SELECT doc_id, weight, (weight * 1000000007) // h AS priority FROM w),
+      |ranked AS (
+      |  SELECT doc_id, weight, priority,
+      |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk FROM p),
+      |tau AS (
+      |  SELECT COALESCE((SELECT priority FROM ranked WHERE rk = 65), 0) AS tau),
+      |kept AS (
+      |  SELECT r.doc_id, r.weight, r.priority, t.tau,
+      |    GREATEST(r.weight, t.tau) AS est_weight
+      |  FROM ranked r CROSS JOIN tau t WHERE r.rk <= 64)
+      |SELECT doc_id, weight, priority, tau, est_weight,
+      |  CAST(SUM(est_weight) OVER () AS BIGINT) AS est_total,
+      |  CAST((SELECT SUM(weight) FROM p) AS BIGINT) AS exact_total,
+      |  CAST((ABS(SUM(est_weight) OVER () - (SELECT SUM(weight) FROM p)) * 1000)
+      |    // (SELECT SUM(weight) FROM p) AS BIGINT) AS err_permille
+      |FROM kept ORDER BY priority DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_mixture_sample" -> (q85MixtureSample _),
     "q86_rare_token_ratio" -> (q86RareTokenRatio _),
     "q87_domain_cap" -> (q87DomainCap _),
+    "q120_priority_sample" -> (q120PrioritySample _),
   )
 
   val oracles: Map[String, String] = Map(
     "q85_mixture_sample" -> q85Sql,
     "q86_rare_token_ratio" -> q86Sql,
     "q87_domain_cap" -> q87Sql,
+    "q120_priority_sample" -> q120Sql,
   )
 }

@@ -87,4 +87,27 @@ class MixingSpec extends SparkSpec {
     assert(got == naive)
     assert(got.groupBy(_._1).forall(_._2.size <= 5))
   }
+
+  test("q120 priority sample: DLT invariants hold and the subset-sum estimate lands") {
+    val rows = Mixing.q120PrioritySample(spark, sf).collect()
+    assert(rows.length == 64, s"k = 64 sample, got ${rows.length}")
+    val tau = rows.head.getAs[Long]("tau")
+    for (r <- rows) {
+      // every kept priority beats the threshold (it IS the (k+1)-th
+      // largest), and the estimator is the DLT max(w, τ)
+      assert(r.getAs[Long]("priority") >= tau)
+      assert(r.getAs[Long]("est_weight") ==
+        math.max(r.getAs[Long]("weight"), tau))
+      assert(r.getAs[Long]("tau") == tau, "τ is a corpus constant")
+    }
+    // priority sampling's subset-sum estimator is near-unbiased with
+    // relative SE ≈ 1/√(k−1) ≈ 12.5% for the TOTAL; 500 ‰ is a loose
+    // deterministic bound (the draw is a fixed hash, not an RNG — this
+    // asserts the estimator arithmetic, not a tail probability)
+    val err = rows.head.getAs[Long]("err_permille")
+    assert(err < 500, s"estimate off by $err permille — estimator arithmetic broken?")
+    // determinism: same fixed-hash draw, same sample
+    val again = Mixing.q120PrioritySample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
