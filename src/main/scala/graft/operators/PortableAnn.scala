@@ -119,11 +119,127 @@ object PortableAnn {
       |WHERE rk <= 3
       |ORDER BY qid, rk""".stripMargin
 
+  /** q121 — the k-nearest-neighbor GRAPH over the embedding corpus
+    * (every vector is a query), the neighbor structure behind
+    * SemDeDup-style semantic curation and density/novelty scoring.
+    * Same portable SRP arithmetic as q80, but restructured for the
+    * all-queries case where nothing is broadcastable:
+    *
+    *  - Bucket assignment is a PURE MAP: each row's 8 fixed-point
+    *    projections are codegen'd [[graft.functions.FxpDot]] calls
+    *    against the plane formula materialized as 8 float literal
+    *    arrays — no pos-explode, no planes join, no aggregation
+    *    shuffle (q80's explode+join shape costs two shuffles per
+    *    corpus; this costs zero). The squared norm rides along in the
+    *    same projection.
+    *  - Candidates are same-bucket only, with a DETERMINISTIC per-
+    *    bucket cap (row_number by vec_id ≤ 64) shared with the oracle
+    *    — the cap bounds the quadratic pair stage to C(64,2) per
+    *    bucket no matter how degenerate a bucket gets; at corpus
+    *    scale you raise the plane count, not the cap.
+    *  - Pair scoring is one `zip_with` dot per candidate pair in the
+    *    join's projection — fixed-point floor sums, so cosine is
+    *    bit-identical in DuckDB — and the top-3 per node is a window
+    *    over ≤ 63 in-bucket candidates, never the corpus.
+    */
+  def q121KnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s) // fxp_dot
+    // The q80 plane formula rounded to FLOAT so every projection runs
+    // through the codegen'd [[graft.functions.FxpDot]] kernel (an
+    // interpreted aggregate(zip_with(...)) form of the same math
+    // measured 4.1 s for the bucket map at sf0.1 — higher-order
+    // lambdas don't codegen; fxp_dot is one fused loop). The float
+    // round is a correctly-rounded IEEE op the oracle replays with
+    // CAST(... AS REAL), so buckets stay bit-identical.
+    val planes: Seq[Seq[Float]] = (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        ((((j * 64 + i).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
+      }
+    }
+    val djCols = planes.zipWithIndex.map { case (p, j) =>
+      call_function("fxp_dot", $"embedding", typedLit(p)).as(s"dj$j")
+    }
+    val withB = embeddings(s, d)
+      .select($"vec_id" +: $"embedding" +: djCols: _*)
+      .withColumn("bucket",
+        (0 until 8).map(j => when(col(s"dj$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .withColumn("n2",
+        call_function("fxp_dot", $"embedding", $"embedding").cast("double") / 1e10)
+      .select($"vec_id", $"embedding", $"bucket", $"n2")
+    val capped = withB
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy($"bucket").orderBy($"vec_id")))
+      .filter($"mrk" <= 64)
+    val a = capped.select($"bucket", $"vec_id".as("qid"),
+      $"embedding".as("ea"), $"n2".as("qn2"))
+    val b = capped.select($"bucket".as("bucket_b"), $"vec_id".as("cid"),
+      $"embedding".as("eb"), $"n2".as("cn2"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    a.join(b, $"bucket" === $"bucket_b" && $"qid" =!= $"cid")
+      .withColumn("dot",
+        call_function("fxp_dot", $"ea", $"eb").cast("double") / 1e10)
+      .withColumn("cos", $"dot" / (sqrt($"qn2") * sqrt($"cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"bucket", $"cos")
+      .orderBy($"qid", $"rk")
+  }
+
+  val q121Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), planes AS (
+      |  -- q80's plane formula ROUNDED TO REAL: the Spark side feeds the
+      |  -- planes to the float-typed fxp_dot kernel, and the single
+      |  -- correctly-rounded float cast is identical in both engines
+      |  SELECT id // 64 AS j, id % 64 AS pos,
+      |    CAST(CAST(CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS REAL) AS DOUBLE) AS p
+      |  FROM (SELECT UNNEST(RANGE(512)) AS id)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.j, SUM(CAST(FLOOR(e.v * pl.p * 1e10) AS BIGINT)) AS dj
+      |  FROM e JOIN planes pl ON e.pos = pl.pos
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dj >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY 1
+      |), capped AS (
+      |  SELECT vec_id, bucket FROM buckets
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) <= 64
+      |), cdots AS (
+      |  SELECT ca.vec_id AS qid, cb.vec_id AS cid, ca.bucket,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM capped ca
+      |  JOIN capped cb ON ca.bucket = cb.bucket AND ca.vec_id <> cb.vec_id
+      |  JOIN e a ON a.vec_id = ca.vec_id
+      |  JOIN e b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT qid, rk, cid, bucket, cos FROM (
+      |  SELECT d.qid, d.cid, d.bucket,
+      |    d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY d.qid
+      |                       ORDER BY d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) DESC, d.cid) AS rk
+      |  FROM cdots d
+      |  JOIN norms qn ON d.qid = qn.vec_id
+      |  JOIN norms cn ON d.cid = cn.vec_id)
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_ann_portable" -> (q80AnnPortable _),
+    "q121_knn_graph" -> (q121KnnGraph _),
   )
 
   val oracles: Map[String, String] = Map(
     "q80_ann_portable" -> q80Sql,
+    "q121_knn_graph" -> q121Sql,
   )
 }

@@ -32,4 +32,50 @@ class PortableAnnSpec extends SparkSpec {
     val b = PortableAnn.q80AnnPortable(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("q121 knn graph: planted duplicate is a mutual rank-1 neighbor; ranks are well-formed") {
+    val dir = java.nio.file.Files.createTempDirectory("pknn").toString
+    val rows = Seq((1L, 0L, vec(1)), (100L, 0L, vec(1))) ++
+      (2 to 40).map(i => (i + 200L, 0L, vec(i)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = PortableAnn.q121KnnGraph(spark, dir).collect()
+    // identical vectors share every projection sign, so both directions
+    // of the duplicate edge must surface at rank 1, cos ~ 1
+    for ((q, c) <- Seq((1L, 100L), (100L, 1L))) {
+      val hit = out.find(r => r.getAs[Long]("qid") == q && r.getAs[Long]("cid") == c)
+      assert(hit.isDefined, s"dup edge $q -> $c missing")
+      assert(hit.get.getAs[Long]("rk") == 1L)
+      assert(hit.get.getAs[Double]("cos") > 0.999999)
+    }
+    // well-formed graph: per-query ranks are 1..n without gaps, cosines
+    // non-increasing in rank, no self-edges
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    assert(out.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
+
+    // the codegen'd fxp_dot bucket equals the from-scratch arithmetic
+    // (kernel-vs-reference parity on the real sf corpus)
+    val got = PortableAnn.q121KnnGraph(spark, sf)
+      .select($"qid", $"bucket").distinct()
+      .as[(Long, Long)].collect().toMap
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    for ((qid, bucket) <- got.take(20)) {
+      val e = emb(qid)
+      val want = (0 until 8).map { j =>
+        val dj = (0 until 64).map { i =>
+          val p = ((((j * 64 + i).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
+          math.floor(e(i).toDouble * p.toDouble * 1e10).toLong
+        }.sum
+        if (dj >= 0) 1L << j else 0L
+      }.sum
+      assert(bucket == want, s"bucket mismatch for $qid: got $bucket want $want")
+    }
+  }
 }
