@@ -341,6 +341,63 @@ object Relational3 {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** q122 — bucketed co-located fact-fact join: both join sides are
+    * written with `bucketBy(8, key)` + `sortBy` through the session
+    * catalog, and the join then needs NO shuffle on either side — the
+    * bucketed scans report compatible HashPartitioning, so
+    * EnsureRequirements plans the sort-merge join exchange-free
+    * (PlanSpec pins it). This is the canonical 100 TB answer for a
+    * fact-fact join that runs REPEATEDLY: pay one bucketed write, and
+    * every subsequent join on that key is shuffle-free regardless of
+    * table size — the storage-layout sibling of q05's broadcast (dims)
+    * and q03's shuffle join (one-shot fact-fact). The `merge` hint
+    * pins SMJ so AQE's broadcast conversion can't silently hide the
+    * co-location at small SF.
+    *
+    * The write side is itself the bucketing operator under test: 8
+    * bucket files per table via the key's murmur hash, rewritten
+    * per run (`mode overwrite`), landing in the session warehouse
+    * (tmpdir — never the repo tree).
+    */
+  def q122BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    // the catalog is in-memory but the warehouse directory outlives the
+    // JVM: a stale location from a previous run fails the managed-table
+    // create, so drop both layers explicitly (bounded: two fixed tmpdir
+    // paths)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    lineitem(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    s.table("graft_bkt_lineitem")
+      .join(s.table("graft_bkt_orders").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q122Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_map_array_funcs" -> (q45MapArrayFuncs _),
@@ -353,6 +410,7 @@ object Relational3 {
     "q62_histogram" -> (q62Histogram _),
     "q63_mode" -> (q63Mode _),
     "q64_topk_agg" -> (q64TopkAgg _),
+    "q122_bucketed_join" -> (q122BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +425,6 @@ object Relational3 {
     "q62_histogram" -> q62Sql,
     "q63_mode" -> q63Sql,
     "q64_topk_agg" -> q64Sql,
+    "q122_bucketed_join" -> q122Sql,
   )
 }

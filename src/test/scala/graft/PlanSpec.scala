@@ -90,6 +90,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q122 bucketed join is exchange-free below the sort-merge join") {
+    // the whole point of the bucketed layout: the join itself must not
+    // shuffle either fact side. The only exchanges in the final plan are
+    // ABOVE the join (partial->final agg, final orderBy) — 2 exactly;
+    // a third means a bucket-spec mismatch silently re-introduced the
+    // fact-fact shuffle the layout exists to avoid.
+    val df = graft.operators.Relational3.q122BucketedJoin(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("BroadcastHashJoin"),
+      "AQE broadcast conversion defeats the co-location under test (merge hint lost?)")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 exchanges (agg + final sort), got $exchanges:\n${p.take(1500)}")
+  }
+
   test("q78 curation mainline reads documents once; rates and labels broadcast") {
     // the winnow edge branch runs eagerly inside ConnectedComponents
     // behind a localCheckpoint (its own single-scan shape is pinned by
