@@ -368,6 +368,109 @@ object LmOps {
       |  CAST((SUM(cnt * bits) * 1000) // MAX(n) AS BIGINT) AS entropy_milli
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** q123 — DSIR-style importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): every
+    * document is scored by how much more likely its tokens are under a
+    * TARGET distribution (here: the `src0` sub-corpus standing in for
+    * "high-quality domain") than under the RAW corpus distribution —
+    * log p_target(x) − log p_raw(x) as a per-token sum, the importance
+    * weight DSIR resamples by. In q104's quantized-bit space both sides
+    * stay integer-exact: s_raw(tok) = floor(log2(N div cnt)) over the
+    * raw head, s_tgt likewise over the target head, per-token
+    * importance = s_raw − s_tgt (positive ⇒ more target-like), and the
+    * keep decision needs no division at all. mean_milli is the one
+    * double (exact products < 2^53, one correctly-rounded IEEE divide —
+    * integer `div` is avoided because Spark truncates toward zero while
+    * DuckDB floors, and importance sums go NEGATIVE).
+    *
+    * Scale shape (q107's): ONE corpus scan builds the (tok, cnt, tcnt)
+    * vocab relation — target counts ride the same hash agg as raw
+    * counts via a conditional sum, so the target pass is free; both
+    * scored heads are provably ≤ F rows (a token needs ≥ 1/F of its
+    * distribution's mass to enter) and broadcast; the second corpus
+    * scan scores instances against the two broadcast heads and
+    * partial-aggregates per doc map-side. Zero corpus-sized shuffles.
+    */
+  def dsirImportance(docs0: DataFrame, targetSource: String): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter($"doc_id".isNotNull && $"source".isNotNull)
+    val inst = docs.select($"doc_id", $"source",
+        explode(TextOps.tokens($"text")).as("tok"))
+      .filter($"tok".isNotNull)
+    val vocab = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"),
+      sum(when($"source" === targetSource, 1L).otherwise(0L)).as("tcnt"))
+    val tot = vocab.agg(sum($"cnt").as("n"), sum($"tcnt").as("nt"))
+    val headRaw = vocab.crossJoin(broadcast(tot))
+      .filter($"cnt" * F >= $"n")
+      .select($"tok", (length(bin(expr("n div cnt"))) - 1).cast("long").as("sraw"))
+    // tcnt > 0 guards the nt = 0 degenerate case (target source absent
+    // at tiny SFs): without it every zero-count token would pass the
+    // mass filter and the head would be vocabulary-sized
+    val headTgt = vocab.crossJoin(broadcast(tot))
+      .filter($"tcnt" > 0 && $"tcnt" * F >= $"nt")
+      .select($"tok", (length(bin(expr("nt div tcnt"))) - 1).cast("long").as("stgt"))
+    val perDoc = inst.join(broadcast(headRaw), Seq("tok"), "left")
+      .join(broadcast(headTgt), Seq("tok"), "left")
+      .select($"doc_id",
+        (coalesce($"sraw", lit(SCap)) - coalesce($"stgt", lit(SCap))).as("imp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"imp").as("imp_bits"))
+      .withColumn("mean_milli",
+        ($"imp_bits" * 1000).cast("double") / $"n_tokens")
+    // the resampling step: keep the top-128 docs by importance — the
+    // bounded TopK heap again (one partial+final agg, never a global
+    // sort; the raw importance sums are systematically ≤ 0 under
+    // quantized backoff — every token in the raw head but off the
+    // target head contributes sraw − SCap — so a fixed sign threshold
+    // keeps nothing and a RANK is the faithful DSIR selection anyway).
+    // mean_milli is one exact product and one IEEE divide, so the
+    // ordering is engine-identical.
+    val kept = perDoc.agg(
+        graft.functions.TopK(128)($"mean_milli", $"doc_id").as("top"))
+      .select(explode($"top.key").as("doc_id"), lit(true).as("keep"))
+    perDoc.join(broadcast(kept), Seq("doc_id"), "left")
+      .withColumn("keep", coalesce($"keep", lit(false)))
+      .select($"doc_id", $"n_tokens", $"imp_bits", $"mean_milli", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  def q123DsirImportance(s: SparkSession, d: String): DataFrame =
+    dsirImportance(documents(s, d), "src0")
+
+  val q123Sql: String =
+    """WITH inst AS (
+      |  SELECT doc_id, source, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |), vocab AS (
+      |  SELECT tok, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tcnt
+      |  FROM inst WHERE tok IS NOT NULL GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(tcnt) AS BIGINT) AS nt FROM vocab
+      |), head_raw AS (
+      |  SELECT tok, CAST(LENGTH(BIN(n // cnt)) - 1 AS BIGINT) AS sraw
+      |  FROM vocab, tot WHERE cnt * 4096 >= n
+      |), head_tgt AS (
+      |  SELECT tok, CAST(LENGTH(BIN(nt // tcnt)) - 1 AS BIGINT) AS stgt
+      |  FROM vocab, tot WHERE tcnt > 0 AND tcnt * 4096 >= nt
+      |), scored AS (
+      |  SELECT i.doc_id,
+      |    COALESCE(hr.sraw, 12) - COALESCE(ht.stgt, 12) AS imp
+      |  FROM (SELECT doc_id, tok FROM inst WHERE tok IS NOT NULL) i
+      |  LEFT JOIN head_raw hr USING (tok)
+      |  LEFT JOIN head_tgt ht USING (tok)
+      |)
+      |, per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(imp) AS BIGINT) AS imp_bits,
+      |    CAST(SUM(imp) * 1000 AS DOUBLE) / COUNT(*) AS mean_milli
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, imp_bits, mean_milli,
+      |  ROW_NUMBER() OVER (ORDER BY mean_milli DESC, doc_id) <= 128 AS keep
+      |FROM per_doc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
@@ -375,6 +478,7 @@ object LmOps {
     "q107_source_divergence" -> (q107SourceDivergence _),
     "q111_inverted_index" -> (q111InvertedIndex _),
     "q112_vocab_entropy" -> (q112VocabEntropy _),
+    "q123_dsir_importance" -> (q123DsirImportance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,5 +488,6 @@ object LmOps {
     "q107_source_divergence" -> q107Sql,
     "q111_inverted_index" -> q111Sql,
     "q112_vocab_entropy" -> q112Sql,
+    "q123_dsir_importance" -> q123Sql,
   )
 }

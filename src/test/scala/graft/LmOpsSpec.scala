@@ -188,4 +188,32 @@ class LmOpsSpec extends SparkSpec {
     assert(LmOps.q106BpePairStats(spark, sf).count() > 0)
     assert(LmOps.q107SourceDivergence(spark, sf).count() > 0)
   }
+
+  test("q123 DSIR: a planted target-vocabulary doc outranks off-distribution docs") {
+    import org.apache.spark.sql.functions._
+    // target source speaks vocabulary A; raw bulk speaks vocabulary B;
+    // one probe doc in a third source speaks pure A and one speaks pure
+    // B — DSIR importance must rank the A-speaker above the B-speaker,
+    // and the A-speaker must be kept (top-k) while B is not
+    val vocabA = (1 to 20).map(i => s"alpha$i")
+    val vocabB = (1 to 20).map(i => s"beta$i")
+    def sent(v: Seq[String], seed: Int) =
+      (0 until 40).map(k => v((seed * 7 + k) % v.size)).mkString(" ")
+    val docs = (
+      (1 to 10).map(i => (i.toLong, sent(vocabA, i), "en", "src0", 1L)) ++
+      (11 to 60).map(i => (i.toLong, sent(vocabB, i), "en", "bulk", 1L)) ++
+      Seq((100L, sent(vocabA, 3), "en", "probe", 1L),
+          (101L, sent(vocabB, 3), "en", "probe", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LmOps.dsirImportance(docs, "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("mean_milli"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(100L)._1 > out(101L)._1,
+      s"target-vocab probe must outrank: ${out(100L)} vs ${out(101L)}")
+    assert(out(100L)._2, "target-vocab probe must be kept (top-k)")
+    // kept set is exactly the top-128 by (mean_milli desc, doc_id)
+    val ranked = out.toSeq.sortBy { case (id, (m, _)) => (-m, id) }.map(_._1)
+    val expectKeep = ranked.take(128).toSet
+    assert(out.forall { case (id, (_, k)) => k == expectKeep(id) })
+  }
 }
