@@ -471,6 +471,146 @@ object LmOps {
       |  ROW_NUMBER() OVER (ORDER BY mean_milli DESC, doc_id) <= 128 AS keep
       |FROM per_doc ORDER BY doc_id""".stripMargin
 
+  /** One greedy left-to-right BPE merge (l, r) applied to the
+    * (word, freq, pos, sym) symbol relation — pure WINDOW algebra, no
+    * self-join and no per-row fold:
+    *
+    * Greedy semantics: within a CHAIN of consecutive matching positions
+    * (which only arises for l == r, e.g. merging (a,a) into "aaaa"), the
+    * 1st, 3rd, … pairs merge and the even ones are consumed. The chain
+    * decomposition is gaps-and-islands (pos − running-match-count is
+    * constant within a chain), the parity test is pos − min(pos) over
+    * the chain, and a row is consumed iff its predecessor was a merge
+    * head. Validated against hand-computed greedy merges in
+    * `LmOpsSpec` ("aaaa" → [aa,aa], "aaa" → [aa,a]).
+    */
+  private[graft] def bpeMergeStep(syms: DataFrame, l: String, r: String): DataFrame = {
+    import syms.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy($"word").orderBy($"pos")
+    val run = Window.partitionBy($"word").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    syms
+      .withColumn("nxt", lead($"sym", 1).over(byPos))
+      .withColumn("is_m", $"sym" === l && $"nxt" === r)
+      .withColumn("rn_m", sum(when($"is_m", 1L).otherwise(0L)).over(run))
+      .withColumn("grp_m", when($"is_m", $"pos" - $"rn_m"))
+      .withColumn("head", $"is_m" &&
+        ($"pos" - min($"pos").over(Window.partitionBy($"word", $"grp_m"))) % 2 === 0)
+      .withColumn("consumed", coalesce(lag($"head", 1).over(byPos), lit(false)))
+      .filter(!$"consumed")
+      .select($"word", $"freq",
+        row_number().over(byPos).as("pos"),
+        when($"head", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+  }
+
+  /** q124 — BPE tokenizer TRAINING, three merges (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * the iterative distributed shape next to k-means (q55), PageRank
+    * (q101) and connected components (q59) — select the globally most
+    * frequent adjacent symbol pair, merge it everywhere, repeat. Each
+    * row of the output is one learned merge: the pair, its weighted
+    * count at selection time (ties broken lexicographically), and the
+    * corpus token-instance count after applying it — the quantity BPE
+    * training monotonically shrinks.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count hash agg);
+    * training runs on the VOCAB-sized symbol relation (words ×
+    * characters), where each step is two window passes + one
+    * partial+final pair count. Per step the driver sees exactly two
+    * bounded values — the argmax pair (1 row) and the weighted symbol
+    * count (1 scalar) — the CC-fingerprint discipline, never corpus
+    * rows; the symbol relation localCheckpoints per step (bounded,
+    * multi-consumer) so step k doesn't recompute steps 1..k−1.
+    */
+  def q124BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val words = docs.select(explode(TextOps.tokens($"text")).as("word"))
+      .filter($"word".isNotNull && length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    var syms = words
+      .select($"word", $"freq", posexplode(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("i0", "sym")))
+      .select($"word", $"freq", ($"i0" + 1).cast("long").as("pos"), $"sym")
+      .localCheckpoint()
+    val byPos = Window.partitionBy($"word").orderBy($"pos")
+    val learned = (1 to 3).map { step =>
+      val top = syms.withColumn("nxt", lead($"sym", 1).over(byPos))
+        .filter($"nxt".isNotNull)
+        .groupBy($"sym", $"nxt").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"sym", $"nxt")
+        .limit(1).head()
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      syms = bpeMergeStep(syms, l, r).localCheckpoint()
+      val after = syms.agg(sum($"freq")).head().getLong(0)
+      (step.toLong, l, r, c, after)
+    }
+    learned.toDF("step", "left", "right", "pair_count", "tokens_after")
+      .orderBy($"step")
+  }
+
+  // One merge step in SQL is the same window algebra; the three steps
+  // nest mechanically (tN = argmax pair of sN-1, sN = merged relation).
+  private def bpeStepSql(prev: String, topCte: String): String =
+    s"""  SELECT word, freq,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN head THEN sym || nxt ELSE sym END AS sym
+       |  FROM (
+       |    SELECT *, COALESCE(LAG(head) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+       |    FROM (
+       |      SELECT *, is_m AND (pos - MIN(pos) OVER (PARTITION BY word, grp_m)) % 2 = 0 AS head
+       |      FROM (
+       |        SELECT *, CASE WHEN is_m THEN pos - rn_m END AS grp_m
+       |        FROM (
+       |          SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |            p.sym = t.l AND p.nxt = t.r AS is_m,
+       |            SUM(CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY p.word ORDER BY p.pos ROWS UNBOUNDED PRECEDING) AS rn_m
+       |          FROM (SELECT word, freq, pos, sym,
+       |                  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |                FROM $prev) p CROSS JOIN $topCte t))))
+       |  WHERE NOT consumed""".stripMargin
+
+  private def bpeTopSql(prev: String): String =
+    s"""  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT word, freq, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |    FROM $prev)
+       |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+
+  val q124Sql: String =
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS word
+       |    FROM documents WHERE doc_id IS NOT NULL)
+       |  WHERE word IS NOT NULL AND LEN(word) > 0 GROUP BY word
+       |), s0 AS (
+       |  SELECT word, freq, CAST(i AS BIGINT) AS pos, SUBSTRING(word, CAST(i AS INT), 1) AS sym
+       |  FROM words, UNNEST(RANGE(1, LEN(word) + 1)) t(i)
+       |), t1 AS (
+       |${bpeTopSql("s0")}
+       |), s1 AS (
+       |${bpeStepSql("s0", "t1")}
+       |), t2 AS (
+       |${bpeTopSql("s1")}
+       |), s2 AS (
+       |${bpeStepSql("s1", "t2")}
+       |), t3 AS (
+       |${bpeTopSql("s2")}
+       |), s3 AS (
+       |${bpeStepSql("s2", "t3")}
+       |)
+       |SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count,
+       |  (SELECT CAST(SUM(freq) AS BIGINT) FROM s1) AS tokens_after FROM t1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), l, r, cnt, (SELECT CAST(SUM(freq) AS BIGINT) FROM s2) FROM t2
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), l, r, cnt, (SELECT CAST(SUM(freq) AS BIGINT) FROM s3) FROM t3
+       |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
@@ -479,6 +619,7 @@ object LmOps {
     "q111_inverted_index" -> (q111InvertedIndex _),
     "q112_vocab_entropy" -> (q112VocabEntropy _),
     "q123_dsir_importance" -> (q123DsirImportance _),
+    "q124_bpe_train" -> (q124BpeTrain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +630,6 @@ object LmOps {
     "q111_inverted_index" -> q111Sql,
     "q112_vocab_entropy" -> q112Sql,
     "q123_dsir_importance" -> q123Sql,
+    "q124_bpe_train" -> q124Sql,
   )
 }

@@ -189,6 +189,39 @@ class LmOpsSpec extends SparkSpec {
     assert(LmOps.q107SourceDivergence(spark, sf).count() > 0)
   }
 
+  test("q124 BPE merge step reproduces hand-computed greedy merges (incl. same-symbol chains)") {
+    import org.apache.spark.sql.functions._
+    def toSyms(words: (String, Long)*) =
+      words.toSeq.toDF("word", "freq")
+        .select($"word", $"freq", posexplode(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("i0", "sym")))
+        .select($"word", $"freq", ($"i0" + 1).cast("long").as("pos"), $"sym")
+    def apply(df: org.apache.spark.sql.DataFrame, l: String, r: String) =
+      LmOps.bpeMergeStep(df, l, r)
+        .orderBy($"word", $"pos")
+        .select($"word", $"sym").as[(String, String)].collect()
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toSeq }
+    // same-symbol chains: greedy takes 1st/3rd pairs
+    val m1 = apply(toSyms("aaaa" -> 1L, "aaa" -> 1L, "baab" -> 1L), "a", "a")
+    assert(m1("aaaa") == Seq("aa", "aa"))
+    assert(m1("aaa") == Seq("aa", "a"))
+    assert(m1("baab") == Seq("b", "aa", "b"))
+    // distinct pair: all non-overlapping occurrences merge
+    val m2 = apply(toSyms("abab" -> 1L, "aab" -> 1L, "ba" -> 1L), "a", "b")
+    assert(m2("abab") == Seq("ab", "ab"))
+    assert(m2("aab") == Seq("a", "ab"))
+    assert(m2("ba") == Seq("b", "a"))
+    // training end-to-end: pair counts weight by word frequency, and
+    // tokens_after shrinks monotonically
+    val out = LmOps.q124BpeTrain(spark, sf).collect()
+    assert(out.length == 3)
+    val after = out.map(_.getAs[Long]("tokens_after"))
+    assert(after.zip(after.tail).forall { case (x, y) => y < x },
+      s"BPE must shrink the token count per merge: ${after.toSeq}")
+    assert(out.map(_.getAs[Long]("pair_count")).forall(_ > 0))
+  }
+
   test("q123 DSIR: a planted target-vocabulary doc outranks off-distribution docs") {
     import org.apache.spark.sql.functions._
     // target source speaks vocabulary A; raw bulk speaks vocabulary B;
