@@ -611,6 +611,95 @@ object LmOps {
        |SELECT CAST(3 AS BIGINT), l, r, cnt, (SELECT CAST(SUM(freq) AS BIGINT) FROM s3) FROM t3
        |ORDER BY step""".stripMargin
 
+  /** q125 — duplicated-substring POSITIONAL coverage [Lee et al. 2022's
+    * actual dedup criterion]: the fraction of a document's token
+    * positions lying inside at least one word 3-gram that also occurs
+    * in another document. q105 reports the duplicated fraction of a
+    * doc's DISTINCT shingles; this measures how much of the document's
+    * SURFACE the duplicated spans cover — the quantity substring-level
+    * dedup actually removes (a doc can have few distinct duplicated
+    * shingles that still blanket most of its text, and vice versa).
+    *
+    * Coverage is an interval union computed with one window, never per
+    * position: a duplicated gram at position g covers [g, g+2]; walking
+    * duplicated grams in order, each contributes min(gap-to-previous, 3)
+    * tokens (3 when it opens a new interval). All arithmetic is exact
+    * integers.
+    *
+    * Scale shape: gram document-frequency is q105's groupBy +
+    * join-back (hot boilerplate grams collapse to one row pre-shuffle;
+    * the join-back is AQE-skew-splittable); the interval-union window
+    * runs over the DUPLICATED-gram relation only (survivor-sized); the
+    * per-doc token count is a pure map on a second scan. No
+    * corpus-sized shuffle other than the gram aggregation itself.
+    */
+  def q125DupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val ex = docs.select($"doc_id",
+      posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = ex
+      .withColumn("l1", lead($"tok", 1).over(byPos))
+      .withColumn("l2", lead($"tok", 2).over(byPos))
+      .filter($"l2".isNotNull)
+      .select($"doc_id", $"pos".cast("long").as("gpos"),
+        concat_ws(" ", $"tok", $"l1", $"l2").as("gram"))
+    val dfc = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2)
+      .select($"gram")
+    val dup = grams.join(dfc, Seq("gram"))
+    val cover = dup
+      .withColumn("gap", $"gpos" - lag($"gpos", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"gpos")))
+      .withColumn("add", when($"gap".isNull || $"gap" > 2, 3L).otherwise($"gap"))
+      .groupBy($"doc_id").agg(sum($"add").as("dup_positions"))
+    docs.select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= 3)
+      .join(cover, Seq("doc_id"), "left")
+      .withColumn("dup_positions", coalesce($"dup_positions", lit(0L)))
+      .withColumn("cov_milli", expr("(dup_positions * 1000) div n_tokens"))
+      .withColumn("flag_dup", $"cov_milli" >= 200L)
+      .orderBy($"doc_id")
+  }
+
+  val q125Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST(RANGE(0, LEN(toks))) AS pos, UNNEST(toks) AS tok
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), grams AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS gpos,
+      |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS gram
+      |  FROM ex
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+      |), dupg AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |), dup AS (
+      |  SELECT g.doc_id, g.gpos FROM grams g JOIN dupg USING (gram)
+      |), cover AS (
+      |  SELECT doc_id, CAST(SUM(addn) AS BIGINT) AS dup_positions FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN gap IS NULL OR gap > 2 THEN 3 ELSE gap END AS addn
+      |    FROM (SELECT doc_id, gpos,
+      |            gpos - LAG(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) AS gap
+      |          FROM dup))
+      |  GROUP BY doc_id
+      |), nt AS (
+      |  SELECT doc_id, CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |)
+      |SELECT nt.doc_id, nt.n_tokens,
+      |  COALESCE(c.dup_positions, 0) AS dup_positions,
+      |  CAST(COALESCE(c.dup_positions, 0) * 1000 // nt.n_tokens AS BIGINT) AS cov_milli,
+      |  COALESCE(c.dup_positions, 0) * 1000 // nt.n_tokens >= 200 AS flag_dup
+      |FROM nt LEFT JOIN cover c USING (doc_id)
+      |WHERE nt.n_tokens >= 3
+      |ORDER BY nt.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
@@ -620,6 +709,7 @@ object LmOps {
     "q112_vocab_entropy" -> (q112VocabEntropy _),
     "q123_dsir_importance" -> (q123DsirImportance _),
     "q124_bpe_train" -> (q124BpeTrain _),
+    "q125_dup_span_coverage" -> (q125DupSpanCoverage _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +721,6 @@ object LmOps {
     "q112_vocab_entropy" -> q112Sql,
     "q123_dsir_importance" -> q123Sql,
     "q124_bpe_train" -> q124Sql,
+    "q125_dup_span_coverage" -> q125Sql,
   )
 }

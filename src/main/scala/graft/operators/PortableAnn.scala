@@ -142,16 +142,21 @@ object PortableAnn {
     *    bit-identical in DuckDB — and the top-3 per node is a window
     *    over ≤ 63 in-bucket candidates, never the corpus.
     */
-  def q121KnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** The shared scored-candidate-pair pipeline under q121 and q126:
+    * (qid, cid, bucket, cos, qlabel, clabel) for every in-bucket pair
+    * after the deterministic cap.
+    *
+    * The q80 plane formula is rounded to FLOAT so every projection runs
+    * through the codegen'd [[graft.functions.FxpDot]] kernel (an
+    * interpreted aggregate(zip_with(...)) form of the same math
+    * measured 4.1 s for the bucket map at sf0.1 — higher-order
+    * lambdas don't codegen; fxp_dot is one fused loop). The float
+    * round is a correctly-rounded IEEE op the oracle replays with
+    * CAST(... AS REAL), so buckets stay bit-identical.
+    */
+  private def scoredBucketPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s) // fxp_dot
-    // The q80 plane formula rounded to FLOAT so every projection runs
-    // through the codegen'd [[graft.functions.FxpDot]] kernel (an
-    // interpreted aggregate(zip_with(...)) form of the same math
-    // measured 4.1 s for the bucket map at sf0.1 — higher-order
-    // lambdas don't codegen; fxp_dot is one fused loop). The float
-    // round is a correctly-rounded IEEE op the oracle replays with
-    // CAST(... AS REAL), so buckets stay bit-identical.
     val planes: Seq[Seq[Float]] = (0 until 8).map { j =>
       (0 until 64).map { i =>
         ((((j * 64 + i).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
@@ -161,30 +166,63 @@ object PortableAnn {
       call_function("fxp_dot", $"embedding", typedLit(p)).as(s"dj$j")
     }
     val withB = embeddings(s, d)
-      .select($"vec_id" +: $"embedding" +: djCols: _*)
+      .select($"vec_id" +: $"label" +: $"embedding" +: djCols: _*)
       .withColumn("bucket",
         (0 until 8).map(j => when(col(s"dj$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _))
       .withColumn("n2",
         call_function("fxp_dot", $"embedding", $"embedding").cast("double") / 1e10)
-      .select($"vec_id", $"embedding", $"bucket", $"n2")
+      .select($"vec_id", $"label", $"embedding", $"bucket", $"n2")
     val capped = withB
       .withColumn("mrk", row_number().over(
         Window.partitionBy($"bucket").orderBy($"vec_id")))
       .filter($"mrk" <= 64)
-    val a = capped.select($"bucket", $"vec_id".as("qid"),
+    val a = capped.select($"bucket", $"vec_id".as("qid"), $"label".as("qlabel"),
       $"embedding".as("ea"), $"n2".as("qn2"))
     val b = capped.select($"bucket".as("bucket_b"), $"vec_id".as("cid"),
-      $"embedding".as("eb"), $"n2".as("cn2"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      $"label".as("clabel"), $"embedding".as("eb"), $"n2".as("cn2"))
     a.join(b, $"bucket" === $"bucket_b" && $"qid" =!= $"cid")
       .withColumn("dot",
         call_function("fxp_dot", $"ea", $"eb").cast("double") / 1e10)
       .withColumn("cos", $"dot" / (sqrt($"qn2") * sqrt($"cn2")))
+      .select($"qid", $"cid", $"bucket", $"cos", $"qlabel", $"clabel")
+  }
+
+  def q121KnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scoredBucketPairs(s, d)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"qid", $"rk".cast("long").as("rk"), $"cid", $"bucket", $"cos")
       .orderBy($"qid", $"rk")
+  }
+
+  /** q126 — contrastive training-pair mining over the same bucketed
+    * candidate pipeline: for every vector, the nearest SAME-label
+    * neighbor (the positive) and the nearest DIFFERENT-label neighbor
+    * (the hard negative — the highest-cosine impostor, exactly what
+    * contrastive/triplet training wants mined). Vectors lacking either
+    * inside their bucket are absent — at corpus scale you widen probes,
+    * not the cap. Output also carries the margin (pos_cos − neg_cos);
+    * negative margins flag label noise or embedding-collapse regions.
+    */
+  def q126HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = scoredBucketPairs(s, d)
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val pos = pairs.filter($"qlabel" === $"clabel")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"qid", $"qlabel".as("label"),
+        $"cid".as("pos_id"), $"cos".as("pos_cos"))
+    val neg = pairs.filter($"qlabel" =!= $"clabel")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"qid", $"cid".as("neg_id"), $"cos".as("neg_cos"))
+    pos.join(neg, Seq("qid"))
+      .withColumn("margin", $"pos_cos" - $"neg_cos")
+      .select($"qid", $"label".cast("long").as("label"),
+        $"pos_id", $"pos_cos", $"neg_id", $"neg_cos", $"margin")
+      .orderBy($"qid")
   }
 
   val q121Sql: String =
@@ -233,13 +271,71 @@ object PortableAnn {
       |WHERE rk <= 3
       |ORDER BY qid, rk""".stripMargin
 
+  val q126Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), labels AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+      |), planes AS (
+      |  SELECT id // 64 AS j, id % 64 AS pos,
+      |    CAST(CAST(CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS REAL) AS DOUBLE) AS p
+      |  FROM (SELECT UNNEST(RANGE(512)) AS id)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.j, SUM(CAST(FLOOR(e.v * pl.p * 1e10) AS BIGINT)) AS dj
+      |  FROM e JOIN planes pl ON e.pos = pl.pos
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dj >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY 1
+      |), capped AS (
+      |  SELECT vec_id, bucket FROM buckets
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) <= 64
+      |), cdots AS (
+      |  SELECT ca.vec_id AS qid, cb.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM capped ca
+      |  JOIN capped cb ON ca.bucket = cb.bucket AND ca.vec_id <> cb.vec_id
+      |  JOIN e a ON a.vec_id = ca.vec_id
+      |  JOIN e b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT d.qid, d.cid,
+      |    lq.label AS qlabel, lc.label AS clabel,
+      |    d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) AS cos
+      |  FROM cdots d
+      |  JOIN norms qn ON d.qid = qn.vec_id
+      |  JOIN norms cn ON d.cid = cn.vec_id
+      |  JOIN labels lq ON d.qid = lq.vec_id
+      |  JOIN labels lc ON d.cid = lc.vec_id
+      |), pos AS (
+      |  SELECT qid, qlabel AS label, cid AS pos_id, cos AS pos_cos FROM scored
+      |  WHERE qlabel = clabel
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) = 1
+      |), neg AS (
+      |  SELECT qid, cid AS neg_id, cos AS neg_cos FROM scored
+      |  WHERE qlabel <> clabel
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) = 1
+      |)
+      |SELECT p.qid, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+      |  p.pos_cos - n.neg_cos AS margin
+      |FROM pos p JOIN neg n USING (qid)
+      |ORDER BY p.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_ann_portable" -> (q80AnnPortable _),
     "q121_knn_graph" -> (q121KnnGraph _),
+    "q126_hard_negatives" -> (q126HardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
     "q80_ann_portable" -> q80Sql,
     "q121_knn_graph" -> q121Sql,
+    "q126_hard_negatives" -> q126Sql,
   )
 }

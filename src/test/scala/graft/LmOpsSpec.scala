@@ -222,6 +222,30 @@ class LmOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("pair_count")).forall(_ > 0))
   }
 
+  test("q125 positional coverage: interval union over planted shared spans is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("dupspan").toString
+    // A and B share the 5-token span c1..c5 -> duplicated grams at
+    // A-positions 2,3,4 whose union covers exactly 5 positions of A's 8.
+    // D and E share two SEPARATED 3-gram spans (gap > 2) -> 3 + 3 = 6.
+    // C shares nothing -> 0.
+    Seq(
+      (1L, "x1 x2 c1 c2 c3 c4 c5 y1", "en", "s", 1L),
+      (2L, "z1 c1 c2 c3 c4 c5 z2 z3", "en", "s", 1L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "s", 1L),
+      (4L, "p1 p2 p3 m1 m2 m3 m4 q1 q2 q3", "en", "s", 1L),
+      (5L, "p1 p2 p3 n1 n2 n3 n4 q1 q2 q3", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LmOps.q125DupSpanCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_positions"))).toMap
+    assert(out(1L) == (8L, 5L), s"contiguous span union: ${out(1L)}")
+    assert(out(2L) == (8L, 5L))
+    assert(out(3L) == (8L, 0L))
+    assert(out(4L) == (10L, 6L), s"two separated spans: ${out(4L)}")
+    assert(out(5L) == (10L, 6L))
+  }
+
   test("q123 DSIR: a planted target-vocabulary doc outranks off-distribution docs") {
     import org.apache.spark.sql.functions._
     // target source speaks vocabulary A; raw bulk speaks vocabulary B;

@@ -58,6 +58,22 @@ class PortableAnnSpec extends SparkSpec {
     }
     assert(out.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
 
+    // planted contrastive structure for q126: qid 500 has an identical
+    // same-label twin (501) and an identical different-label impostor
+    // (502) — positive and hard negative must both surface at cos ~1,
+    // margin ~0 (the impostor is exactly as close as the positive)
+    val cdir = java.nio.file.Files.createTempDirectory("phn").toString
+    (Seq((500L, 7L, vec(9)), (501L, 7L, vec(9)), (502L, 8L, vec(9))) ++
+      (2 to 40).map(i => (i + 600L, (i % 2).toLong, vec(i))))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    val hn = PortableAnn.q126HardNegatives(spark, cdir).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    val r500 = hn(500L)
+    assert(r500.getAs[Long]("pos_id") == 501L && r500.getAs[Double]("pos_cos") > 0.999999)
+    assert(r500.getAs[Long]("neg_id") == 502L && r500.getAs[Double]("neg_cos") > 0.999999)
+    assert(math.abs(r500.getAs[Double]("margin")) < 1e-9)
+
     // the codegen'd fxp_dot bucket equals the from-scratch arithmetic
     // (kernel-vs-reference parity on the real sf corpus)
     val got = PortableAnn.q121KnnGraph(spark, sf)
