@@ -647,6 +647,103 @@ object VectorOps {
       |WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** q127 — the leading principal direction of the embedding corpus via
+    * POWER ITERATION on the (un-centered) second-moment matrix — the
+    * distributed-linear-algebra shape behind whitening, PCA filtering,
+    * and embedding diagnostics (e.g. detecting a dominant "rogue"
+    * direction). Three fixed iterations from the all-ones start, every
+    * step exact int64 so the oracle replays the whole trajectory:
+    *
+    *  - Gram: G_fix(i,j) = Σ_v floor(vᵢ·vⱼ·10⁶) — one corpus pass as a
+    *    DOUBLE EXPLODE over each row's own array (never the pos
+    *    self-join form, which re-shuffles the exploded corpus on
+    *    vec_id): scan → generate ×64 → generate ×64 → map-side partial
+    *    agg, so the one shuffle carries 64² partials per map task, not
+    *    corpus rows; at any corpus size G stays 4096 rows
+    *    (localCheckpoint'd: bounded, four consumers).
+    *  - Iterate: y = G·x in exact long sums (|y| ≤ 64·8·10⁹·2¹⁷ <
+    *    2⁶³); renormalize to scale 2¹⁶ with SIGN·(|y| div (max|y| div
+    *    2¹⁶)) — division on MAGNITUDES only, because Spark's `div`
+    *    truncates toward zero while DuckDB's `//` floors, and they
+    *    agree only on non-negatives.
+    *  - λ estimate: component ratio |y*| div |x*| at the dominant
+    *    coordinate (G is PSD so the signs agree) — in G's 10⁶
+    *    fixed-point units.
+    *
+    * The x relation is 64 rows — always broadcast into the G join; the
+    * only corpus-sized work is the single Gram pass.
+    */
+  def q127PcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = 65536L
+    val g = embeddings(s, d)
+      .select($"embedding", posexplode($"embedding").as(Seq("i", "vi")))
+      .select($"i", $"vi", posexplode($"embedding").as(Seq("j", "vj")))
+      .groupBy($"i".cast("long").as("i"), $"j".cast("long").as("j"))
+      .agg(sum(floor($"vi".cast("double") * $"vj".cast("double") * 1e6)
+        .cast("long")).as("g"))
+      .localCheckpoint()
+    def matvec(x: DataFrame): DataFrame =
+      g.join(broadcast(x), Seq("j")).groupBy($"i").agg(sum($"g" * $"x").as("y"))
+    var x: DataFrame = s.range(64).select($"id".as("j"), lit(S).as("x"))
+    for (_ <- 1 to 3) {
+      val y = matvec(x)
+      val m = y.agg(max(abs($"y")).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select($"i".as("j"),
+          expr(s"CAST(SIGN(y) AS BIGINT) * (abs(y) div greatest(m div $S, 1))").as("x"))
+    }
+    val lam = matvec(x)
+      .join(broadcast(x.select($"j".as("i"), $"x")), Seq("i"))
+      .orderBy(abs($"x").desc, $"i")
+      .limit(1)
+      .select(expr("abs(y) div greatest(abs(x), 1)").as("lambda_fix"))
+    x.select($"j".as("i"), $"x")
+      .crossJoin(broadcast(lam))
+      .orderBy($"i")
+  }
+
+  val q127Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e6) AS BIGINT)) AS BIGINT) AS g
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2
+      |), x0 AS (
+      |  SELECT CAST(id AS BIGINT) AS j, CAST(65536 AS BIGINT) AS x
+      |  FROM (SELECT UNNEST(RANGE(64)) AS id)
+      |), y1 AS (
+      |  SELECT g.i, CAST(SUM(g.g * x.x) AS BIGINT) AS y FROM g JOIN x0 x ON g.j = x.j GROUP BY g.i
+      |), x1 AS (
+      |  SELECT i AS j, CAST(SIGN(y) AS BIGINT) *
+      |    (ABS(y) // GREATEST((SELECT MAX(ABS(y)) FROM y1) // 65536, 1)) AS x
+      |  FROM y1
+      |), y2 AS (
+      |  SELECT g.i, CAST(SUM(g.g * x.x) AS BIGINT) AS y FROM g JOIN x1 x ON g.j = x.j GROUP BY g.i
+      |), x2 AS (
+      |  SELECT i AS j, CAST(SIGN(y) AS BIGINT) *
+      |    (ABS(y) // GREATEST((SELECT MAX(ABS(y)) FROM y2) // 65536, 1)) AS x
+      |  FROM y2
+      |), y3 AS (
+      |  SELECT g.i, CAST(SUM(g.g * x.x) AS BIGINT) AS y FROM g JOIN x2 x ON g.j = x.j GROUP BY g.i
+      |), x3 AS (
+      |  SELECT i AS j, CAST(SIGN(y) AS BIGINT) *
+      |    (ABS(y) // GREATEST((SELECT MAX(ABS(y)) FROM y3) // 65536, 1)) AS x
+      |  FROM y3
+      |), y4 AS (
+      |  SELECT g.i, CAST(SUM(g.g * x.x) AS BIGINT) AS y FROM g JOIN x3 x ON g.j = x.j GROUP BY g.i
+      |), lam AS (
+      |  SELECT CAST(ABS(y.y) // GREATEST(ABS(x.x), 1) AS BIGINT) AS lambda_fix
+      |  FROM y4 y JOIN x3 x ON y.i = x.j
+      |  ORDER BY ABS(x.x) DESC, y.i LIMIT 1
+      |)
+      |SELECT x3.j AS i, CAST(x3.x AS BIGINT) AS x, lam.lambda_fix
+      |FROM x3 CROSS JOIN lam ORDER BY i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -656,6 +753,7 @@ object VectorOps {
     "q65_quantize" -> (q65Quantize _),
     "q74_pq_adc" -> (q74PqAdc _),
     "q76_ivf_search" -> (q76IvfSearch _),
+    "q127_pca_power" -> (q127PcaPower _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -667,5 +765,6 @@ object VectorOps {
     "q65_quantize" -> q65Sql,
     "q74_pq_adc" -> q74Sql,
     "q76_ivf_search" -> q76Sql,
+    "q127_pca_power" -> q127Sql,
   )
 }

@@ -171,6 +171,35 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(shortFmt) == null)
   }
 
+  test("q127 power iteration matches a from-scratch dense Long-arithmetic replay") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().map(_._2)
+    val S = 65536L
+    val g = Array.ofDim[Long](64, 64)
+    for (v <- emb; i <- 0 until 64; j <- 0 until 64)
+      g(i)(j) += math.floor(v(i).toDouble * v(j).toDouble * 1e6).toLong
+    var x = Array.fill(64)(S)
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * x(j)).sum)
+      val m = y.map(math.abs).max
+      val q = math.max(m / S, 1L)
+      x = y.map(yi => math.signum(yi) * (math.abs(yi) / q))
+    }
+    val y4 = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * x(j)).sum)
+    val imax = (0 until 64).minBy(i => (-math.abs(x(i)), i))
+    val lam = math.abs(y4(imax)) / math.max(math.abs(x(imax)), 1L)
+    val out = graft.operators.VectorOps.q127PcaPower(spark, sf)
+      .orderBy($"i").collect()
+    assert(out.length == 64)
+    for (r <- out) {
+      val i = r.getAs[Long]("i").toInt
+      assert(r.getAs[Long]("x") == x(i), s"component $i: ${r.getAs[Long]("x")} vs ${x(i)}")
+      assert(r.getAs[Long]("lambda_fix") == lam)
+    }
+    assert(lam > 0L)
+  }
+
   test("real AVI-header decode: RIFF/hdrl/avih walk parses, garbage -> null") {
     import org.apache.spark.sql.Row
     // 30 fps (33333 µs/frame), 300 frames, 640x360 → 9999 ms
