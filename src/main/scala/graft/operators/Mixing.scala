@@ -268,11 +268,57 @@ object Mixing {
       |    // (SELECT SUM(weight) FROM p) AS BIGINT) AS err_permille
       |FROM kept ORDER BY priority DESC, doc_id""".stripMargin
 
+  /** q128 — leakage-safe train/val/test split: the split is assigned to
+    * the exact-duplicate GROUP, not the document, so two copies of the
+    * same text can never straddle train and eval (the classic benchmark
+    * contamination bug a doc-keyed hash split silently commits). Group
+    * key = md5(text) (q34's exact-dup grouping); representative = min
+    * doc_id; the representative's portable affine hash picks 8/1/1
+    * buckets. Every member inherits the representative's split by
+    * construction — the planted-dup spec pins it.
+    *
+    * Scale shape: one corpus scan to key, one 16-byte-key hash agg for
+    * the group relation, one shuffle join back on the same key (both
+    * sides hash the identical gk — one exchange each, AQE-skew-safe).
+    * The text column itself never shuffles; only (gk, doc_id) pairs do.
+    */
+  def q128LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 1000000007L
+    val a = 2654435761L % P
+    val keyed = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", md5($"text").as("gk"))
+    val groups = keyed.groupBy($"gk")
+      .agg(min($"doc_id").as("group_rep"), count(lit(1)).as("group_size"))
+    keyed.join(groups, Seq("gk"))
+      .withColumn("bucket10", (($"group_rep" % P) * a + 17L) % P % 10)
+      .withColumn("split",
+        when($"bucket10" <= 7, "train")
+          .when($"bucket10" === 8, "val").otherwise("test"))
+      .select($"doc_id", $"group_rep", $"group_size", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q128Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, MD5(text) AS gk FROM documents WHERE doc_id IS NOT NULL
+      |), groups AS (
+      |  SELECT gk, MIN(doc_id) AS group_rep, COUNT(*) AS group_size
+      |  FROM keyed GROUP BY gk
+      |)
+      |SELECT k.doc_id, g.group_rep, g.group_size,
+      |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM keyed k JOIN groups g USING (gk),
+      |  LATERAL (SELECT ((g.group_rep % 1000000007) * (2654435761 % 1000000007) + 17)
+      |             % 1000000007 % 10 AS b) t
+      |ORDER BY k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_mixture_sample" -> (q85MixtureSample _),
     "q86_rare_token_ratio" -> (q86RareTokenRatio _),
     "q87_domain_cap" -> (q87DomainCap _),
     "q120_priority_sample" -> (q120PrioritySample _),
+    "q128_leakage_safe_split" -> (q128LeakageSafeSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +326,6 @@ object Mixing {
     "q86_rare_token_ratio" -> q86Sql,
     "q87_domain_cap" -> q87Sql,
     "q120_priority_sample" -> q120Sql,
+    "q128_leakage_safe_split" -> q128Sql,
   )
 }

@@ -88,6 +88,36 @@ class MixingSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("q128 split: exact duplicates never straddle splits; proportions are sane") {
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    // 30 planted duplicate groups of 3 copies each (spread doc_ids so a
+    // doc-keyed hash WOULD straddle), plus unique filler
+    val dups = (0 until 30).flatMap { g =>
+      Seq(g.toLong, 1000L + g, 2000L + g).map(id =>
+        (id, s"duplicate group $g body text", "en", "s", 1L))
+    }
+    val uniq = (3000 until 3200).map(i =>
+      (i.toLong, s"unique text number $i", "en", "s", 1L))
+    (dups ++ uniq).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Mixing.q128LeakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_rep"),
+        r.getAs[Long]("group_size"), r.getAs[String]("split")))
+    assert(out.length == 290)
+    // leakage-freedom: every group's members share one split
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"group straddles splits: $rs")
+    }
+    // dup groups keep their min doc_id as representative and size 3
+    out.filter(_._1 < 3000).groupBy(_._2).foreach { case (rep, rs) =>
+      assert(rs.length == 3 && rs.forall(_._3 == 3L) && rep == rs.map(_._1).min)
+    }
+    // all three splits materialize at plausible proportions
+    val bySplit = out.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("q120 priority sample: DLT invariants hold and the subset-sum estimate lands") {
     val rows = Mixing.q120PrioritySample(spark, sf).collect()
     assert(rows.length == 64, s"k = 64 sample, got ${rows.length}")
