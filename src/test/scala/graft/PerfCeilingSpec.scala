@@ -44,7 +44,14 @@ class PerfCeilingSpec extends SparkSpec {
     "q102_bfs_distance" -> 1.14,
     "q101_pagerank" -> 1.04,
     "q43_ann_lsh" -> 0.93,
-    "q76_ivf_search" -> 0.92)
+    "q76_ivf_search" -> 0.92,
+    // round-7 additions (same measurement protocol)
+    "q124_bpe_train" -> 2.78,
+    "q127_pca_power" -> 2.21,
+    "q123_dsir_importance" -> 1.52,
+    "q122_bucketed_join" -> 1.30,
+    "q126_hard_negatives" -> 1.26,
+    "q125_dup_span_coverage" -> 1.09)
 
   private def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
