@@ -117,6 +117,29 @@ class SkewStressSpec extends SparkSpec {
       s"one task read $maxRead shuffled records — the hot cell leaked past the cap")
   }
 
+  test("knn graph: 20k identical embeddings collapse to ONE bucket; the cap bounds the quadratic stage", SlowTag) {
+    // every vector projects identically → one SRP bucket holds the
+    // whole corpus. Unbounded, the pair join is C(20k,2) ≈ 2·10⁸
+    // scored pairs; the deterministic per-bucket cap must hold the
+    // candidate stage to 64·63 directed pairs and the output to the 64
+    // capped members, and no task may read a quadratic shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("knnskew").toString
+    spark.range(20000).select($"id".as("vec_id"), lit(0).as("label"),
+        array((0 until 64).map(i => lit(0.1f * (i % 7) - 0.2f)): _*).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    var out: Array[org.apache.spark.sql.Row] = null
+    val maxRead = maxTaskShuffleRead {
+      out = graft.operators.PortableAnn.q121KnnGraph(spark, dir).collect()
+    }
+    val qids = out.map(_.getAs[Long]("qid")).distinct
+    assert(qids.length == 64, s"exactly the 64 capped members may appear, got ${qids.length}")
+    assert(qids.forall(_ < 64), "deterministic cap keeps the smallest vec_ids")
+    assert(out.length == 64 * 3, s"top-3 per capped member, got ${out.length}")
+    assert(out.forall(_.getAs[Double]("cos") > 0.999999), "identical vectors: cos ~ 1")
+    assert(maxRead < 100000L,
+      s"one task read $maxRead shuffled records — the bucket cap leaked")
+  }
+
   test("bounded top-k heap: one group absorbing 500k rows keeps K entries", SlowTag) {
     graft.plans.GraftExtensions.register(spark)
     val topk = graft.functions.TopK(16)
