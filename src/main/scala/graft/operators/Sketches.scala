@@ -177,13 +177,87 @@ object Sketches {
       |FROM agg a JOIN exact e USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q129 — portable quantile sketch: a deterministic uniform row
+    * sample (the K = 512 rows with the smallest universal key hashes —
+    * mergeable across partitions and across corpora by construction,
+    * exactly like KMV's k-minima) carries the empirical quantiles, and
+    * the achieved RANK of each estimate in the FULL relation rides
+    * along so the sketch's error is measured, not assumed (the
+    * q113/q116 audit posture; expected rank error ~ 1000/√K ≈ 44 ‰).
+    * Completes the mergeable-summary suite next to membership (Bloom),
+    * frequency (CMS), cardinality (KMV/HLL) — this is the rank/quantile
+    * member.
+    *
+    * Scale shape: sample selection is `orderBy(h).limit(K)` — Spark
+    * plans TakeOrderedAndProject (per-partition bounded top-K + driver
+    * merge, NOT a global sort); the k-row sample is windowed on one
+    * task by construction; the rank audit is ONE corpus pass against
+    * the 7-row broadcast estimate relation. Tie rows equal in (h, v)
+    * are interchangeable, so the sample's value multiset — and every
+    * output — is deterministic even with duplicate keys.
+    */
+  def q129QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 512
+    val a = 2654435761L % P
+    val li = lineitem(s, d).filter($"l_extendedprice".isNotNull)
+    val keyed = li.select($"l_extendedprice".as("v"),
+      expr(s"((l_orderkey * 10 + l_linenumber) % $P * ($a % $P) + 40503) % $P").as("h"))
+    val sample = keyed.orderBy($"h", $"v").limit(K)
+      .withColumn("rn", row_number().over(Window.orderBy($"v", $"h")).cast("long"))
+    val ps = Seq(10L, 50L, 250L, 500L, 750L, 950L, 990L).toDF("p")
+    val est = broadcast(ps
+        .withColumn("rn", expr(s"greatest((p * $K + 999) div 1000, 1)")))
+      .join(sample, Seq("rn"))
+      .select($"p", $"v".as("est"))
+    val tot = keyed.agg(count(lit(1)).as("n_rows"))
+    val ranks = keyed.crossJoin(broadcast(est))
+      .groupBy($"p", $"est")
+      .agg(sum(when($"v" <= $"est", 1L).otherwise(0L)).as("rank_le"))
+    ranks.crossJoin(broadcast(tot))
+      .withColumn("rank_err_permille",
+        expr("abs((rank_le * 1000) div n_rows - p)"))
+      .select($"p", $"est", $"rank_le", $"n_rows", $"rank_err_permille")
+      .orderBy($"p")
+  }
+
+  val q129Sql: String =
+    """WITH keyed AS (
+      |  SELECT l_extendedprice AS v,
+      |    ((l_orderkey * 10 + l_linenumber) % 1000000007
+      |      * (2654435761 % 1000000007) + 40503) % 1000000007 AS h
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |), sample AS (
+      |  SELECT h, v FROM keyed ORDER BY h, v LIMIT 512
+      |), ranked AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn FROM sample
+      |), ps AS (
+      |  SELECT CAST(UNNEST([10, 50, 250, 500, 750, 950, 990]) AS BIGINT) AS p
+      |), est AS (
+      |  SELECT p, v AS est FROM ps
+      |  JOIN ranked ON rn = GREATEST((p * 512 + 999) // 1000, 1)
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_rows FROM keyed
+      |)
+      |SELECT e.p, e.est,
+      |  CAST(SUM(CASE WHEN k.v <= e.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_le,
+      |  CAST((SELECT n_rows FROM tot) AS BIGINT) AS n_rows,
+      |  CAST(ABS(SUM(CASE WHEN k.v <= e.est THEN 1 ELSE 0 END) * 1000
+      |    // (SELECT n_rows FROM tot) - e.p) AS BIGINT) AS rank_err_permille
+      |FROM keyed k CROSS JOIN est e
+      |GROUP BY e.p, e.est
+      |ORDER BY e.p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_countmin_hh" -> (q113CountMin _),
     "q116_kmv_cardinality" -> (q116KmvCardinality _),
+    "q129_quantile_sketch" -> (q129QuantileSketch _),
   )
 
   val oracles: Map[String, String] = Map(
     "q113_countmin_hh" -> q113Sql,
     "q116_kmv_cardinality" -> q116Sql,
+    "q129_quantile_sketch" -> q129Sql,
   )
 }

@@ -75,4 +75,20 @@ class SketchesSpec extends SparkSpec {
     // KMV relative-error std dev ≈ 1/√(K−2) ≈ 63‰ at K = 256; 4σ bound
     assert(errX <= 250L, s"estimate $estX strays ${errX}‰ from 10000")
   }
+
+  test("q129 quantile sketch: rank errors inside the sampling bound; estimates monotone; deterministic") {
+    val rows = Sketches.q129QuantileSketch(spark, sf)
+      .orderBy($"p").collect()
+    assert(rows.length == 7)
+    // uniform-sample quantile rank error: std ≈ √(p(1−p)/K)·1000 ≤
+    // 1000/(2√512) ≈ 22‰; 150‰ is a ~6σ deterministic-draw bound
+    for (r <- rows)
+      assert(r.getAs[Long]("rank_err_permille") <= 150L,
+        s"p=${r.getAs[Long]("p")} rank err ${r.getAs[Long]("rank_err_permille")}‰")
+    val ests = rows.map(_.getAs[Double]("est"))
+    assert(ests.zip(ests.tail).forall { case (x, y) => x <= y },
+      "quantile estimates must be monotone in p")
+    val again = Sketches.q129QuantileSketch(spark, sf).orderBy($"p").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
