@@ -313,12 +313,66 @@ object Mixing {
       |             % 1000000007 % 10 AS b) t
       |ORDER BY k.doc_id""".stripMargin
 
+  /** q130 — token-budget allocation: the mixing CALCULATOR that turns
+    * q85's temperature weights into an actual sampling plan for a
+    * fixed training budget (the LLaMA-style "tokens and epochs per
+    * source" table). Per source: available tokens, √-temperature
+    * weight, integer-share allocation alloc = B·w div Σw, and the
+    * implied epoch count epochs_milli = alloc·1000 div available —
+    * values > 1000 mean the source repeats (the over-epoching signal
+    * data-mixing reviews look for). Exact integer arithmetic
+    * throughout; the one corpus pass is the per-source token count
+    * (map-side combining hash agg), everything after is
+    * |sources|-sized.
+    */
+  def q130TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000000L
+    val counts = documents(s, d)
+      .filter($"doc_id".isNotNull && $"source".isNotNull)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("toks"))
+      .groupBy($"source").agg(sum($"toks").as("n_tokens"))
+    val weighted = counts.withColumn("w", isqrt($"n_tokens"))
+    val tot = weighted.agg(sum($"w").as("tot_w"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens", expr(s"($budget * w) div tot_w"))
+      .withColumn("epochs_milli", expr("(alloc_tokens * 1000) div n_tokens"))
+      .select($"source", $"n_tokens", $"w", $"alloc_tokens", $"epochs_milli",
+        ($"epochs_milli" > 1000L).as("over_epoched"))
+      .orderBy($"source")
+  }
+
+  val q130Sql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY source
+      |), weighted AS (
+      |  SELECT source, n_tokens,
+      |    CAST(CASE WHEN (FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) + 1)
+      |                   * (FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) + 1) <= n_tokens
+      |              THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) + 1
+      |              WHEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
+      |                   * FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) > n_tokens
+      |              THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) - 1
+      |              ELSE FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) END AS BIGINT) AS w
+      |  FROM counts
+      |), tot AS (
+      |  SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM weighted
+      |)
+      |SELECT source, n_tokens, w,
+      |  CAST((1000000 * w) // tot_w AS BIGINT) AS alloc_tokens,
+      |  CAST(((1000000 * w) // tot_w * 1000) // n_tokens AS BIGINT) AS epochs_milli,
+      |  ((1000000 * w) // tot_w * 1000) // n_tokens > 1000 AS over_epoched
+      |FROM weighted, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_mixture_sample" -> (q85MixtureSample _),
     "q86_rare_token_ratio" -> (q86RareTokenRatio _),
     "q87_domain_cap" -> (q87DomainCap _),
     "q120_priority_sample" -> (q120PrioritySample _),
     "q128_leakage_safe_split" -> (q128LeakageSafeSplit _),
+    "q130_token_budget" -> (q130TokenBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +381,6 @@ object Mixing {
     "q87_domain_cap" -> q87Sql,
     "q120_priority_sample" -> q120Sql,
     "q128_leakage_safe_split" -> q128Sql,
+    "q130_token_budget" -> q130Sql,
   )
 }

@@ -118,6 +118,34 @@ class MixingSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("q130 token budget: sqrt temperature up-weights small sources; shares are consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("budget").toString
+    // big source: 100 docs x 100 tokens; small source: 4 docs x 25 tokens
+    val big = (0 until 100).map(i =>
+      (i.toLong, (1 to 100).map(k => s"b$k").mkString(" "), "en", "big", 1L))
+    val small = (100 until 104).map(i =>
+      (i.toLong, (1 to 25).map(k => s"s$k").mkString(" "), "en", "small", 1L))
+    (big ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Mixing.q130TokenBudget(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (b, s2) = (out("big"), out("small"))
+    assert(b.getAs[Long]("n_tokens") == 10000L && s2.getAs[Long]("n_tokens") == 100L)
+    // w = isqrt: 100 and 10 → small source gets 1/10 the allocation of
+    // big despite having 1/100 the tokens — i.e. 10x the epochs
+    assert(b.getAs[Long]("w") == 100L && s2.getAs[Long]("w") == 10L)
+    assert(s2.getAs[Long]("epochs_milli") > 10L * b.getAs[Long]("epochs_milli") / 2,
+      s"small source must be up-weighted: ${s2.getAs[Long]("epochs_milli")} vs ${b.getAs[Long]("epochs_milli")}")
+    // integer-share accounting: allocations sum to within |sources| of the budget
+    val allocSum = out.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocSum <= 1000000L && allocSum >= 1000000L - 2,
+      s"alloc total $allocSum vs budget 1000000")
+    // epochs_milli is exactly the integer identity on its own columns
+    for (r <- out.values)
+      assert(r.getAs[Long]("epochs_milli") ==
+        r.getAs[Long]("alloc_tokens") * 1000 / r.getAs[Long]("n_tokens"))
+  }
+
   test("q120 priority sample: DLT invariants hold and the subset-sum estimate lands") {
     val rows = Mixing.q120PrioritySample(spark, sf).collect()
     assert(rows.length == 64, s"k = 64 sample, got ${rows.length}")
