@@ -148,7 +148,7 @@ object MinHashLsh {
     val perDoc = docs
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter(size($"hs") > 0)
-      .repartition($"doc_id")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, $"doc_id")
     val sigs = perDoc.select($"doc_id",
       call_function("minhash_sig", $"hs", lit(K)).as("sig"))
     val cand = candidates(sigs, "doc_id")
