@@ -97,7 +97,9 @@ object Drift {
     // without defeating column pruning: the counts pass must not read
     // `value`.)
     val bucketed = ev.withColumn("bucket", floor($"value").cast("long"))
-      .repartition($"bucket")
+      // explicit N (TextOps discipline): the in-bucket range windows
+      // serialize onto one task if AQE coalesces this exchange
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism, $"bucket")
     // co-partitioned on the group key → partial+final agg, no exchange
     val per = bucketed.groupBy($"bucket")
       .agg(sum($"a").as("ba"), sum($"b").as("bb"))
@@ -122,7 +124,7 @@ object Drift {
   private def totalsFromBuckets(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
     ev.withColumn("bucket", floor($"value").cast("long"))
-      .repartition($"bucket")
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism, $"bucket")
       .groupBy($"bucket").agg(sum($"a").as("ba"), sum($"b").as("bb"))
       .agg(sum($"ba").as("na"), sum($"bb").as("nb"))
   }

@@ -54,7 +54,10 @@ object PortableMinHash {
       .filter($"doc_id".isNotNull)
       .select($"doc_id", call_function("poly_shingle_hashes", $"text", lit(3)).as("hl"))
       .filter(size($"hl") > 0)
-      .repartition($"doc_id")
+      // explicit N: see TextOps winnowNearDupPairs — AQE otherwise
+      // coalesces this tiny exchange to one task and serializes the
+      // K-min aggregate pass downstream
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val ex = hs.select($"doc_id", explode($"hl").as("h"))
     // K min-aggregates in one pass; permutation constants fixed and
     // reproduced literally in the oracle

@@ -219,7 +219,9 @@ object VectorOps {
     // spreads it across cells.
     val ok = emb.join(broadcast(okCells), Seq("label"))
       .withColumn("n2", fxdot($"embedding", $"embedding"))
-      .repartition($"label")
+      // explicit N (TextOps discipline): a coalesced-to-one exchange
+      // would run the whole in-cell quadratic verify on a single task
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, $"label")
     val a = ok.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
     val b = ok.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
     // The groupBy over the (already unique) pair key is an evaluation
