@@ -23,6 +23,34 @@ class ContractSpec extends SparkSpec {
       s"queries without an oracle (add oracleSql or a justified audit form): $noOracle")
   }
 
+  test("no query name collides across operator objects (++ would silently replace)") {
+    // SparkEntry.queries is a ++ of per-object maps: a name reused in
+    // two objects would drop one implementation with no error anywhere.
+    // Sum the per-object counts and compare against the merged size.
+    import graft.operators._
+    val perObject = Seq(
+      Relational.queries, Relational2.queries, Relational3.queries,
+      EventOps.queries, TextOps.queries, VectorOps.queries, SeqOps.queries,
+      CorpusOps.queries, StatsOps.queries, Curation.queries,
+      PortableMinHash.queries, PortableAnn.queries, Mixing.queries,
+      SemDedup.queries, RuntimeFilter.queries, Indicators.queries,
+      Drift.queries, GraphOps.queries, LmOps.queries, Sketches.queries,
+      Retrieval.queries, PortableSimHash.queries)
+    val flat = perObject.flatMap(_.keys)
+    val dups = flat.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"query names registered by more than one object: $dups")
+    // the queries registered directly in SparkEntry's closing Map must
+    // be exactly the engine-sketch/multimodal set — and must not shadow
+    // any object-registered name
+    val direct = SparkEntry.queries.keySet -- flat.toSet
+    assert(direct == Set("q36_minhash_dedup", "q37_simhash_dedup",
+      "q43_ann_lsh", "q50_blob_meta", "q51_image_pipeline",
+      "q117_audio_pipeline", "q119_video_pipeline"),
+      s"unexpected direct registrations: $direct")
+    assert(SparkEntry.queries.size == flat.size + direct.size,
+      s"merged registry lost entries: ${SparkEntry.queries.size} vs ${flat.size} + ${direct.size}")
+  }
+
   test("entry() returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
