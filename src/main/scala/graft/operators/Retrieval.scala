@@ -150,11 +150,116 @@ object Retrieval {
       |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q131 — Okapi BM25 ranking [Robertson & Walker, SIGIR'94], the
+    * canonical lexical relevance function, in overflow-safe exact
+    * integer arithmetic (k1 = 1.2, b = 0.75, query = the corpus's own
+    * doc 0 like q114):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg))
+    *
+    *  - idf is the full SIGNED BM25 idf, log2-quantized with mantissa
+    *    interpolation applied to numerator and denominator separately:
+    *    idf_milli = L(2(N−df)+1) − L(2df+1) with
+    *    L(x) = 250·(4b + (4x div 2^b) − 4), b = LENGTH(BIN(x))−1 —
+    *    ≈ 1000·log2(x) within ~86 milli-bits, exact int64 at any N,
+    *    and no engine's libm appears anywhere (Math.log and DuckDB's
+    *    ln are each ~1 ulp, NOT guaranteed to agree). Two earlier
+    *    quantizations were measured VACUOUS on this corpus and
+    *    rejected: whole-bit floor(log2) (q104's) and the clamped
+    *    non-negative ratio-floor — the synthetic vocabulary is so
+    *    small that every query token has df ≳ N/3, where both collapse
+    *    to identically zero; the signed rational form keeps the
+    *    stopword-gradient (mildly positive to negative) that actually
+    *    ranks such a corpus, exactly as unquantized BM25 would.
+    *  - the tf saturation with k1 = 6/5, b = 3/4 clears denominators
+    *    exactly: tfpart_milli = 22000·tf div (10·tf + 3 + lennorm)
+    *    with lennorm = (9·|d|·N) div T — the one interior div floors
+    *    the length-normalization term by < 1, deterministically in
+    *    both engines, and keeps every intermediate ≤ ~10¹³ at ANY
+    *    corpus size (the naive common-denominator form multiplies by
+    *    the corpus token total and overflows int64 past T ≈ 4·10¹¹).
+    *
+    * Scale shape: q114's discipline — the query-token set broadcasts
+    * and semi-filters the corpus token relation map-side BEFORE any
+    * exchange; df/tf are partial+final hash aggs over the overlapping
+    * instances only; doc lengths are a pure-map second scan; the final
+    * top-20 is TakeOrderedAndProject.
+    */
+  def q131Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val qtoks = docs.filter($"doc_id" === 0)
+      .select(explode(TextOps.tokens($"text")).as("tok")).distinct()
+    val lens = docs.filter($"doc_id" =!= 0)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("len"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum($"len").as("t_toks"))
+    val inst = docs.filter($"doc_id" =!= 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .join(broadcast(qtoks), Seq("tok"))
+    val tf = inst.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // L(x) ≈ 1000·log2(x): whole bits from BIN length, fraction from
+    // the mantissa's top two bits
+    def l2milli(x: String): String =
+      s"250 * (4 * (length(bin($x)) - 1) + (4 * $x) div cast(pow(2, length(bin($x)) - 1) as bigint) - 4)"
+    val idf = df.crossJoin(broadcast(tot))
+      .withColumn("p", expr("2 * (n_docs - df) + 1"))
+      .withColumn("q", expr("2 * df + 1"))
+      .select($"tok", expr(s"${l2milli("p")} - ${l2milli("q")}").as("idf_milli"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro", expr(
+        "idf_milli * ((22000 * tf) div (10 * tf + 3 + (9 * len * n_docs) div t_toks))"))
+      .groupBy($"doc_id", $"len")
+      .agg(sum($"term_micro").as("bm25_micro"), count(lit(1)).as("n_hit_terms"))
+      .orderBy($"bm25_micro".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"len", $"n_hit_terms", $"bm25_micro")
+  }
+
+  val q131Sql: String =
+    """WITH qtoks AS (
+      |  SELECT DISTINCT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id = 0
+      |), lens AS (
+      |  SELECT doc_id, CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS BIGINT) AS len
+      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id <> 0
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS t_toks FROM lens
+      |), inst AS (
+      |  SELECT i.doc_id, i.tok FROM (
+      |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id IS NOT NULL AND doc_id <> 0) i
+      |  JOIN qtoks q ON i.tok = q.tok
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM inst GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+      |), idf AS (
+      |  SELECT tok,
+      |    CAST((250 * (4 * (LENGTH(BIN(p)) - 1) + (4 * p) // CAST(POWER(2, LENGTH(BIN(p)) - 1) AS BIGINT) - 4))
+      |       - (250 * (4 * (LENGTH(BIN(q)) - 1) + (4 * q) // CAST(POWER(2, LENGTH(BIN(q)) - 1) AS BIGINT) - 4)) AS BIGINT) AS idf_milli
+      |  FROM (SELECT tok, 2 * (t.n_docs - df) + 1 AS p, 2 * df + 1 AS q FROM df, tot t)
+      |)
+      |SELECT doc_id, len, n_hit_terms, bm25_micro FROM (
+      |  SELECT tf.doc_id, l.len,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+      |    CAST(SUM(i.idf_milli * ((22000 * tf.tf) // (10 * tf.tf + 3 + (9 * l.len * t.n_docs) // t.t_toks))) AS BIGINT) AS bm25_micro
+      |  FROM tf
+      |  JOIN idf i ON tf.tok = i.tok
+      |  JOIN lens l ON tf.doc_id = l.doc_id
+      |  CROSS JOIN tot t
+      |  GROUP BY tf.doc_id, l.len)
+      |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_hybrid_retrieval" -> (q114HybridRetrieval _),
+    "q131_bm25" -> (q131Bm25 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q114_hybrid_retrieval" -> q114Sql,
+    "q131_bm25" -> q131Sql,
   )
 }

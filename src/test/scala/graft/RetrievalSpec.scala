@@ -59,4 +59,34 @@ class RetrievalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q131 BM25: a doc sharing the query's rare term outranks stopword-only docs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    // doc 0 = query: common stopwords + one rare term. Doc 1 carries the
+    // rare term; docs 2..60 carry only the stopwords (so the rare term's
+    // df = 1). BM25 must put doc 1 first by a positive rare-term margin,
+    // and saturation must hold: doc 61 repeating the rare term 10x may
+    // rank above doc 1 but by far less than 10x the margin.
+    val stop = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, s"$stop xylophone", "en", "s", 1L),
+      (1L, s"$stop xylophone", "en", "s", 1L),
+      (61L, s"$stop ${Seq.fill(10)("xylophone").mkString(" ")}", "en", "s", 1L)) ++
+      (2L to 60L).map(i => (i, stop, "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Retrieval.q131Bm25(spark, dir).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bm25_micro")).toMap
+    val top = out.head.getAs[Long]("doc_id")
+    assert(Set(1L, 61L)(top), s"a rare-term doc must rank first, got $top")
+    val stopOnly = byId.filterKeys(k => k >= 2L && k <= 60L).values
+    assert(byId(1L) > stopOnly.max,
+      s"rare-term doc must beat every stopword-only doc: ${byId(1L)} vs ${stopOnly.max}")
+    // tf saturation: 10 repeats must not yield 10x the single-occurrence
+    // rare-term advantage
+    val adv1 = byId(1L) - stopOnly.max
+    val adv10 = byId(61L) - stopOnly.max
+    assert(adv10 < 5 * adv1, s"saturation failed: adv(10x)=$adv10 vs adv(1x)=$adv1")
+  }
 }
