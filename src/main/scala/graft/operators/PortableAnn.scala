@@ -327,15 +327,121 @@ object PortableAnn {
       |FROM pos p JOIN neg n USING (qid)
       |ORDER BY p.qid""".stripMargin
 
+  /** q132 — label propagation over the q121 kNN graph [Zhu & Ghahramani
+    * 2002; the weak-supervision move curation stacks run on neighbor
+    * graphs]: two synchronous rounds of neighbor majority vote
+    * (deterministic mode — count desc, label asc), nodes outside the
+    * graph keep their label, and the output reports each node's initial
+    * vs propagated label with a changed flag — the label-noise /
+    * cluster-impurity signal (a node outvoted by its own neighborhood).
+    *
+    * Scale shape: the kNN edge list materializes ONCE
+    * (localCheckpoint — 3N (long,long) pairs, the same
+    * graph-materialization call GraphX makes; both rounds and the
+    * final join read it), each round is one shuffle join on the
+    * neighbor id plus two partial+final aggregates, and the
+    * deterministic mode is max(struct(count, −label)) — no windows
+    * over node neighborhoods.
+    */
+  def q132LabelProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = q121KnnGraph(s, d).select($"qid", $"cid").localCheckpoint()
+    val l0 = embeddings(s, d).select($"vec_id", $"label".cast("long").as("lab"))
+    def step(lab: DataFrame): DataFrame = {
+      val mode = edges
+        .join(lab.select($"vec_id".as("cid"), $"lab".as("nlab")), Seq("cid"))
+        .groupBy($"qid", $"nlab").agg(count(lit(1)).as("c"))
+        .groupBy($"qid")
+        .agg(max(struct($"c", (-$"nlab").as("negl"))).as("m"))
+        .select($"qid".as("vec_id"), (-$"m.negl").as("voted"))
+      lab.join(mode, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"voted", $"lab").as("lab"))
+    }
+    val l2 = step(step(l0))
+    l0.select($"vec_id", $"lab".as("label0"))
+      .join(l2.select($"vec_id", $"lab".as("label2")), Seq("vec_id"))
+      .withColumn("changed", $"label0" =!= $"label2")
+      .orderBy($"vec_id")
+  }
+
+  val q132Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), planes AS (
+      |  SELECT id // 64 AS j, id % 64 AS pos,
+      |    CAST(CAST(CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS REAL) AS DOUBLE) AS p
+      |  FROM (SELECT UNNEST(RANGE(512)) AS id)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.j, SUM(CAST(FLOOR(e.v * pl.p * 1e10) AS BIGINT)) AS dj
+      |  FROM e JOIN planes pl ON e.pos = pl.pos
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dj >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY 1
+      |), capped AS (
+      |  SELECT vec_id, bucket FROM buckets
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) <= 64
+      |), cdots AS (
+      |  SELECT ca.vec_id AS qid, cb.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM capped ca
+      |  JOIN capped cb ON ca.bucket = cb.bucket AND ca.vec_id <> cb.vec_id
+      |  JOIN e a ON a.vec_id = ca.vec_id
+      |  JOIN e b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+      |  GROUP BY 1, 2
+      |), knn AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT d.qid, d.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY d.qid
+      |        ORDER BY d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) DESC, d.cid) AS rk
+      |    FROM cdots d
+      |    JOIN norms qn ON d.qid = qn.vec_id
+      |    JOIN norms cn ON d.cid = cn.vec_id)
+      |  WHERE rk <= 3
+      |), l0 AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings
+      |), m1 AS (
+      |  SELECT qid, nlab FROM (
+      |    SELECT k.qid, l.lab AS nlab, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY k.qid ORDER BY COUNT(*) DESC, l.lab) AS r
+      |    FROM knn k JOIN l0 l ON k.cid = l.vec_id
+      |    GROUP BY k.qid, l.lab)
+      |  WHERE r = 1
+      |), l1 AS (
+      |  SELECT l0.vec_id, COALESCE(m1.nlab, l0.lab) AS lab
+      |  FROM l0 LEFT JOIN m1 ON l0.vec_id = m1.qid
+      |), m2 AS (
+      |  SELECT qid, nlab FROM (
+      |    SELECT k.qid, l.lab AS nlab, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY k.qid ORDER BY COUNT(*) DESC, l.lab) AS r
+      |    FROM knn k JOIN l1 l ON k.cid = l.vec_id
+      |    GROUP BY k.qid, l.lab)
+      |  WHERE r = 1
+      |), l2 AS (
+      |  SELECT l1.vec_id, COALESCE(m2.nlab, l1.lab) AS lab
+      |  FROM l1 LEFT JOIN m2 ON l1.vec_id = m2.qid
+      |)
+      |SELECT l0.vec_id, l0.lab AS label0, l2.lab AS label2,
+      |  l0.lab <> l2.lab AS changed
+      |FROM l0 JOIN l2 USING (vec_id) ORDER BY l0.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_ann_portable" -> (q80AnnPortable _),
     "q121_knn_graph" -> (q121KnnGraph _),
     "q126_hard_negatives" -> (q126HardNegatives _),
+    "q132_label_prop" -> (q132LabelProp _),
   )
 
   val oracles: Map[String, String] = Map(
     "q80_ann_portable" -> q80Sql,
     "q121_knn_graph" -> q121Sql,
     "q126_hard_negatives" -> q126Sql,
+    "q132_label_prop" -> q132Sql,
   )
 }

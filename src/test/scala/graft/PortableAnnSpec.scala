@@ -74,6 +74,22 @@ class PortableAnnSpec extends SparkSpec {
     assert(r500.getAs[Long]("neg_id") == 502L && r500.getAs[Double]("neg_cos") > 0.999999)
     assert(math.abs(r500.getAs[Double]("margin")) < 1e-9)
 
+    // q132 on a planted impure cluster: four identical vectors, three
+    // labeled 1 and one mislabeled 9 — the outvoted node must flip to
+    // the neighborhood majority, the consistent nodes must not
+    val ldir = java.nio.file.Files.createTempDirectory("plp").toString
+    (Seq((700L, 1L, vec(13)), (701L, 1L, vec(13)), (702L, 1L, vec(13)),
+      (703L, 9L, vec(13))) ++
+      (2 to 40).map(i => (i + 800L, 5L, vec(i))))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$ldir/embeddings.parquet")
+    val lp = PortableAnn.q132LabelProp(spark, ldir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("label0"), r.getAs[Long]("label2"), r.getAs[Boolean]("changed"))).toMap
+    assert(lp(703L) == ((9L, 1L, true)), s"mislabeled node must flip: ${lp(703L)}")
+    for (id <- Seq(700L, 701L, 702L))
+      assert(lp(id)._2 == 1L && !lp(id)._3, s"consistent node flipped: $id -> ${lp(id)}")
+
     // the codegen'd fxp_dot bucket equals the from-scratch arithmetic
     // (kernel-vs-reference parity on the real sf corpus)
     val got = PortableAnn.q121KnnGraph(spark, sf)
