@@ -51,7 +51,9 @@ class PerfCeilingSpec extends SparkSpec {
     "q123_dsir_importance" -> 1.52,
     "q122_bucketed_join" -> 1.30,
     "q126_hard_negatives" -> 1.26,
-    "q125_dup_span_coverage" -> 1.09)
+    "q125_dup_span_coverage" -> 1.09,
+    "q132_label_prop" -> 1.47,
+    "q131_bm25" -> 1.00)
 
   private def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
