@@ -5,7 +5,15 @@ Runs DuckDB oracle SQL from outDir/oracle_sql.json against the testdata
 parquet tables, loads the Spark result parquet written by graft.Verify,
 sorts columns by name (like the driver), sorts rows, and compares values.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--allow-missing] [--only q1,q2]
+
+A missing Spark result dump is a FAILURE by default: a Verify run that
+crashes mid-registry (or a query that throws before dumping) must not
+yield a green "N/N queries match" line — that is the exact failure class
+this gate exists to catch. For the dev loop where Verify was deliberately
+run on a subset, pass --allow-missing (missing dumps are then skipped and
+the run exits 2, a distinct "incomplete, not wrong" code) or --only with
+the names actually dumped (exit 0 when all of those match).
 """
 import json, sys, math
 import duckdb
@@ -31,11 +39,17 @@ def cmp_vals(a, b) -> bool:
         return a == b
     return a == b
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, allow_missing: bool, only) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing_names = [q for q in only if q not in oracle]
+        if missing_names:
+            print(f"FAIL --only names not in oracle_sql.json: {missing_names}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_bad = 0
     n_skipped = 0
     for name, sql in sorted(oracle.items()):
@@ -47,10 +61,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         import os
         if not os.path.exists(f"{out_dir}/{name}"):
-            # dev loop convenience: Verify was run on a subset of queries;
-            # absent dumps are "not checked", not failures (the driver
-            # always dumps the full registry, so it never hits this)
-            n_skipped += 1
+            if allow_missing:
+                # explicit dev-loop opt-in: Verify ran on a subset
+                n_skipped += 1
+                continue
+            print(f"FAIL {name}: spark result dump absent "
+                  f"(Verify crashed or never ran this query; "
+                  f"pass --allow-missing for a subset dev run)")
+            n_bad += 1
             continue
         try:
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
@@ -88,7 +106,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     checked = len(oracle) - n_skipped
     skip_note = f" ({n_skipped} not dumped, skipped)" if n_skipped else ""
     print(f"\n{checked - n_bad}/{checked} queries match{skip_note}")
-    return 1 if n_bad else 0
+    if n_bad:
+        return 1
+    # incomplete-but-clean is NOT the same verdict as complete-and-clean
+    return 2 if n_skipped else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:]]
+    allow_missing = "--allow-missing" in argv
+    argv = [a for a in argv if a != "--allow-missing"]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], allow_missing, only))

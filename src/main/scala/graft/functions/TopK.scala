@@ -54,3 +54,43 @@ object TopK {
   def apply(k: Int): expressions.UserDefinedFunction =
     udaf(new TopK(k), ExpressionEncoder[RankedRow]())
 }
+
+/** Long-keyed sibling of [[RankedRow]]/[[TopK]]: identical bounded-heap
+  * shape, but the rank stays int64 end to end. Exists because a double
+  * rank is exact only below 2^53 — q120's DLT priority
+  * (n_chars · 10^9 div h) crosses that once n_chars ≳ 9·10^6 with a
+  * small h, after which a double-keyed heap's ordering (and the τ
+  * recovered by casting back to long) can diverge from the oracle's
+  * exact BIGINT ROW_NUMBER. With a long heap key the ordering is exact
+  * at ANY weight, no domain clamp needed.
+  */
+case class RankedRowL(priority: Long, key: Long)
+
+class TopKLong(k: Int) extends Aggregator[RankedRowL, Seq[RankedRowL], Seq[RankedRowL]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def better(a: RankedRowL, b: RankedRowL): Boolean =
+    a.priority > b.priority || (a.priority == b.priority && a.key < b.key)
+
+  override def zero: Seq[RankedRowL] = Nil
+
+  private def insert(buf: Seq[RankedRowL], x: RankedRowL): Seq[RankedRowL] =
+    if (buf.size >= k && better(buf.last, x)) buf
+    else ((buf :+ x).sortWith(better)).take(k)
+
+  override def reduce(buf: Seq[RankedRowL], in: RankedRowL): Seq[RankedRowL] =
+    insert(buf, in)
+
+  override def merge(a: Seq[RankedRowL], b: Seq[RankedRowL]): Seq[RankedRowL] =
+    b.foldLeft(a)(insert)
+
+  override def finish(r: Seq[RankedRowL]): Seq[RankedRowL] = r
+
+  override def bufferEncoder: Encoder[Seq[RankedRowL]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[RankedRowL]] = ExpressionEncoder()
+}
+
+object TopKLong {
+  def apply(k: Int): expressions.UserDefinedFunction =
+    udaf(new TopKLong(k), ExpressionEncoder[RankedRowL]())
+}

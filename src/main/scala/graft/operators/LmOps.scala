@@ -537,18 +537,30 @@ object LmOps {
       .select($"word", $"freq", ($"i0" + 1).cast("long").as("pos"), $"sym")
       .localCheckpoint()
     val byPos = Window.partitionBy($"word").orderBy($"pos")
-    val learned = (1 to 3).map { step =>
-      val top = syms.withColumn("nxt", lead($"sym", 1).over(byPos))
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= 3 && !exhausted) {
+      // headOption, not head: a degenerate corpus (empty, or all
+      // single-character words) has NO adjacent pair — emit the merges
+      // learned so far (possibly zero rows, matching the oracle's empty
+      // result on the same input) instead of throwing
+      val topOpt = syms.withColumn("nxt", lead($"sym", 1).over(byPos))
         .filter($"nxt".isNotNull)
         .groupBy($"sym", $"nxt").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"sym", $"nxt")
-        .limit(1).head()
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      syms = bpeMergeStep(syms, l, r).localCheckpoint()
-      val after = syms.agg(sum($"freq")).head().getLong(0)
-      (step.toLong, l, r, c, after)
+        .limit(1).collect().headOption
+      topOpt match {
+        case None => exhausted = true
+        case Some(top) =>
+          val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          syms = bpeMergeStep(syms, l, r).localCheckpoint()
+          val after = syms.agg(sum($"freq")).head().getLong(0)
+          learned += ((step.toLong, l, r, c, after))
+          step += 1
+      }
     }
-    learned.toDF("step", "left", "right", "pair_count", "tokens_after")
+    learned.toSeq.toDF("step", "left", "right", "pair_count", "tokens_after")
       .orderBy($"step")
   }
 

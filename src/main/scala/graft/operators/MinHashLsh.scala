@@ -296,11 +296,20 @@ object SimHash {
     *    columns is the recall theorem made visible (measured: 8/8 at
     *    sf0.1).
     *  - `n_near_pairs` / `near_recall_floor_ok`: shingle-Jaccard ≥ 0.8
-    *    ground truth from the [[MinHashLsh.q36MinhashDedup]] chain
-    *    (recall-1 banding, itself oracle-checked); SimHash must cover
-    *    ≥ 50% of it. Hamming ≤ 3 of 64 is a far TIGHTER similarity bar
-    *    than J ≥ 0.8 — a J = 0.97 pair can legitimately flip 4+ bits —
-    *    so full coverage is not expected; measured 60–75% across SFs.
+    *    ground truth computed here by PREFIX-FILTERED exact Jaccard
+    *    (round-7 verdict item 2: round 7 re-executed the full
+    *    [[MinHashLsh.q36MinhashDedup]] MinHash chain inside this query —
+    *    ~1.4 s of recomputation). Prefix filtering (Bayardo et al.
+    *    All-Pairs, WWW'07; Xiao et al. PPJoin) is recall-EXACT: with the
+    *    per-doc shingle hashes globally sorted, any pair with
+    *    J(A,B) ≥ τ shares its smallest common element inside both
+    *    prefixes of length |X| − ⌈τ·|X|⌉ + 1, so blocking on prefix
+    *    hashes then verifying exactly yields the SAME pair set as
+    *    all-pairs — at ~20% of the exploded rows and with no signature
+    *    stage at all. SimHash must cover ≥ 50% of it. Hamming ≤ 3 of 64
+    *    is a far TIGHTER similarity bar than J ≥ 0.8 — a J = 0.97 pair
+    *    can legitimately flip 4+ bits — so full coverage is not
+    *    expected; measured 60–75% across SFs.
     *  - `precision_floor_ok`: every found pair has token-set Jaccard
     *    ≥ 0.35 (measured minimum 0.50 at sf0.1, 0.86–0.90 below).
     *
@@ -327,7 +336,40 @@ object SimHash {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .localCheckpoint()
-    val near = MinHashLsh.q36MinhashDedup(s, d).filter($"jaccard" >= 0.8)
+    // Near-pair ground truth via prefix-filtered exact Jaccard (see
+    // scaladoc). Same reuse discipline as q35: ONE (doc_id, hs)
+    // relation materialized at the repartition, consumed identically
+    // (same columns, same null/size predicates) by the prefix branch
+    // and both verify branches so ReuseExchange keeps the shingle
+    // kernel to a single execution. `shingle_hashes` returns SORTED
+    // distinct hashes — the global order the prefix theorem needs and
+    // the precondition for the codegen'd `sorted_intersect_count`
+    // merge-walk verify. Hot prefix buckets are capped at 100 by
+    // `collect_capped` — the house quadratic-bucket guard; like q36's
+    // band-bucket cap it never binds at shipped SFs (largest planted
+    // dup group ≪ 100), so measured recall stays 1 and the driver's
+    // cell-exact oracle comparison holds.
+    graft.plans.GraftExtensions.register(s)
+    val tau = 0.8
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+    val cand = perDoc
+      .select($"doc_id", explode(slice($"hs", lit(1),
+        (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int"))).as("ph"))
+      .groupBy($"ph")
+      .agg(call_function("collect_capped", $"doc_id", lit(100)).as("ids"))
+      .filter(size($"ids").between(2, 100))
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+    val near = broadcast(broadcast(cand)
+        .join(perDoc.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a")))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+      .withColumn("c", call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
+      .filter($"c".cast("double") / (size($"hs_a") + size($"hs_b") - $"c") >= tau)
       .select($"doc_a", $"doc_b").localCheckpoint()
     val nDups = dups.agg(count(lit(1)).as("n_dups"))
     val nDupsFound = dups.join(broadcast(found), Seq("doc_a", "doc_b"))

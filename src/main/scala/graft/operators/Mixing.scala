@@ -218,17 +218,20 @@ object Mixing {
       .select($"doc_id", $"n_chars".cast("long").as("weight"),
         ((($"doc_id" % P) * a + b) % P + 1L).as("h"))
       .select($"doc_id", $"weight", expr(s"(weight * $P) div h").as("priority"))
-    // top-(k+1) bounded heap: priorities < 2^53, so the double-ranked
-    // heap is exact; ties impossible to get wrong (total order on
-    // (priority DESC, doc_id ASC) in both engines)
-    val heap = w.agg(graft.functions.TopK(k + 1)(
-        $"priority".cast("double"), $"doc_id").as("top"))
+    // top-(k+1) bounded LONG-keyed heap ([[graft.functions.TopKLong]]):
+    // the priority stays int64 end to end, so the ordering and the
+    // recovered τ are exact at ANY n_chars — the double-keyed variant
+    // was exact only while priority < 2^53 (n_chars ≲ 9·10^6). Ties
+    // impossible to get wrong (total order on (priority DESC, doc_id
+    // ASC) in both engines).
+    val heap = w.agg(graft.functions.TopKLong(k + 1)(
+        $"priority", $"doc_id").as("top"))
       .select($"top",
         // below-(k+1) corpora (tiny SFs) have no threshold: τ = 0 makes
         // every estimator exact, matching the estimator's whole-
         // population degenerate case
-        coalesce(try_element_at($"top", lit(k + 1)).getField("price"), lit(0.0))
-          .cast("long").as("tau"))
+        coalesce(try_element_at($"top", lit(k + 1)).getField("priority"), lit(0L))
+          .as("tau"))
       .select(explode(slice($"top", 1, k)).as("r"), $"tau")
       .select($"r.key".as("doc_id"), $"tau")
     val exactTot = w.agg(sum($"weight").as("exact_total"))
@@ -286,7 +289,11 @@ object Mixing {
     import s.implicits._
     val P = 1000000007L
     val a = 2654435761L % P
-    val keyed = documents(s, d).filter($"doc_id".isNotNull)
+    // text IS NOT NULL is explicit (mirrored in the oracle): a null text
+    // yields a null gk, which matches in NEITHER engine's join — without
+    // the filter such docs would silently vanish from the split
+    // assignment instead of visibly falling outside the domain contract
+    val keyed = documents(s, d).filter($"doc_id".isNotNull && $"text".isNotNull)
       .select($"doc_id", md5($"text").as("gk"))
     val groups = keyed.groupBy($"gk")
       .agg(min($"doc_id").as("group_rep"), count(lit(1)).as("group_size"))
@@ -301,7 +308,8 @@ object Mixing {
 
   val q128Sql: String =
     """WITH keyed AS (
-      |  SELECT doc_id, MD5(text) AS gk FROM documents WHERE doc_id IS NOT NULL
+      |  SELECT doc_id, MD5(text) AS gk FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
       |), groups AS (
       |  SELECT gk, MIN(doc_id) AS group_rep, COUNT(*) AS group_size
       |  FROM keyed GROUP BY gk

@@ -59,29 +59,26 @@ object Retrieval {
     val lexR = lexTop.withColumn("lex_rank",
       row_number().over(Window.orderBy($"lex_overlap".desc, $"doc_id")).cast("long"))
 
-    // dot products AND norms in ONE aggregate pass: the broadcast query
-    // vector joins on pos (keeps every row — the query embedding is
-    // dense), then a single groupBy(vec_id) computes both fixed-point
-    // sums. The previous shape aggregated norms and dots in separate
-    // passes over the exploded relation — two scan+explode+shuffle
-    // chains where one suffices; values are bit-identical (same xsum
-    // over the same products), so the oracle is untouched.
-    // FIXED-WIDTH ASSUMPTION: n2 is summed over the positions that
-    // survive the inner join with the query vector's pos set, which is
-    // bit-identical to a norm over ALL positions only while every
-    // embedding shares the query vector's exact dimensionality (the
-    // corpus-wide fixed width VectorOps documents). A corpus vector
-    // longer than the query — or a truncated doc-0 embedding — would
-    // silently deflate n2. RetrievalSpec pins one distinct
-    // size(embedding) across the shipped testdata; if variable dims ever
-    // become legal, compute n2 from `e` BEFORE this join.
+    // Norms are aggregated over the exploded relation BEFORE the query-
+    // vector join (round-7 verdict item 5, closing the former
+    // fixed-width trap): n2 now covers ALL of a vector's positions
+    // regardless of the query vector's dimensionality, so a corpus
+    // vector longer than the query — or a truncated doc-0 embedding —
+    // can no longer silently deflate its norm. On the shipped
+    // fixed-width corpus the summed position set is identical either
+    // way and xsum is an order-independent integer sum, so the oracle
+    // hash is unchanged; RetrievalSpec adds the variable-width case the
+    // old shape got wrong. Cost: one extra vec_id-sized aggregate; the
+    // dots/norms join is co-partitioned on vec_id (both are groupBy
+    // outputs on the same key — no extra exchange).
     val e = VectorOps.exploded(s, d)
+    val norms = e.groupBy($"vec_id").agg(VectorOps.xsum($"v" * $"v").as("n2"))
     val qv = e.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
-    val both = e.join(broadcast(qv), Seq("pos"))
+    val dots = e.join(broadcast(qv), Seq("pos"))
       .groupBy($"vec_id")
-      .agg(VectorOps.xsum($"qv" * $"v").as("dot"),
-        VectorOps.xsum($"v" * $"v").as("n2"))
-    val qn = both.filter($"vec_id" === 0).select($"n2".as("qn2"))
+      .agg(VectorOps.xsum($"qv" * $"v").as("dot"))
+    val both = dots.join(norms, Seq("vec_id"))
+    val qn = norms.filter($"vec_id" === 0).select($"n2".as("qn2"))
     val semTop = both.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(qn))
       .select($"vec_id".as("doc_id"),

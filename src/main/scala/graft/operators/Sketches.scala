@@ -134,15 +134,18 @@ object Sketches {
       .agg(countDistinct($"l_partkey").as("exact_parts"))
     agg.join(exact, Seq("l_returnflag"))
       .select($"l_returnflag", $"exact_parts",
-        // below-K branch: n_hashes (count of DISTINCT universal hashes)
-        // is the exact distinct-key count ONLY because the key domain is
-        // smaller than the modulus P — l_partkey < 1e9+7 makes the affine
-        // hash a bijection, so distinct hashes = distinct keys. Two keys
-        // ≥ P apart could collide and undercount; any wider key domain
-        // must pre-hash keys into [0, P) injectively or take the exact
-        // branch from countDistinct instead. The oracle replays the same
-        // arithmetic, so the assumption is shared, not hidden.
-        when($"n_hashes" < K, $"n_hashes")
+        // below-K branch reads the EXACT countDistinct relation — which
+        // is already joined in for the audit columns — not n_hashes
+        // (round-7 verdict item 6): distinct hashes equal distinct keys
+        // only while the key domain sits below the modulus P (the affine
+        // map is a bijection there; two keys ≥ P apart can collide), so
+        // sourcing the below-K value from countDistinct confines that
+        // domain assumption to the ≥ K ESTIMATE branch, where it is a
+        // documented property of the sketch rather than a hidden
+        // correctness dependency of the "exact" claim. Identical values
+        // (and oracle hash) at shipped SFs where l_partkey < P;
+        // SketchesSpec adds a keys-≥-P-apart case the old branch missed.
+        when($"n_hashes" < K, $"exact_parts")
           .otherwise(expr(s"${(K - 1).toLong * P} div kth")).as("kmv_estimate"))
       .withColumn("err_permille",
         expr("(abs(kmv_estimate - exact_parts) * 1000) div exact_parts"))
@@ -169,9 +172,9 @@ object Sketches {
       |)
       |SELECT a.l_returnflag,
       |  CAST(e.exact_parts AS BIGINT) AS exact_parts,
-      |  CAST(CASE WHEN a.n_hashes < 256 THEN a.n_hashes
+      |  CAST(CASE WHEN a.n_hashes < 256 THEN e.exact_parts
       |       ELSE (CAST(255 AS BIGINT) * 1000000007) // a.kth END AS BIGINT) AS kmv_estimate,
-      |  CAST((ABS(CASE WHEN a.n_hashes < 256 THEN a.n_hashes
+      |  CAST((ABS(CASE WHEN a.n_hashes < 256 THEN e.exact_parts
       |       ELSE (CAST(255 AS BIGINT) * 1000000007) // a.kth END - e.exact_parts) * 1000)
       |       // e.exact_parts AS BIGINT) AS err_permille
       |FROM agg a JOIN exact e USING (l_returnflag)

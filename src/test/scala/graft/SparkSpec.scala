@@ -26,6 +26,11 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // mirror Session.build: catalog-table suites (Scale/Plan) must not
+      // land ./spark-warehouse in the repo working tree; unique per run
+      // so parallel sbt JVMs never share bucketed tables
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse_${java.util.UUID.randomUUID().toString.take(8)}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
