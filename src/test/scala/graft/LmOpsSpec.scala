@@ -273,4 +273,19 @@ class LmOpsSpec extends SparkSpec {
     val expectKeep = ranked.take(128).toSet
     assert(out.forall { case (id, (_, k)) => k == expectKeep(id) })
   }
+
+  test("q124 BPE training on a pair-free corpus returns empty instead of throwing") {
+    // Round-7 advice: all-single-character words have no adjacent symbol
+    // pair, so there is nothing to merge — the engines must agree on the
+    // empty result (the oracle's CTE chain yields 0 rows on this input).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe0").toString
+    Seq((1L, "a b c"), (2L, "c a"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LmOps.q124BpeTrain(spark, dir).collect()
+    assert(out.isEmpty, s"expected 0 merges on a pair-free corpus, got ${out.length}")
+  }
 }

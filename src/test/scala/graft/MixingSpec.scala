@@ -168,4 +168,36 @@ class MixingSpec extends SparkSpec {
     val again = Mixing.q120PrioritySample(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("q120 stays exact when priorities exceed 2^53 (long-keyed heap)") {
+    // Round-7 advice: priority = n_chars·P div h crosses 2^53 once
+    // n_chars is large and h small; the old double-keyed heap could then
+    // misorder and recover a rounded τ. Weights here push every priority
+    // into the >2^53 regime; expected sample and τ are recomputed in
+    // exact Long arithmetic from the query's own published hash family.
+    val P = 1000000007L
+    val a = 2654435761L % P
+    val dir = java.nio.file.Files.createTempDirectory("dlt53").toString
+    // engineer tiny h: pick doc_ids whose affine hash lands on h = t+1
+    // (t = 0..69) via the modular inverse of a, so priority = w·P div h
+    // sits above 2^53 for EVERY planted doc without w·P overflowing int64
+    val aInv = BigInt(a).modInverse(BigInt(P)).toLong
+    val docs = (0L until 70L).map { t =>
+      val id = ((t - 97911L % P + P) % P) * BigInt(aInv) % P
+      (id.toLong, 700000000L + t * 13L)
+    }
+    docs.toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expect = docs.map { case (id, w) =>
+      val h = ((id % P) * a + 97911L) % P + 1L
+      (id, w, (w * P) / h)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    assert(expect.forall(_._3 > (1L << 53)), "test must exercise the >2^53 regime")
+    val expTau = expect(64)._3
+    val got = Mixing.q120PrioritySample(spark, dir)
+      .select($"doc_id", $"priority", $"tau").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == expect.take(64).map(t => (t._1, t._3)),
+      s"sample must be the exact top-64 by int64 priority")
+    assert(got.forall(_._3 == expTau), s"τ must be the exact 65th priority $expTau")
+  }
 }

@@ -44,20 +44,35 @@ class RetrievalSpec extends SparkSpec {
     assert(rrf.head._2 == 1.0 / 61 + 1.0 / 61, s"dup rrf: ${rrf.head}")
   }
 
-  test("q114 precondition: every shipped embedding shares one width (n2-after-join soundness)") {
-    // q114 computes corpus norms over positions surviving the join with
-    // the query vector's pos set — sound only under a corpus-wide fixed
-    // embedding width. Pin that precondition against the real testdata
-    // so a future variable-width corpus fails HERE, not as a silent
-    // oracle divergence.
-    for (sf <- Seq("sf0.001", "sf0.01")) {
-      val dir = s"/root/testdata/$sf"
-      if (new java.io.File(s"$dir/embeddings.parquet").exists) {
-        val widths = spark.read.parquet(s"$dir/embeddings.parquet")
-          .selectExpr("size(embedding) AS w").distinct().as[Int].collect().toSeq
-        assert(widths.size == 1, s"$sf embeddings have mixed widths: $widths")
-      }
-    }
+  test("q114 variable-width corpus: norms cover ALL positions, not just the query's") {
+    // Round-7 advice: the old shape summed a corpus vector's n2 over
+    // positions surviving the join with the query vector's pos set, so a
+    // vector LONGER than the query had its norm silently deflated (and
+    // its cosine inflated). Norms are now aggregated before that join;
+    // this case plants exactly the corpus the old shape got wrong.
+    val dir = java.nio.file.Files.createTempDirectory("ret114w").toString
+    Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta"),
+      (2L, "alpha zzz"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),                // query: width 2
+      (1L, Seq(1.0f, 0.0f, 3.0f, 4.0f), 0),    // width 4: tail mass 25
+      (2L, Seq(1.0f, 0.0f), 0))                // width 2, same direction
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val cos = Retrieval.q114HybridRetrieval(spark, dir)
+      .select($"doc_id", $"cos").as[(Long, Double)].collect().toMap
+    // full norm of vec 1 is sqrt(1+9+16) = sqrt(26); the dot with the
+    // query covers the overlapping positions (tail treated as implicit
+    // zeros of the shorter vector) = 1. Deflated-norm bug would yield 1.0.
+    assert(math.abs(cos(1L) - 1.0 / math.sqrt(26.0)) < 1e-9,
+      s"vec 1 cosine must use its FULL norm: ${cos(1L)}")
+    assert(math.abs(cos(2L) - 1.0) < 1e-9, s"aligned equal-width vec: ${cos(2L)}")
   }
 
   test("q131 BM25: a doc sharing the query's rare term outranks stopword-only docs") {

@@ -76,6 +76,23 @@ class SketchesSpec extends SparkSpec {
     assert(errX <= 250L, s"estimate $estX strays ${errX}‰ from 10000")
   }
 
+  test("q116 below-K branch is exact even when keys collide modulo P") {
+    // Round-7 verdict item 6: two keys exactly P apart share one affine
+    // hash (the map is a bijection only below the modulus), so n_hashes
+    // undercounts — the below-K value must come from countDistinct, not
+    // from the hash relation. Three distinct keys, two colliding mod P.
+    val P = 1000000007L
+    val dir = java.nio.file.Files.createTempDirectory("kmvP").toString
+    Seq(("C", 5L), ("C", 5L + P), ("C", 9L))
+      .toDF("l_returnflag", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Sketches.q116KmvCardinality(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("C") == ((3L, 3L, 0L)),
+      s"colliding keys must still count exactly below K, got ${got("C")}")
+  }
+
   test("q129 quantile sketch: rank errors inside the sampling bound; estimates monotone; deterministic") {
     val rows = Sketches.q129QuantileSketch(spark, sf)
       .orderBy($"p").collect()

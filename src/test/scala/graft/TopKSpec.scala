@@ -67,4 +67,17 @@ class TopKSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(500))
     assert(p.contains("partial_"), "expect a partial (map-side) aggregate before the shuffle")
   }
+
+  test("long-keyed top-k orders ranks that collide as doubles") {
+    // 2^53 and 2^53+1 are distinct longs but the SAME double — a
+    // double-keyed heap would fall through to the key tiebreak and
+    // invert them. TopKLong must keep the exact int64 order.
+    import spark.implicits._
+    val big = 1L << 53
+    val rows = Seq((big, 1L), (big + 1L, 2L), (big - 2L, 3L))
+      .toDF("priority", "key")
+    val got = rows.agg(graft.functions.TopKLong(3)($"priority", $"key").as("top"))
+      .selectExpr("transform(top, r -> r.key) AS ks").as[Seq[Long]].head()
+    assert(got == Seq(2L, 1L, 3L), s"exact int64 ordering violated: $got")
+  }
 }
