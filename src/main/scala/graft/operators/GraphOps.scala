@@ -296,15 +296,84 @@ object GraphOps {
       |  JOIN part p ON p.p_partkey = t.u
       |ORDER BY t.n_tri DESC, p.p_partkey LIMIT 20""".stripMargin
 
+  /** q136 — k-core PEELING, three fixed rounds: iteratively discard
+    * nodes whose degree falls below k, where k = HALF the mean degree
+    * (⌊|E|/|V|⌋ div 2 on the doubled edge relation — data-derived and
+    * parameter-free like q102's BFS source; the full mean peels this
+    * corpus's bipartite graph to EMPTY, half of it peels a real fringe
+    * at every shipped SF: 160→148 nodes at sf0.001, 1600→1027 at
+    * sf0.01), then report the surviving subgraph's nodes with their
+    * residual degrees. The k-core is the standard graph-quality /
+    * community-density primitive (a node's coreness bounds its
+    * clustering participation); FIXED rounds rather than
+    * peel-to-fixpoint keep the trajectory oracle-replayable as three
+    * unrolled CTE rounds — the `stable` flag exposes which surviving
+    * nodes are still above k (a node below k after round 3 would be
+    * peeled by round 4, so `stable = false` marks the unconverged
+    * frontier).
+    *
+    * Scale shape: the edge list is [[tradeGraph]]'s bounded
+    * checkpointed relation; each round is one partial+final degree agg
+    * plus two semi joins keyed on node id (the keep-set is node-sized —
+    * no broadcast hint, so AQE broadcasts it locally while a real
+    * cluster shuffle-joins co-partitioned on the same key), with the
+    * shrinking edge relation checkpointed per round to truncate
+    * lineage. The driver reads exactly two bounded scalars (|E|, |V|)
+    * up front — the CC-fingerprint discipline.
+    */
+  def q136KCorePeel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeGraph(s, d)
+    val r0 = edges.agg(count(lit(1)).as("ne"), countDistinct($"u").as("nv")).head()
+    val k = r0.getLong(0) / r0.getLong(1) / 2
+    var cur = edges
+    for (_ <- 1 to 3) {
+      val keep = cur.groupBy($"u").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= k).select($"u")
+      cur = cur.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select($"u", $"v").localCheckpoint()
+    }
+    cur.groupBy($"u").agg(count(lit(1)).as("deg_final"))
+      .select($"u".as("node"), $"deg_final",
+        ($"deg_final" >= k).as("stable"), lit(k).as("k"))
+      .orderBy($"node")
+  }
+
+  val q136Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |kv AS (SELECT COUNT(*) // COUNT(DISTINCT u) // 2 AS k FROM e),
+      |d1 AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY u),
+      |k1 AS (SELECT u FROM d1, kv WHERE dg >= k),
+      |e1 AS (SELECT e.u, e.v FROM e
+      |       WHERE e.u IN (SELECT u FROM k1) AND e.v IN (SELECT u FROM k1)),
+      |d2 AS (SELECT u, COUNT(*) AS dg FROM e1 GROUP BY u),
+      |k2 AS (SELECT u FROM d2, kv WHERE dg >= k),
+      |e2 AS (SELECT e1.u, e1.v FROM e1
+      |       WHERE e1.u IN (SELECT u FROM k2) AND e1.v IN (SELECT u FROM k2)),
+      |d3 AS (SELECT u, COUNT(*) AS dg FROM e2 GROUP BY u),
+      |k3 AS (SELECT u FROM d3, kv WHERE dg >= k),
+      |e3 AS (SELECT e2.u, e2.v FROM e2
+      |       WHERE e2.u IN (SELECT u FROM k3) AND e2.v IN (SELECT u FROM k3))
+      |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg_final,
+      |  COUNT(*) >= (SELECT k FROM kv) AS stable,
+      |  CAST((SELECT k FROM kv) AS BIGINT) AS k
+      |FROM e3 GROUP BY u ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
     "q102_bfs_distance" -> (q102BfsDistance _),
     "q108_triangle_count" -> (q108TriangleCount _),
+    "q136_kcore_peel" -> (q136KCorePeel _),
   )
 
   val oracles: Map[String, String] = Map(
     "q101_pagerank" -> q101Sql,
     "q102_bfs_distance" -> q102Sql,
     "q108_triangle_count" -> q108Sql,
+    "q136_kcore_peel" -> q136Sql,
   )
 }

@@ -525,6 +525,16 @@ object LmOps {
     */
   def q124BpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (learned, _) = bpeTrainState(s, d)
+    learned.toDF("step", "left", "right", "pair_count", "tokens_after")
+      .orderBy($"step")
+  }
+
+  /** The q124 training loop, factored so [[q133BpeEncode]] can reuse the
+    * FINAL merged symbol relation: returns (merges learned, final syms).
+    */
+  private def bpeTrainState(s: SparkSession, d: String): (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).filter($"doc_id".isNotNull)
     val words = docs.select(explode(TextOps.tokens($"text")).as("word"))
@@ -560,9 +570,77 @@ object LmOps {
           step += 1
       }
     }
-    learned.toSeq.toDF("step", "left", "right", "pair_count", "tokens_after")
-      .orderBy($"step")
+    (learned.toSeq, syms)
   }
+
+  /** q133 — BPE tokenizer APPLICATION: encode the corpus with the three
+    * merges q124 learns and report each document's token economy —
+    * word count, single-character symbol count, post-merge BPE token
+    * count, and the compression ratio (tokens per 1000 symbols) a
+    * tokenizer-aware data pipeline budgets by. Training and encoding
+    * run on the DISTINCT-word (vocab-sized) relation — each unique
+    * word is encoded once and docs join their per-word token counts
+    * back — so the corpus itself is scanned twice and never carries
+    * through the iterative algebra.
+    *
+    * Scale shape: everything iterative is vocab-sized ([[q124BpeTrain]]'s
+    * posture); the encode join shuffles (word, n_tok) pairs against the
+    * exploded doc-word relation on the word key (AQE-skew-splittable;
+    * hot stopwords collapse to one vocab row), and the per-doc rollup
+    * is a partial+final agg on doc_id.
+    */
+  def q133BpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, syms) = bpeTrainState(s, d)
+    val perWord = syms.groupBy($"word").agg(count(lit(1)).as("n_tok"))
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    docs.select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
+      .filter($"word".isNotNull && length($"word") > 0)
+      .join(perWord, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).cast("long").as("n_sym_chars"),
+        sum($"n_tok").as("n_bpe_tokens"))
+      .withColumn("ratio_milli", expr("(n_bpe_tokens * 1000) div n_sym_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val q133Sql: String =
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS word
+       |    FROM documents WHERE doc_id IS NOT NULL)
+       |  WHERE word IS NOT NULL AND LEN(word) > 0 GROUP BY word
+       |), s0 AS (
+       |  SELECT word, freq, CAST(i AS BIGINT) AS pos, SUBSTRING(word, CAST(i AS INT), 1) AS sym
+       |  FROM words, UNNEST(RANGE(1, LEN(word) + 1)) t(i)
+       |), t1 AS (
+       |${bpeTopSql("s0")}
+       |), s1 AS (
+       |${bpeStepSql("s0", "t1")}
+       |), t2 AS (
+       |${bpeTopSql("s1")}
+       |), s2 AS (
+       |${bpeStepSql("s1", "t2")}
+       |), t3 AS (
+       |${bpeTopSql("s2")}
+       |), s3 AS (
+       |${bpeStepSql("s2", "t3")}
+       |), perword AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok FROM s3 GROUP BY word
+       |), docw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS word
+       |    FROM documents WHERE doc_id IS NOT NULL)
+       |  WHERE word IS NOT NULL AND LEN(word) > 0
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(LEN(word)) AS BIGINT) AS n_sym_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_tok) * 1000 // SUM(LEN(word)) AS BIGINT) AS ratio_milli
+       |FROM docw JOIN perword USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // One merge step in SQL is the same window algebra; the three steps
   // nest mechanically (tN = argmax pair of sN-1, sN = merged relation).
@@ -722,6 +800,7 @@ object LmOps {
     "q123_dsir_importance" -> (q123DsirImportance _),
     "q124_bpe_train" -> (q124BpeTrain _),
     "q125_dup_span_coverage" -> (q125DupSpanCoverage _),
+    "q133_bpe_encode" -> (q133BpeEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -734,5 +813,6 @@ object LmOps {
     "q123_dsir_importance" -> q123Sql,
     "q124_bpe_train" -> q124Sql,
     "q125_dup_span_coverage" -> q125Sql,
+    "q133_bpe_encode" -> q133Sql,
   )
 }

@@ -336,40 +336,21 @@ object SimHash {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .localCheckpoint()
-    // Near-pair ground truth via prefix-filtered exact Jaccard (see
-    // scaladoc). Same reuse discipline as q35: ONE (doc_id, hs)
-    // relation materialized at the repartition, consumed identically
-    // (same columns, same null/size predicates) by the prefix branch
-    // and both verify branches so ReuseExchange keeps the shingle
-    // kernel to a single execution. `shingle_hashes` returns SORTED
-    // distinct hashes — the global order the prefix theorem needs and
-    // the precondition for the codegen'd `sorted_intersect_count`
-    // merge-walk verify. Hot prefix buckets are capped at 100 by
-    // `collect_capped` — the house quadratic-bucket guard; like q36's
-    // band-bucket cap it never binds at shipped SFs (largest planted
-    // dup group ≪ 100), so measured recall stays 1 and the driver's
-    // cell-exact oracle comparison holds.
+    // Near-pair ground truth via [[TextOps.prefixJaccardPairs]] — the
+    // recall-EXACT all-pairs join (prefix-filter theorem in its
+    // scaladoc) over ONE (doc_id, hs) relation materialized at the
+    // repartition. `shingle_hashes` returns SORTED distinct hashes —
+    // the global order the prefix theorem needs and the precondition
+    // for the codegen'd `sorted_intersect_count` merge-walk verify.
+    // The collect_capped bucket cap (100) never binds at shipped SFs
+    // (largest planted dup group ≪ 100), so measured recall stays 1
+    // and the driver's cell-exact oracle comparison holds.
     graft.plans.GraftExtensions.register(s)
-    val tau = 0.8
     val perDoc = docs
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-    val cand = perDoc
-      .select($"doc_id", explode(slice($"hs", lit(1),
-        (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int"))).as("ph"))
-      .groupBy($"ph")
-      .agg(call_function("collect_capped", $"doc_id", lit(100)).as("ids"))
-      .filter(size($"ids").between(2, 100))
-      .select(explode($"ids").as("doc_a"), $"ids")
-      .select($"doc_a", explode($"ids").as("doc_b"))
-      .filter($"doc_a" < $"doc_b")
-      .distinct()
-    val near = broadcast(broadcast(cand)
-        .join(perDoc.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a")))
-      .join(perDoc.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
-      .withColumn("c", call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
-      .filter($"c".cast("double") / (size($"hs_a") + size($"hs_b") - $"c") >= tau)
+    val near = TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8)
       .select($"doc_a", $"doc_b").localCheckpoint()
     val nDups = dups.agg(count(lit(1)).as("n_dups"))
     val nDupsFound = dups.join(broadcast(found), Seq("doc_a", "doc_b"))

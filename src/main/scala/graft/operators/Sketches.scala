@@ -252,15 +252,81 @@ object Sketches {
       |GROUP BY e.p, e.est
       |ORDER BY e.p""".stripMargin
 
+  /** q135 — Misra–Gries heavy hitters [Misra & Gries '82; mergeable
+    * form per Agarwal et al., "Mergeable Summaries", PODS'12]: the
+    * DETERMINISTIC-GUARANTEE frequency summary next to q113's CMS
+    * (probabilistic, overcounting) — k counters, guaranteed to retain
+    * every token with frequency > N/(k+1) and to undercount any token
+    * by at most N/(k+1). The SURVIVOR SET of an MG sketch depends on
+    * merge order (partitioning), so the raw sketch can't be
+    * hash-compared across engines; what IS deterministic — and what
+    * this query outputs — is the theorem made visible (the q37/q43
+    * audit form): for every TRUE heavy hitter (exact count known from
+    * the same scan), `in_sketch` must be true (survival guarantee) and
+    * `bound_ok` must hold (0 ≤ exact − est ≤ N div (k+1); MG never
+    * overcounts, and each decrement event destroys ≥ k+1 units of
+    * count mass, so total per-token undercount ≤ N/(k+1) — the merge's
+    * subtract-(k+1)-th-largest preserves it because at least k+1
+    * counters sit at or above the cut). A broken reduce, merge, or cap
+    * flips a boolean and fails the driver's hash comparison.
+    *
+    * Scale shape: the sketch is ONE bounded aggregate (k counters per
+    * partial buffer, partial+final merge — the corpus never shuffles;
+    * only ≤ k-entry maps do), then broadcasts as a 1-row relation into
+    * the hitter audit join. The exact side is the vocab-sized hash agg
+    * every frequency query here pays. k = 31 puts the guarantee
+    * threshold at N/32 ≈ 31 ‰ — just under the shipped corpus's ~34 ‰
+    * head tokens, so the hitter set is non-empty at every SF.
+    */
+  def q135MisraGries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 31
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val toks = documents(s, d).filter($"doc_id".isNotNull)
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .filter($"tok".isNotNull && length($"tok") > 0)
+    val sketch = toks.agg(mg($"tok").as("mg"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val hitters = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(n))
+      .filter($"exact_cnt" * (k + 1) > $"n")
+    hitters.crossJoin(broadcast(sketch))
+      .withColumn("est", coalesce(element_at($"mg", $"tok"), lit(0L)))
+      .select($"tok", $"exact_cnt",
+        element_at($"mg", $"tok").isNotNull.as("in_sketch"),
+        ($"est" <= $"exact_cnt" &&
+          $"exact_cnt" - $"est" <= expr(s"n div ${k + 1}")).as("bound_ok"))
+      .orderBy($"tok")
+  }
+
+  /** Oracle: hitters recomputed exactly; the booleans are the theorem
+    * (TRUE regardless of partitioning) — a sketch bug flips them.
+    */
+  val q135Sql: String =
+    """WITH t AS (
+      |  SELECT tok FROM (
+      |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id IS NOT NULL)
+      |  WHERE tok IS NOT NULL AND LEN(tok) > 0
+      |), n AS (SELECT COUNT(*) AS n FROM t)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+      |  TRUE AS in_sketch, TRUE AS bound_ok
+      |FROM t, n GROUP BY tok, n.n HAVING COUNT(*) * 32 > n.n
+      |ORDER BY tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_countmin_hh" -> (q113CountMin _),
     "q116_kmv_cardinality" -> (q116KmvCardinality _),
     "q129_quantile_sketch" -> (q129QuantileSketch _),
+    "q135_misra_gries" -> (q135MisraGries _),
   )
 
   val oracles: Map[String, String] = Map(
     "q113_countmin_hh" -> q113Sql,
     "q116_kmv_cardinality" -> q116Sql,
     "q129_quantile_sketch" -> q129Sql,
+    "q135_misra_gries" -> q135Sql,
   )
 }

@@ -313,6 +313,96 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** All-pairs set-similarity SELF-JOIN with exact recall (Bayardo et
+    * al. "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    * PPJoin): candidates from PREFIX filtering, verification by exact
+    * Jaccard. With each doc's element hashes globally SORTED, any pair
+    * with J(A,B) ≥ τ shares its smallest common element within both
+    * prefixes of length |X| − ⌈τ·|X|⌉ + 1 (if the smallest common
+    * element c sat outside A's prefix, all |A∩B| ≥ ⌈τ|A|⌉ common
+    * elements would fit in A's ⌈τ|A|⌉ − 1 post-prefix slots —
+    * contradiction), so blocking on prefix elements then verifying is
+    * recall-EXACT — unlike q35's df-capped blocking (bounded recall by
+    * construction) or q36's MinHash banding (probabilistic recall
+    * driven to 1 by tuning). The three queries are the engine's three
+    * points on the recall/cost frontier.
+    *
+    * `perDoc` must be (idCol, hs) with hs sorted distinct hashes
+    * (e.g. [[graft.functions.ShingleHashes]] output), pre-filtered
+    * non-null/non-empty and already at its materialization point so the
+    * prefix branch and both verify branches reuse one exchange. Hot
+    * prefix buckets are capped at `maxBucket` by `collect_capped` — the
+    * house quadratic-bucket guard (never binding at shipped SFs).
+    */
+  def prefixJaccardPairs(perDoc: DataFrame, idCol: String, tau: Double,
+                         maxBucket: Int = 100): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val cand = perDoc
+      .select(col(idCol), explode(slice(col("hs"), lit(1),
+        (size(col("hs")) - ceil(size(col("hs")) * tau) + 1).cast("int"))).as("ph"))
+      .groupBy($"ph")
+      .agg(call_function("collect_capped", col(idCol), lit(maxBucket)).as("ids"))
+      .filter(size($"ids").between(2, maxBucket))
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+    broadcast(broadcast(cand)
+        .join(perDoc.select(col(idCol).as("doc_a"), $"hs".as("hs_a")), Seq("doc_a")))
+      .join(perDoc.select(col(idCol).as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+      .withColumn("common",
+        call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
+      .withColumn("jaccard", $"common".cast("double") /
+        (size($"hs_a") + size($"hs_b") - $"common"))
+      .filter($"jaccard" >= tau)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+  }
+
+  /** q134 — the all-pairs join as a first-class query at τ = 0.7: the
+    * EXACT-recall dedup path (every pair the brute-force oracle finds,
+    * none it doesn't) at ~20% of the exploded rows and zero signature
+    * machinery. Same single-scan reuse discipline as q35.
+    */
+  def q134AllPairsJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val perDoc = documents(s, d)
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+    prefixJaccardPairs(perDoc, "doc_id", 0.7)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Brute-force exact-Jaccard oracle at τ = 0.7 (the q36 oracle's
+    * chain; the oracle may be quadratic — it checks answers at
+    * verification scale).
+    */
+  val q134Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(sh) AS shingle FROM docs WHERE LEN(sh) > 0
+      |), sz AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+      |), cm AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+      |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM cm JOIN sz sa ON sa.doc_id = cm.doc_a JOIN sz sb ON sb.doc_id = cm.doc_b
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val q35Sql: String =
     """WITH docs AS (
       |  SELECT doc_id, source,
@@ -736,6 +826,7 @@ object TextOps {
     "q58_stratified_sample" -> (q58StratifiedSample _),
     "q59_dedup_clusters" -> (q59DedupClusters _),
     "q100_dedup_increment" -> (q100DedupIncrement _),
+    "q134_allpairs_join" -> (q134AllPairsJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -750,5 +841,6 @@ object TextOps {
     "q58_stratified_sample" -> q58Sql,
     "q59_dedup_clusters" -> q59Sql,
     "q100_dedup_increment" -> q100Sql,
+    "q134_allpairs_join" -> q134Sql,
   )
 }

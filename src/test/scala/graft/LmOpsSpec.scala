@@ -274,6 +274,25 @@ class LmOpsSpec extends SparkSpec {
     assert(out.forall { case (id, (_, k)) => k == expectKeep(id) })
   }
 
+  test("q133 BPE encode: hand-computed token economy after a 2-merge early stop") {
+    // corpus "aaaa aaaa aa b": merge 1 = (a,a) (weighted count 7),
+    // merge 2 = (aa,aa) (count 2), then NO pair remains (aaaa→[aaaa],
+    // aa→[aa], b→[b]) — training stops early and encode uses the final
+    // vocab: aaaa = 1 token, aa = 1, b = 1.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe133").toString
+    Seq((1L, "aaaa aaaa aa b"), (2L, "b aa"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.LmOps.q133BpeEncode(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 4L, 11L, 4L, 4000L / 11L),
+      (2L, 2L, 3L, 2L, 2000L / 3L)), s"got $got")
+  }
+
   test("q124 BPE training on a pair-free corpus returns empty instead of throwing") {
     // Round-7 advice: all-single-character words have no adjacent symbol
     // pair, so there is nothing to merge — the engines must agree on the

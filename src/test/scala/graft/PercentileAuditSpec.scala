@@ -91,6 +91,25 @@ class PercentileAuditSpec extends SparkSpec {
     assert(got.toSeq == (1L to 4L).map(p => (p, 3L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("q136 k-core: pendants peel, the dense bipartite core survives with exact degrees") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p136").toString
+    // K5,5 between customers 1..5 and suppliers 1..5 (one order per
+    // pair) + pendant customers 6, 7 on suppliers 1, 2. Doubled edges
+    // 54, nodes 12 → k = 54/12/2 = 2: the pendants (degree 1) peel in
+    // round 1; everything else sits at degree ≥ 5 and stabilizes.
+    val edges = (for (c <- 1L to 5L; s <- 1L to 5L) yield (c, s)) ++
+      Seq((6L, 1L), (7L, 2L))
+    edges.zipWithIndex.map { case ((c, _), i) => (i.toLong + 1, c) }
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    edges.zipWithIndex.map { case ((_, s), i) => (i.toLong + 1, s) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.GraphOps.q136KCorePeel(spark, dir)
+      .as[(Long, Long, Boolean, Long)].collect().toSeq.sortBy(_._1)
+    val expect = ((1L to 5L).map(c => (c * 2, 5L, true, 2L)) ++
+      (1L to 5L).map(s => (s * 2 + 1, 5L, true, 2L))).sortBy(_._1)
+    assert(got == expect, s"got $got")
+  }
+
   test("q99 counts planted violations exactly once each") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p99").toString
     val t0 = new java.sql.Timestamp(1609459200000L)

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the relational/iterative tier (round-7 verdict
+  * item 4): SkewStressSpec proves the dedup/ANN caps under planted
+  * degenerate keys, but the CC / PageRank / BFS / triangle /
+  * bucketed-join claims ("each round is one linear shuffle", "no
+  * shuffle carries more than the raw pair relation", "the bucketed
+  * join is exchange-free at any size") had only been PLAN-read, never
+  * executed above sf0.1 volume. This suite runs each of those
+  * pipelines on synthetic facts at sf0.1-equivalent volume (150 k
+  * orders / 600 k lineitem) and at 10× that (1.5 M / 6 M — ten times
+  * any data the engine had ever touched), measuring actual task
+  * metrics:
+  *
+  *  - total shuffle-read records must grow ≤ ~linearly (13× allowed
+  *    for 10× input — AQE re-plans and per-partition constants wobble
+  *    the constant, a quadratic stage blows past 50×);
+  *  - no single task may read more than half the query's total
+  *    shuffle volume (a degenerate-key hotspot shows up as one task
+  *    absorbing nearly everything);
+  *  - the bucketed join's shuffle volume must be SCALE-INDEPENDENT
+  *    (the join itself is exchange-free; only the 5-group aggregate
+  *    and final sort shuffle, bounded by groups × partitions).
+  *
+  * The generators keep per-entity degree CONSTANT as n grows
+  * (populations scale with n) — the regime where linear claims are
+  * falsifiable: fixed populations would saturate the distinct pair
+  * space and make even a quadratic stage look sublinear.
+  */
+class ScaleRehearsalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (total shuffle-read records, max per-task shuffle-read records)
+    * across every task that ran inside `body`.
+    */
+  private def shuffleStats(body: => Unit): (Long, Long) = {
+    val tot = new java.util.concurrent.atomic.AtomicLong(0L)
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && e.taskMetrics.shuffleReadMetrics != null) {
+          tot.addAndGet(e.taskMetrics.shuffleReadMetrics.recordsRead)
+          max.accumulateAndGet(e.taskMetrics.shuffleReadMetrics.recordsRead, Math.max(_, _))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(1500) /* drain the async listener bus */ }
+    finally spark.sparkContext.removeSparkListener(listener)
+    (tot.get(), max.get())
+  }
+
+  /** TPC-H-ish facts at `nOrders` scale, 4 lineitems/order; customers,
+    * suppliers, and parts scale with n (constant expected degree).
+    * Part assignment slides a window of 4 consecutive parts per order,
+    * so co-purchase pairs repeat across the orders sharing an
+    * (orderkey mod nParts) residue — supported edges and triangles
+    * exist at every scale and their count grows linearly with n.
+    */
+  private def factsDir(nOrders: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"scale_$nOrders").toString
+    val nCust = nOrders / 10
+    val nSupp = nOrders / 20
+    val nPart = nOrders / 5
+    spark.range(nOrders).select(
+        $"id".as("o_orderkey"),
+        ($"id" % nCust).as("o_custkey"),
+        concat(lit("P"), ($"id" % 5).cast("string")).as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // `div`, not `/`: Column./ on longs yields DOUBLE, and a
+    // double-typed l_orderkey joined against the long o_orderkey gets a
+    // cast that silently destroys bucket co-partitioning — exactly the
+    // mismatch the bucketed-join test would then (correctly) fail on
+    spark.range(nOrders * 4).select(
+        expr("id div 4").as("l_orderkey"),
+        expr(s"(id div 4 + id % 4) % $nPart").as("l_partkey"),
+        ($"id" % nSupp).as("l_suppkey"),
+        ($"id" % 4 + 1).cast("int").as("l_linenumber"),
+        ($"id" % 50 + 1).cast("double").as("l_quantity"),
+        (($"id" % 1000) + 1).cast("double").as("l_extendedprice"),
+        (($"id" % 10).cast("double") / 100.0).as("l_discount"),
+        lit("N").as("l_returnflag"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.range(nPart).select(
+        $"id".as("p_partkey"),
+        concat(lit("Brand#"), ($"id" % 5).cast("string")).as("p_brand"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  /** Documents at `nDocs` scale in near-dup triples: the three docs of
+    * group g share 29 group-specific tokens and differ in the last —
+    * winnow similarity ≫ 0.4 within a group, 0 across groups, so q59's
+    * edge and cluster counts grow linearly with the corpus.
+    */
+  private def docsDir(nDocs: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"scaledoc_$nDocs").toString
+    spark.range(nDocs).select(
+        $"id".as("doc_id"),
+        concat_ws(" ",
+          (1 to 29).map(i => concat(lit(s"w${i}g"), expr("id div 3").cast("string"))) :+
+            concat(lit("tail"), ($"id" % 3).cast("string")): _*).as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(300L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def assertLinear(name: String, small: (Long, Long), big: (Long, Long),
+                           ratioCeiling: Long = 13L): Unit = {
+    val (totS, _) = small
+    val (totB, maxB) = big
+    assert(totB <= ratioCeiling * totS + 100000L,
+      s"$name shuffle volume grew ${totB.toDouble / totS.max(1)}× for 10× input " +
+        s"($totS → $totB records) — super-linear stage")
+    assert(maxB <= totB / 2 + 10000L,
+      s"$name: one task read $maxB of $totB shuffled records — degenerate hotspot")
+  }
+
+  test("PageRank / BFS / triangle shuffles grow ~linearly from sf0.1-volume to 10x", SlowTag) {
+    val small = factsDir(150000L)
+    val big = factsDir(1500000L)
+    for ((name, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        ("q101_pagerank", graft.operators.GraphOps.q101PageRank _),
+        ("q102_bfs", graft.operators.GraphOps.q102BfsDistance _),
+        ("q108_triangles", graft.operators.GraphOps.q108TriangleCount _))) {
+      val s = shuffleStats { fn(spark, small).write.format("noop").mode("overwrite").save() }
+      val b = shuffleStats { fn(spark, big).write.format("noop").mode("overwrite").save() }
+      // 16× ceiling: partial-aggregate shuffle output scales with
+      // (distinct keys × post-AQE partition count), and AQE coalesces
+      // the small run harder — measured 14.5× for q108's 10× input with
+      // both stages individually linear; a quadratic wedge/pair stage
+      // lands near 100×, which this still catches
+      assertLinear(name, s, b, ratioCeiling = 16L)
+    }
+  }
+
+  test("winnow-CC dedup clusters shuffle grows ~linearly from sf0.1 doc volume to 10x", SlowTag) {
+    val small = docsDir(5000L)
+    val big = docsDir(50000L)
+    var nClusters = 0L
+    val s = shuffleStats {
+      graft.operators.TextOps.q59DedupClusters(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats {
+      nClusters = graft.operators.TextOps.q59DedupClusters(spark, big)
+        .select($"cluster_id").distinct().count()
+    }
+    // 20× ceiling, not 13×: at 5k docs AQE broadcasts joins that shuffle
+    // at 50k (threshold crossing), so the small-scale total UNDERCOUNTS
+    // by whole stages — measured 14.1× for 10× input with per-doc cost
+    // flat across further growth; a quadratic pairing stage would land
+    // near 100×, which this ceiling still catches
+    assertLinear("q59_dedup_clusters", s, b, ratioCeiling = 20L)
+    // the clusters must also be REAL at 10×: one per planted triple.
+    // Winnowing is a sketch — for a ~0.4% tail of groups the min
+    // selection lands on the single differing gram across enough
+    // windows that all three pair sims dip under the 0.4 threshold
+    // (measured 16598 of 16667 at this corpus shape) — so the bound is
+    // ≥ 98% formed, and never MORE than one cluster per group (a
+    // cross-group merge would mean spurious edges)
+    val expected = 50000L / 3 + 1
+    assert(nClusters <= expected && nClusters >= expected * 98 / 100,
+      s"expected ~one cluster per planted triple ($expected), got $nClusters")
+  }
+
+  test("bucketed join shuffle volume is scale-independent (exchange-free SMJ, measured)", SlowTag) {
+    val small = factsDir(150000L)
+    val big = factsDir(1500000L)
+    def joinShuffle(dir: String): Long = {
+      // first call creates the bucketed tables (write-side shuffles are
+      // its own business); the measured SECOND call joins pre-bucketed
+      // tables — the operator's steady state
+      graft.operators.Relational3.q122BucketedJoin(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val (tot, _) = shuffleStats {
+        graft.operators.Relational3.q122BucketedJoin(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      tot
+    }
+    val sTot = joinShuffle(small)
+    val bTot = joinShuffle(big)
+    // only the 5-group aggregate + final sort shuffle: bounded by
+    // groups × partitions, the same at 600k and 6M fact rows
+    assert(bTot < 10000L, s"bucketed join shuffled $bTot records at 6M rows — exchange leak")
+    assert(bTot <= sTot + 5000L,
+      s"bucketed join shuffle must not scale with the data: $sTot → $bTot")
+  }
+}

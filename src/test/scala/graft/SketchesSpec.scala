@@ -93,6 +93,57 @@ class SketchesSpec extends SparkSpec {
       s"colliding keys must still count exactly below K, got ${got("C")}")
   }
 
+  test("Misra-Gries: k-bound, no overcount, N/(k+1) undercount, hitter survival — any merge tree") {
+    // a stream with one true heavy hitter (30% mass), a mid tier, and a
+    // long distinct tail, evaluated under three different merge shapes
+    // (sequential, balanced, skewed) — the guarantees must hold for all
+    val k = 7
+    val mg = new graft.functions.MisraGries(k)
+    val stream: Seq[String] =
+      Seq.fill(300)("hot") ++
+      (0 until 200).map(i => s"mid${i % 5}") ++
+      (0 until 500).map(i => s"tail$i")
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def summarize(chunks: Seq[Seq[String]], mergeLeft: Boolean): Map[String, Long] = {
+      val parts = chunks.map(c => c.foldLeft(mg.zero)(mg.reduce))
+      if (mergeLeft) parts.reduceLeft(mg.merge) else parts.reduceRight(mg.merge)
+    }
+    val shapes = Seq(
+      summarize(Seq(stream), mergeLeft = true),
+      summarize(stream.grouped(100).toSeq, mergeLeft = true),
+      summarize(stream.grouped(100).toSeq, mergeLeft = false),
+      summarize(Seq(stream.take(950), stream.drop(950)), mergeLeft = true))
+    for (sk <- shapes) {
+      assert(sk.size <= k, s"summary exceeded k: ${sk.size}")
+      for ((t, est) <- sk) {
+        assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+        assert(exact(t) - est <= n / (k + 1),
+          s"$t undercount ${exact(t) - est} breaks the N/(k+1)=${n / (k + 1)} bound")
+      }
+      // survival guarantee: 300 > 1000/8
+      assert(sk.contains("hot"), s"true heavy hitter evicted: $sk")
+    }
+  }
+
+  test("q135 audit booleans hold on a skew-partitioned corpus with a planted hitter") {
+    val dir = java.nio.file.Files.createTempDirectory("mg135").toString
+    // 400 of 1000 tokens are the hitter (threshold at N/32 ≈ 31): the
+    // corpus is written across 16 partitions so the aggregate exercises
+    // partial buffers and cross-partition merges
+    val docs = (0 until 100).map { i =>
+      val toks = Seq.fill(4)("hottok") ++ (0 until 6).map(j => s"u${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source", "CAST(10 AS BIGINT) AS n_chars")
+      .repartition(16)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Sketches.q135MisraGries(spark, dir)
+      .as[(String, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(("hottok", 400L, true, true)), s"got $got")
+  }
+
   test("q129 quantile sketch: rank errors inside the sampling bound; estimates monotone; deterministic") {
     val rows = Sketches.q129QuantileSketch(spark, sf)
       .orderBy($"p").collect()
