@@ -50,6 +50,12 @@ object Debug {
             if (e.taskMetrics != null) j.taskMs += e.taskMetrics.executorRunTime
           }
         }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield (c - s) / 1e3).getOrElse(-1.0)
+          if (wall > 0.2) // only the stages worth reading
+            System.err.println(f"[stage] id=${si.stageId}%3d wall=$wall%5.2fs tasks=${si.numTasks}%4d ${si.name.take(60)} | ${si.details.linesIterator.filter(_.contains("graft")).take(2).mkString(" <- ")}")
+        }
         override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
           jobs.get(e.jobId).foreach { j =>
             System.err.println(f"[jobs] job=${e.jobId}%3d wall=${(e.time - j.t0) / 1e3}%6.2fs stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%6.2fs")

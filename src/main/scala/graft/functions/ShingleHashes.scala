@@ -82,6 +82,40 @@ case class PolyShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Per-token xxhash64 hashes with MULTIPLICITY AND ORDER preserved —
+  * the SimHash vote input ([[SimHashSig]] needs one vote per token
+  * OCCURRENCE, so [[ShingleHashes]]' sorted-distinct output is the
+  * wrong relation). Same tokenizer, same per-token bytes and seed as
+  * `xxhash64(token)` over `TextOps.tokens(text)` — bit-identical to
+  * the retired `transform(tokens(text), t -> xxhash64(t))` form, but
+  * codegen'd: higher-order functions evaluate interpreted (~1 µs per
+  * token of expression-eval overhead — measured as a full second of
+  * serial scan-stage time at sf0.1), while this is one static kernel
+  * call per row inside the WholeStageCodegen span.
+  */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_hashes expects string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHashes.computeTokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleHashes.computeTokens($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
@@ -91,6 +125,10 @@ object ShingleHashes {
     */
   def compute(text: UTF8String, w: Int): GenericArrayData =
     computeImpl(text, w, poly = false)
+
+  /** [[TokenHashes]]' kernel: 1-shingles, duplicates and order kept. */
+  def computeTokens(text: UTF8String): GenericArrayData =
+    computeImpl(text, 1, poly = false, sortedDistinct = false)
 
   /** [[PolyShingleHashes]]' kernel: same tokenize/shingle pass, but each
     * shingle hashes via the PORTABLE base-31 polynomial mod 2⁵³-range M
@@ -103,7 +141,8 @@ object ShingleHashes {
 
   private val PolyM = 9007199254740881L
 
-  private def computeImpl(text: UTF8String, w: Int, poly: Boolean): GenericArrayData = {
+  private def computeImpl(text: UTF8String, w: Int, poly: Boolean,
+                          sortedDistinct: Boolean = true): GenericArrayData = {
     // getBytes may return the UTF8String's BACKING array — copy before
     // the in-place fold or we'd corrupt the row's data
     val shared = text.getBytes
@@ -176,6 +215,7 @@ object ShingleHashes {
       }
       k += 1
     }
+    if (!sortedDistinct) return new GenericArrayData(hashes)
     java.util.Arrays.sort(hashes)
     var unique = 0
     i = 0

@@ -145,6 +145,11 @@ object MinHashLsh {
     // multi-minute kernel stalls in long sessions; recompute cost
     // 28.5 s at sf0.1 in round 1). Docs under w tokens yield empty
     // arrays and are filtered, matching the pipeline's semantics.
+    // (measured round 8: moving the repartition BEFORE the kernel to
+    // parallelize it past the single-input-split scan makes the reused
+    // exchange carry text and every consumer branch re-run the kernel —
+    // 0.97 → 1.18 s at sf0.1. Kernel-then-materialize stays the right
+    // shape even when the scan is one task.)
     val perDoc = docs
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter(size($"hs") > 0)
@@ -207,22 +212,30 @@ object MinHashLsh {
 object SimHash {
   private val Bits = 64
 
-  /** Per-doc 64-bit simhash: explode per-token hashes to rows, collect
-    * them per doc, fold into the signature with the codegen'd
-    * [[graft.functions.SimHashSig]] expression (one fused 64×n loop).
-    * Earlier formulations: 64 `aggregate()` lambdas over the token array
-    * per row — 64 interpreted walks, 14× slower at sf0.1 — then 64
-    * `sum(when…)` aggregate columns, which worked but carried a 64-column
-    * aggregation. The callers must have graft functions registered
-    * (q37 does).
+  /** Per-doc 64-bit simhash as a PURE MAP of two codegen'd kernels:
+    * [[graft.functions.TokenHashes]] (per-token xxhash64, multiplicity
+    * kept) feeding [[graft.functions.SimHashSig]] (one fused 64×n vote
+    * loop) — zero exchanges, the whole signature stage lives in the
+    * scan's WholeStageCodegen span. Earlier formulations, in order of
+    * retirement: 64 `aggregate()` lambdas per row (14× slower at
+    * sf0.1); 64 `sum(when…)` aggregate columns; explode → shuffle →
+    * `collect_list(xxhash64)` → sig (shuffled the ENTIRE token stream
+    * to group what the row already held, and AQE coalesced the
+    * post-agg stage to ONE partition — every signature computed
+    * serially, 1.13 s single task at sf0.1); `transform(tokens(text),
+    * t -> xxhash64(t))` (no shuffle, but higher-order functions
+    * evaluate interpreted — ~1 µs/token of expression-eval overhead in
+    * the same serial scan stage). Sigs are bit-identical throughout
+    * (same bytes, same seed; votes are order-independent). Docs with
+    * null text are filtered exactly as the explode form dropped them.
+    * Callers must have graft functions registered (q37 does).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    docs.select(col(idCol),
-        explode(TextOps.tokens(col(textCol))).as("__t"))
-      .groupBy(col(idCol))
-      .agg(collect_list(xxhash64(col("__t"))).as("__hs"))
-      .select(col(idCol), call_function("simhash_sig", col("__hs")).as("sig"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("simhash_sig",
+          call_function("token_hashes", col(textCol))).as("sig"))
   }
 
   /** 64-`sum(when…)`-column aggregate formulation of [[signatures]] —
@@ -270,6 +283,17 @@ object SimHash {
       .groupBy($"chunk_idx", $"chunk")
       .agg(call_function("collect_capped", struct($"doc_id", $"sig"), lit(maxBucket)).as("members"))
       .filter(size($"members").between(2, maxBucket))
+      // pinned repartition AFTER the aggregate: the bucket relation is
+      // tiny in BYTES, so AQE coalesces the agg exchange to ONE
+      // partition and the pair-explode + Hamming stage runs serially
+      // (1.16 s single task at sf0.1 — the round-7 AQE serialization
+      // lesson again). Pinning must sit on THIS side of the agg: a
+      // pre-groupBy repartition would satisfy the aggregate's
+      // distribution and silently drop the map-side partial
+      // collect_capped — at scale that shuffles 4 raw rows per doc
+      // instead of the ≤ 4·2¹⁶ capped buckets. Here it shuffles only
+      // the bounded bucket relation.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode($"members").as("x"), $"members")
       .select($"x", explode($"members").as("y"))
       .filter($"x.doc_id" < $"y.doc_id")
@@ -323,7 +347,16 @@ object SimHash {
     import s.implicits._
     val found = foundPairs(s, d).localCheckpoint()
     val docs = documents(s, d).filter($"doc_id".isNotNull)
-    val toks = docs.select($"doc_id", array_distinct(TextOps.tokens($"text")).as("ts"))
+    // ONE scan feeds both ground-truth branches: distinct tokens (the
+    // precision floor) and the normalized-text md5 (exact dups) ride
+    // the same compact checkpointed relation — round 7 scanned the
+    // parquet once per branch reference (4 scans in the final stage
+    // alone)
+    val base = docs.select($"doc_id",
+        array_distinct(TextOps.tokens($"text")).as("ts"),
+        md5(concat_ws(" ", TextOps.tokens($"text"))).as("h"))
+      .localCheckpoint()
+    val toks = base.select($"doc_id", $"ts")
     val minTj = broadcast(found)
       .join(toks.select($"doc_id".as("doc_a"), $"ts".as("ta")), Seq("doc_a"))
       .join(toks.select($"doc_id".as("doc_b"), $"ts".as("tb")), Seq("doc_b"))
@@ -331,11 +364,16 @@ object SimHash {
       .withColumn("tj", $"c".cast("double") / (size($"ta") + size($"tb") - $"c"))
       // empty found set → vacuously precise
       .agg(coalesce(min($"tj"), lit(1.0)).as("min_tj"))
-    val nt = docs.select($"doc_id", md5(concat_ws(" ", TextOps.tokens($"text"))).as("h"))
+    val nt = base.select($"doc_id", $"h")
+    // dup/near relations each feed exactly ONE fused aggregate below
+    // (count + found-overlap via a left join against the broadcast
+    // found set), so neither needs a checkpoint or its own count
+    // chain — round 7 ran five separate scalar-aggregate plans plus
+    // two materialization jobs here; the fused form runs three
+    val foundFlag = broadcast(found.select($"doc_a", $"doc_b", lit(1).as("f")))
     val dups = nt.as("a").join(nt.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .localCheckpoint()
     // Near-pair ground truth via [[TextOps.prefixJaccardPairs]] — the
     // recall-EXACT all-pairs join (prefix-filter theorem in its
     // scaladoc) over ONE (doc_id, hs) relation materialized at the
@@ -351,15 +389,12 @@ object SimHash {
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val near = TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8)
-      .select($"doc_a", $"doc_b").localCheckpoint()
-    val nDups = dups.agg(count(lit(1)).as("n_dups"))
-    val nDupsFound = dups.join(broadcast(found), Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_dups_found"))
-    val nNear = near.agg(count(lit(1)).as("n_near"))
-    val nNearFound = near.join(broadcast(found), Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_near_found"))
-    nDups.crossJoin(broadcast(nDupsFound)).crossJoin(broadcast(nNear))
-      .crossJoin(broadcast(nNearFound)).crossJoin(broadcast(minTj))
+      .select($"doc_a", $"doc_b")
+    val dupsAgg = dups.join(foundFlag, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_dups"), count($"f").as("n_dups_found"))
+    val nearAgg = near.join(foundFlag, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_near"), count($"f").as("n_near_found"))
+    dupsAgg.crossJoin(broadcast(nearAgg)).crossJoin(broadcast(minTj))
       .select($"n_dups".as("n_exact_dup_pairs"),
         $"n_dups_found".as("exact_dups_found"),
         $"n_near".as("n_near_pairs"),

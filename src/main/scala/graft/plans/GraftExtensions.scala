@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, WinnowFps}
+import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, TokenHashes, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -87,6 +87,11 @@ object GraftExtensions {
       PolyShingleHashes(children.head, w): Expression
     })
 
+  private val tokenHashesDescriptor = (
+    new FunctionIdentifier("token_hashes"),
+    new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+    (children: Seq[Expression]) => TokenHashes(children.head): Expression)
+
   private val fxpDotDescriptor = (
     new FunctionIdentifier("fxp_dot"),
     new ExpressionInfo(classOf[FxpDot].getName, "fxp_dot"),
@@ -135,8 +140,8 @@ object GraftExtensions {
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
-      fxpDotDescriptor, collectCappedDescriptor, winnowFpsDescriptor,
-      bloomContainsDescriptor, sortedIntersectCountDescriptor)
+      tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
+      winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
