@@ -790,6 +790,155 @@ object LmOps {
       |WHERE nt.n_tokens >= 3
       |ORDER BY nt.doc_id""".stripMargin
 
+  /** q137 — CONDITIONAL bigram surprisal with a Stupid-Backoff-style
+    * head/tail split [Brants et al. 2007, "Large Language Models in
+    * Machine Translation" — the backoff scheme web-scale LMs actually
+    * shipped]: each token transition (w1 → w2) scores
+    * floor(log2(cnt(w1) div cnt(w1,w2))) whole bits — the exact
+    * quantized conditional surprisal −log2 S(w2|w1) — when the context
+    * w1 sits in the broadcast-bounded frequency head (≥ 1/F of corpus
+    * mass, so ≤ F contexts exist); transitions out of tail contexts
+    * take the flat 12-bit backoff, mirroring q104's documented
+    * head/tail discipline one model order up. Low mean bits =
+    * predictable continuations = boilerplate/template text — the
+    * second-order signal q104's unigram gate cannot see (a doc of
+    * common words in a FIXED phrase order scores ordinary unigram
+    * surprisal but near-zero conditional surprisal).
+    *
+    * Scale shape: pair formation is q106's one doc-keyed window pass;
+    * the bigram count is a partial+final hash agg on the pair key and
+    * the score join shuffles pair instances back on the same key (the
+    * q105 groupBy+join-back posture — hot pairs collapse map-side,
+    * residual join skew is AQE-splittable); the unigram head
+    * BROADCASTS (≤ F rows by the mass bound). cnt2 ≤ cnt1 by
+    * construction (every counted transition IS a w1 occurrence), so
+    * the ratio is ≥ 1 and the bits non-negative in both engines.
+    */
+  def q137BigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val inst = docs.select($"doc_id",
+      posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val pairs = inst
+      .withColumn("w2", lead($"tok", 1).over(byPos))
+      .filter($"w2".isNotNull)
+      .select($"doc_id", $"tok".as("w1"), $"w2")
+    val cnt1 = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val tot = cnt1.agg(sum($"cnt").as("n"))
+    val head1 = cnt1.crossJoin(broadcast(tot))
+      .filter($"cnt" * F >= $"n")
+      .select($"tok".as("w1"), $"cnt")
+    val cnt2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    pairs
+      .join(cnt2, Seq("w1", "w2"))
+      .join(broadcast(head1), Seq("w1"), "left")
+      .select($"doc_id",
+        when($"cnt".isNotNull,
+          (length(bin(expr("cnt div c2"))) - 1).cast("long"))
+          .otherwise(lit(SCap)).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("sum_bits"))
+      .withColumn("mean_milli", expr("(sum_bits * 1000) div n_bigrams"))
+      .withColumn("flag_boilerplate", $"mean_milli" < 2000L)
+      .orderBy($"doc_id")
+  }
+
+  val q137Sql: String =
+    """WITH inst AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+      |    SELECT doc_id, UNNEST(RANGE(0, LEN(toks))) AS pos, UNNEST(toks) AS tok
+      |    FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |          FROM documents WHERE doc_id IS NOT NULL))
+      |), pairs AS (
+      |  SELECT doc_id, tok AS w1,
+      |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM inst
+      |  QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+      |), cnt1 AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM inst GROUP BY tok
+      |), tot AS (SELECT SUM(cnt) AS n FROM cnt1),
+      |head1 AS (
+      |  SELECT tok AS w1, cnt FROM cnt1, tot WHERE cnt * 4096 >= n
+      |), cnt2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |    CASE WHEN h.cnt IS NOT NULL THEN LENGTH(BIN(h.cnt // c.c2)) - 1
+      |         ELSE 12 END AS s
+      |  FROM pairs p
+      |  JOIN cnt2 c ON c.w1 = p.w1 AND c.w2 = p.w2
+      |  LEFT JOIN head1 h ON h.w1 = p.w1
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(s) AS BIGINT) AS sum_bits,
+      |  CAST((SUM(s) * 1000) // COUNT(*) AS BIGINT) AS mean_milli,
+      |  ((SUM(s) * 1000) // COUNT(*)) < 2000 AS flag_boilerplate
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q138 — per-document token-entropy quality gate (the Gopher-family
+    * repetitiveness filter, per DOCUMENT where q112 scores per source):
+    * H(doc) = Σ_t (cnt_t/n) · log2(n/cnt_t) in q104's quantized-bit
+    * space — Σ cnt_t · floor(log2(n div cnt_t)) · 1000 div n
+    * milli-bits, exact integers end to end. A doc that repeats a few
+    * tokens scores near 0 (the repetition signal); `distinct_permille`
+    * (type-token ratio) rides along as the companion diagnostic.
+    * flag_repetitive = entropy under 1.5 quantized bits with ≥ 10
+    * tokens — short docs are exempt, matching the published filters'
+    * length guards.
+    *
+    * Scale shape: one corpus scan → (doc_id, tok) hash agg →
+    * doc-keyed partial+final rollup; nothing but per-doc token counts
+    * ever shuffles, and both exchanges key on doc-prefixed keys (no
+    * hot token skew — a stopword splits across its documents).
+    */
+  def q138DocEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val tf = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    // the doc total via a doc-partitioned window over the tf relation
+    // (partition size = the doc's DISTINCT tokens — bounded by doc
+    // length, no hot-token skew surface)
+    val withN = tf.withColumn("n",
+      sum($"cnt").over(Window.partitionBy($"doc_id")))
+    withN
+      .select($"doc_id", $"n",
+        ($"cnt" * (length(bin(expr("n div cnt"))) - 1)).cast("long").as("contrib"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum($"contrib").as("sumc"))
+      .withColumn("entropy_milli", expr("(sumc * 1000) div n_tokens"))
+      .withColumn("distinct_permille", expr("(n_distinct * 1000) div n_tokens"))
+      .withColumn("flag_repetitive",
+        $"entropy_milli" < 1500L && $"n_tokens" >= 10L)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy_milli",
+        $"distinct_permille", $"flag_repetitive")
+      .orderBy($"doc_id")
+  }
+
+  val q138Sql: String =
+    """WITH inst AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS cnt FROM inst GROUP BY doc_id, tok
+      |), w AS (
+      |  SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM tf
+      |), agg AS (
+      |  SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_distinct,
+      |    SUM(cnt * (LENGTH(BIN(n // cnt)) - 1)) AS sumc
+      |  FROM w GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST((sumc * 1000) // n_tokens AS BIGINT) AS entropy_milli,
+      |  CAST((n_distinct * 1000) // n_tokens AS BIGINT) AS distinct_permille,
+      |  (sumc * 1000) // n_tokens < 1500 AND n_tokens >= 10 AS flag_repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
@@ -801,6 +950,8 @@ object LmOps {
     "q124_bpe_train" -> (q124BpeTrain _),
     "q125_dup_span_coverage" -> (q125DupSpanCoverage _),
     "q133_bpe_encode" -> (q133BpeEncode _),
+    "q137_bigram_surprisal" -> (q137BigramSurprisal _),
+    "q138_doc_entropy" -> (q138DocEntropy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +965,7 @@ object LmOps {
     "q124_bpe_train" -> q124Sql,
     "q125_dup_span_coverage" -> q125Sql,
     "q133_bpe_encode" -> q133Sql,
+    "q137_bigram_surprisal" -> q137Sql,
+    "q138_doc_entropy" -> q138Sql,
   )
 }

@@ -293,6 +293,50 @@ class LmOpsSpec extends SparkSpec {
       (2L, 2L, 3L, 2L, 2000L / 3L)), s"got $got")
   }
 
+  test("q137 bigram surprisal: fixed phrase scores 0 bits; tail contexts take the 12-bit backoff") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bg137").toString
+    // doc 1: one token repeated 5000x — every transition is forced
+    // (cnt2 ~ cnt1 → 0 bits, boilerplate flag). The 5000 occurrences
+    // also push total mass past F so singleton contexts fall in the
+    // TAIL: doc 2's transition out of rare r1 takes the flat backoff,
+    // while doc 3's transition out of head-context x to a singleton
+    // continuation earns floor(log2(5000/1)) = 12 bits CONDITIONALLY.
+    Seq((1L, Seq.fill(5000)("x").mkString(" ")),
+        (2L, "r1 r2"),
+        (3L, "x r3"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.LmOps.q137BigramSurprisal(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 4999L, 0L, 0L, true),       // forced transitions: 0 bits
+      (2L, 1L, 12L, 12000L, false),    // tail context backoff
+      (3L, 1L, 12L, 12000L, false)),   // head context, rare continuation
+      s"got $got")
+  }
+
+  test("q138 doc entropy: repetition scores 0 and flags; uniform singletons score log2(n); short docs exempt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ent138").toString
+    Seq((1L, Seq.fill(20)("a").mkString(" ")),            // pure repetition
+        (2L, (1 to 16).map(i => s"u$i").mkString(" ")),   // all singletons
+        (3L, "b b b"))                                    // short, exempt
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.LmOps.q138DocEntropy(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 20L, 1L, 0L, 50L, true),          // H = 0, 20 tokens → flagged
+      (2L, 16L, 16L, 4000L, 1000L, false),   // 16 singletons → exactly 4 bits
+      (3L, 3L, 1L, 0L, 333L, false)),        // repetitive but < 10 tokens
+      s"got $got")
+  }
+
   test("q124 BPE training on a pair-free corpus returns empty instead of throwing") {
     // Round-7 advice: all-single-character words have no adjacent symbol
     // pair, so there is nothing to merge — the engines must agree on the

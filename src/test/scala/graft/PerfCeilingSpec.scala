@@ -35,7 +35,6 @@ class PerfCeilingSpec extends SparkSpec {
     "q118_simhash_clusters" -> 2.05,
     "q59_dedup_clusters" -> 2.04,
     "q78_curation_pipeline" -> 1.81,
-    "q37_simhash_dedup" -> 1.47,
     "q74_pq_adc" -> 1.34,
     "q56_winnow_fingerprint" -> 1.31,
     "q46_approx_distinct" -> 1.31,
@@ -49,11 +48,18 @@ class PerfCeilingSpec extends SparkSpec {
     "q124_bpe_train" -> 2.78,
     "q127_pca_power" -> 2.21,
     "q123_dsir_importance" -> 1.52,
-    "q122_bucketed_join" -> 1.30,
     "q126_hard_negatives" -> 1.26,
     "q125_dup_span_coverage" -> 1.09,
     "q132_label_prop" -> 1.47,
-    "q131_bm25" -> 1.00)
+    "q131_bm25" -> 1.00,
+    // round-8 additions / re-measurements (same protocol): q122 dropped
+    // to 0.33 s once the bucketed write became create-if-absent (0.8 s
+    // floor applies); q37's audit now derives its ground truth by
+    // prefix filtering instead of the embedded q36 chain
+    "q133_bpe_encode" -> 1.85,
+    "q136_kcore_peel" -> 1.14,
+    "q134_allpairs_join" -> 0.90,
+    "q37_simhash_dedup" -> 1.40)
 
   private def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
