@@ -288,6 +288,63 @@ object CorpusOps {
       |SELECT doc_id, source, lang, n_chars, rk
       |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** q140 — T5-style span-corruption mask PLAN (Raffel et al. 2020,
+    * §3.1.4 denoising objective): for each document, a deterministic
+    * set of NON-OVERLAPPING 3-token spans covering ~15% of positions
+    * (n div 20 spans of length 3). Non-overlap by construction: the
+    * doc partitions into n_spans equal segments (each ≥ 20 tokens) and
+    * span i lands at a fixed-constant affine hash of (doc_id, i)
+    * inside segment i — no rejection sampling, no RNG state, the same
+    * plan reproducible in any engine and on any partitioning. This is
+    * the objective-side sibling of q81/q82's chunk/pack plumbing: a
+    * training job joins these (doc, start, len) rows against the
+    * tokenized corpus to build inputs/targets.
+    *
+    * Scale shape: pure map + bounded explode (one row per span, ~n/20
+    * per doc); no join, no shuffle except the output sort.
+    */
+  def q140SpanCorruption(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 1000000007L
+    val a = 2654435761L % P
+    documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n"))
+      .withColumn("n_spans", expr("n div 20"))
+      .filter($"n_spans" >= 1L)
+      .withColumn("seg_len", expr("n div n_spans"))
+      .select($"doc_id", $"n", $"n_spans", $"seg_len",
+        explode(sequence(lit(0L), $"n_spans" - 1L)).as("span_idx"))
+      // seg_len ≥ 20, so the modulus seg_len − 2 keeps the 3-token span
+      // strictly inside its segment: off ∈ [0, seg_len − 3]
+      .withColumn("off",
+        ((($"doc_id" % P) * a + $"span_idx" * 97003L + 131L) % P) % ($"seg_len" - 2L))
+      .select($"doc_id", $"span_idx",
+        ($"span_idx" * $"seg_len" + $"off").as("start"),
+        lit(3L).as("span_len"),
+        expr("(n_spans * 3 * 1000) div n").as("masked_permille"))
+      .orderBy($"doc_id", $"span_idx")
+  }
+
+  val q140Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), planned AS (
+      |  SELECT doc_id, n, n // 20 AS n_spans, n // (n // 20) AS seg_len
+      |  FROM docs WHERE n // 20 >= 1
+      |), spans AS (
+      |  SELECT doc_id, n, n_spans, seg_len, CAST(i AS BIGINT) AS span_idx
+      |  FROM planned, UNNEST(RANGE(0, n_spans)) t(i)
+      |)
+      |SELECT doc_id, span_idx,
+      |  CAST(span_idx * seg_len
+      |    + ((doc_id % 1000000007) * (2654435761 % 1000000007) + span_idx * 97003 + 131)
+      |      % 1000000007 % (seg_len - 2) AS BIGINT) AS start,
+      |  CAST(3 AS BIGINT) AS span_len,
+      |  CAST((n_spans * 3 * 1000) // n AS BIGINT) AS masked_permille
+      |FROM spans ORDER BY doc_id, span_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_exact_k_sample" -> (q103ExactKSample _),
     "q71_repetition_signals" -> (q71RepetitionSignals _),
@@ -295,6 +352,7 @@ object CorpusOps {
     "q73_text_scrub" -> (q73TextScrub _),
     "q81_doc_chunks" -> (q81DocChunks _),
     "q82_sequence_pack" -> (q82SequencePack _),
+    "q140_span_corruption" -> (q140SpanCorruption _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +362,6 @@ object CorpusOps {
     "q73_text_scrub" -> q73Sql,
     "q81_doc_chunks" -> q81Sql,
     "q82_sequence_pack" -> q82Sql,
+    "q140_span_corruption" -> q140Sql,
   )
 }

@@ -374,6 +374,81 @@ object Mixing {
       |  ((1000000 * w) // tot_w * 1000) // n_tokens > 1000 AS over_epoched
       |FROM weighted, tot ORDER BY source""".stripMargin
 
+  /** q139 — curriculum PHASE bucketing, the scale-right form of
+    * quality-ordered training (curriculum learning à la Bengio et al.
+    * 2009, as production pipelines actually ship it): an exact global
+    * rank over the corpus needs a single-partition window, so instead
+    * each doc is assigned a quality DECILE phase from thresholds
+    * derived off a deterministic 512-doc uniform sample (q129's
+    * k-min-hash sample idiom — mergeable, engine-portable), plus a
+    * portable `shuffle_slot` for within-phase ordering. Phase
+    * assignment is then a PURE MAP against 9 broadcast thresholds —
+    * nothing global anywhere, any corpus size.
+    *
+    * Scale shape: sample selection is orderBy(h).limit(512)
+    * (TakeOrderedAndProject); the threshold relation is ≤ 9 rows and
+    * broadcasts; the corpus is scanned twice (sample pass + assign
+    * pass) and never shuffled at all.
+    */
+  def q139CurriculumPhases(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    val a = 2654435761L % P
+    val scored = TextOps.qualityScored(
+        documents(s, d).filter($"doc_id".isNotNull && $"source".isNotNull))
+      .select($"doc_id", $"source", $"quality")
+    val keyed = scored.withColumn("h", (($"doc_id" % P) * a + 71L) % P)
+    val sample = keyed.orderBy($"h", $"doc_id").limit(512)
+      .select($"quality", $"doc_id")
+    val ranked = sample.withColumn("rn",
+      row_number().over(Window.orderBy($"quality", $"doc_id")).cast("long"))
+    val nsDf = sample.agg(count(lit(1)).as("ns"))
+    val thrRanks = nsDf
+      .select(explode(sequence(lit(1), lit(9))).as("i"), $"ns")
+      .select(greatest(expr("(i * ns) div 10"), lit(1L)).as("rn"))
+    val thresholds = ranked.join(broadcast(thrRanks), Seq("rn"))
+      .agg(sort_array(collect_list($"quality")).as("tarr"))
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn("phase",
+        size(filter($"tarr", t => t <= $"quality")).cast("long"))
+      .select($"doc_id", $"source", $"quality", $"phase",
+        ((($"doc_id" % P) * a + 977L) % P % 1000L).as("shuffle_slot"))
+      .orderBy($"doc_id")
+  }
+
+  val q139Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_toks < 5 THEN 0.0
+      |         ELSE LEAST(1.0, n_toks / 100.0) * (1.0 - digit_ratio) * LEAST(1.0, (stop_hits / n_toks) * 5.0)
+      |    END AS quality
+      |  FROM (
+      |    SELECT doc_id, source, LEN(toks) AS n_toks,
+      |      CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE) AS stop_hits,
+      |      CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+      |    FROM (SELECT doc_id, source, text, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |          FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL))
+      |), keyed AS (
+      |  SELECT doc_id, quality,
+      |    ((doc_id % 1000000007) * (2654435761 % 1000000007) + 71) % 1000000007 AS h
+      |  FROM scored
+      |), sample AS (
+      |  SELECT quality, doc_id FROM keyed ORDER BY h, doc_id LIMIT 512
+      |), ranked AS (
+      |  SELECT quality, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn FROM sample
+      |), ns AS (SELECT COUNT(*) AS ns FROM sample
+      |), thr AS (
+      |  SELECT GREATEST((i * ns) // 10, 1) AS rn
+      |  FROM ns, UNNEST(RANGE(1, 10)) t(i)
+      |), tarr AS (
+      |  SELECT LIST_SORT(LIST(r.quality)) AS tarr FROM ranked r JOIN thr USING (rn)
+      |)
+      |SELECT s.doc_id, s.source, s.quality,
+      |  CAST(LEN(LIST_FILTER(tarr, t -> t <= s.quality)) AS BIGINT) AS phase,
+      |  CAST(((s.doc_id % 1000000007) * (2654435761 % 1000000007) + 977) % 1000000007 % 1000 AS BIGINT) AS shuffle_slot
+      |FROM scored s, tarr ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_mixture_sample" -> (q85MixtureSample _),
     "q86_rare_token_ratio" -> (q86RareTokenRatio _),
@@ -381,6 +456,7 @@ object Mixing {
     "q120_priority_sample" -> (q120PrioritySample _),
     "q128_leakage_safe_split" -> (q128LeakageSafeSplit _),
     "q130_token_budget" -> (q130TokenBudget _),
+    "q139_curriculum_phases" -> (q139CurriculumPhases _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +466,6 @@ object Mixing {
     "q120_priority_sample" -> q120Sql,
     "q128_leakage_safe_split" -> q128Sql,
     "q130_token_budget" -> q130Sql,
+    "q139_curriculum_phases" -> q139Sql,
   )
 }

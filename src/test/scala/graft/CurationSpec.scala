@@ -67,4 +67,40 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared") >= 1L)
     }
   }
+
+  test("q140 span plan: non-overlapping, in-bounds, n div 20 spans, ~15% coverage, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("span140").toString
+    // doc lengths from just-under-threshold (19 → no spans) to 300
+    Seq(19, 20, 45, 100, 299).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.CorpusOps.q140SpanCorruption(spark, dir)
+      .select($"doc_id", $"span_idx", $"start", $"span_len", $"masked_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val lens = Map(0L -> 19L, 1L -> 20L, 2L -> 45L, 3L -> 100L, 4L -> 299L)
+    assert(!rows.exists(_._1 == 0L), "a 19-token doc has no span budget")
+    for ((docId, spans) <- rows.groupBy(_._1)) {
+      val n = lens(docId)
+      assert(spans.length == (n / 20).toInt, s"doc $docId span count")
+      val sorted = spans.sortBy(_._3)
+      // within bounds and pairwise non-overlapping (gap ≥ span_len)
+      assert(sorted.forall(s => s._3 >= 0 && s._3 + s._4 <= n), s"doc $docId bounds")
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => b._3 >= a._3 + a._4
+        case _ => true
+      }, s"doc $docId spans overlap")
+      val permille = spans.head._5
+      assert(spans.forall(_._5 == permille))
+      assert(permille >= 100L && permille <= 150L,
+        s"doc $docId coverage $permille outside the ~15% design band")
+    }
+    val again = graft.operators.CorpusOps.q140SpanCorruption(spark, dir)
+      .select($"doc_id", $"span_idx", $"start", $"span_len", $"masked_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.toSet == again.toSet)
+  }
 }

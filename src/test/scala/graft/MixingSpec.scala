@@ -200,4 +200,22 @@ class MixingSpec extends SparkSpec {
       s"sample must be the exact top-64 by int64 priority")
     assert(got.forall(_._3 == expTau), s"τ must be the exact 65th priority $expTau")
   }
+
+  test("q139 curriculum: phases monotone in quality, bounded 0..9, deciles populated, deterministic") {
+    val rows = Mixing.q139CurriculumPhases(spark, sf)
+      .select($"doc_id", $"quality", $"phase").as[(Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 9L), "phase must be a decile index")
+    // monotone: sorting by quality must sort phases (thresholds are a
+    // single global cut list, so no quality inversion can cross phases)
+    val byQ = rows.sortBy(_._2).map(_._3)
+    assert(byQ == byQ.sorted, "phases must be monotone in quality")
+    // the sf0.001 corpus has diverse qualities and the 512-sample covers
+    // all 500 docs, so most deciles must actually be populated
+    assert(rows.map(_._3).distinct.size >= 8,
+      s"expected ≥8 populated deciles, got ${rows.map(_._3).distinct.sorted}")
+    val again = Mixing.q139CurriculumPhases(spark, sf)
+      .select($"doc_id", $"quality", $"phase").as[(Long, Double, Long)].collect().toSeq
+    assert(rows.toSet == again.toSet, "phase assignment must be deterministic")
+  }
 }
