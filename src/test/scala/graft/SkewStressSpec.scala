@@ -140,6 +140,32 @@ class SkewStressSpec extends SparkSpec {
       s"one task read $maxRead shuffled records — the bucket cap leaked")
   }
 
+  test("prefix-filter all-pairs: a 45k-doc identical-text clique is cap-bounded; unique-tier dups survive", SlowTag) {
+    // the boilerplate clique shares EVERY shingle hash, so its prefix
+    // buckets all hold 45k docs — far over the 100 cap — and must drop
+    // (uncapped: C(45k,2) ≈ 10⁹ verify pairs); every planted unique-tier
+    // pair must still come through the capped buckets: the trailing
+    // differing token touches only ONE of the 13 3-shingles, so even the
+    // non-identical pairs sit at J = 12/14 ≈ 0.857 ≥ τ = 0.8
+    val docs = skewDocs
+    graft.plans.GraftExtensions.register(spark)
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+    var pairs: Array[(Long, Long)] = null
+    val maxRead = maxTaskShuffleRead {
+      pairs = graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    }
+    val planted = pairs.count { case (a, b) => a >= 45000 && b == a + 1 && a % 2 == 0 }
+    assert(planted == 2500, s"all 2500 planted near-dup pairs must survive the cap, got $planted")
+    assert(pairs.forall { case (a, b) => a >= 45000 && b >= 45000 },
+      "no boilerplate-clique pair may leak past the bucket cap")
+    assert(maxRead < 2000000L,
+      s"one task read $maxRead shuffled records — prefix buckets went quadratic")
+  }
+
   test("bounded top-k heap: one group absorbing 500k rows keeps K entries", SlowTag) {
     graft.plans.GraftExtensions.register(spark)
     val topk = graft.functions.TopK(16)
