@@ -73,7 +73,10 @@ class PlanSpec extends SparkSpec {
       // production SimHash pairing pipeline underneath it
       "q37" -> SimHash.foundPairs(spark, sf),
       "q56" -> TextOps.q56WinnowFingerprint(spark, sf),
-      "q100" -> TextOps.q100DedupIncrement(spark, sf))
+      "q100" -> TextOps.q100DedupIncrement(spark, sf),
+      // round 8: the prefix-filtered all-pairs join shares one perDoc
+      // exchange across the prefix branch and both verify branches
+      "q134" -> TextOps.q134AllPairsJoin(spark, sf))
     cases.foreach { case (name, df) =>
       df.collect()
       val p = df.queryExecution.executedPlan match {
