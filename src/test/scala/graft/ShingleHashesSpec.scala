@@ -27,6 +27,26 @@ class ShingleHashesSpec extends SparkSpec {
     assert(joined.filter($"hs" =!= $"ref").count() == 0)
   }
 
+  test("token_hashes: per-token xxhash64 with multiplicity AND order, over the corpus") {
+    // the SimHash vote input — must match transform(tokens(text),
+    // xxhash64) ELEMENTWISE (no sort, no dedup: each occurrence votes)
+    val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"text".isNotNull)
+    val viaExpr = docs.select($"doc_id",
+      call_function("token_hashes", $"text").as("hs"))
+    val viaLambda = docs.select($"doc_id",
+      transform(TextOps.tokens($"text"), t => xxhash64(t)).as("ref"))
+    val joined = viaExpr.join(viaLambda, Seq("doc_id"))
+    assert(joined.filter($"hs" =!= $"ref").count() == 0,
+      "kernel must be elementwise-identical to the interpreted HOF form")
+    // duplicates preserved: a repeated token hashes once per occurrence
+    val rep = Seq(("a b a b a", 5)).toDF("text", "n")
+      .select(call_function("token_hashes", $"text").as("hs"))
+      .select(size($"hs").as("n"), size(array_distinct($"hs")).as("nd"))
+      .as[(Int, Int)].head()
+    assert(rep == ((5, 2)), s"multiplicity lost: $rep")
+  }
+
   test("tokenization edges: leading whitespace, repeated separators, short docs") {
     val cases = Seq(
       (1L, "One two three four"),     // fold + plain
