@@ -240,15 +240,76 @@ object Curation {
       |GROUP BY e.doc_id
       |ORDER BY e.doc_id""".stripMargin
 
+  /** q141 — canonical-document selection inside near-dup clusters: the
+    * KEEP decision a curation pipeline actually wants is "the highest-
+    * QUALITY copy", not "the smallest id" (q59/q88's representative is
+    * an arbitrary cluster LABEL; deleting everything but the min-id doc
+    * would throw away better copies of the same content). Clusters come
+    * from the q59 winnow-CC chain; each clustered doc joins its q31
+    * quality score; the canonical doc per cluster is the exact argmax
+    * by (quality DESC, doc_id ASC) — computed as ONE deterministic
+    * `max(struct(quality, −doc_id))` aggregate (struct ordering is
+    * lexicographic; no windows over the cluster relation), so ties are
+    * impossible to get wrong and no per-cluster sort exists anywhere.
+    *
+    * Scale shape: the cluster relation is survivor-sized (near-dup
+    * members only) and BROADCASTS into the quality join; the argmax is
+    * a partial+final agg on the cluster key; the decorated output joins
+    * the ≤|clusters|-row canonical relation back by broadcast. The
+    * corpus-side cost is q59's CC chain plus one pure-map quality scan.
+    */
+  def q141CanonicalSelection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = TextOps.q59DedupClusters(s, d)
+    val quality = TextOps.qualityScored(
+        documents(s, d).filter($"doc_id".isNotNull))
+      .select($"doc_id", $"quality")
+    val members = broadcast(clusters).join(quality, Seq("doc_id"))
+    val canon = members.groupBy($"cluster_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("m"))
+      .select($"cluster_id", (-$"m.nid").as("kept_doc"))
+    members.join(broadcast(canon), Seq("cluster_id"))
+      .select($"cluster_id", $"doc_id", $"quality", $"kept_doc",
+        ($"doc_id" === $"kept_doc").as("keep"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
+  /** Oracle: q59's recursive-closure SQL as a nested CTE (the same
+    * embedding trick q59 uses for q56), quality via the q31 chain, the
+    * canonical pick via FIRST_VALUE over (quality DESC, doc_id).
+    */
+  val q141Sql: String =
+    s"""WITH clusters AS (
+       |${TextOps.q59Sql.linesIterator.map("  " + _).mkString("\n")}
+       |), quality AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_toks < 5 THEN 0.0
+       |         ELSE LEAST(1.0, n_toks / 100.0) * (1.0 - digit_ratio) * LEAST(1.0, (stop_hits / n_toks) * 5.0)
+       |    END AS quality
+       |  FROM (
+       |    SELECT doc_id, LEN(toks) AS n_toks,
+       |      CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE) AS stop_hits,
+       |      CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+       |    FROM (SELECT doc_id, text, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
+       |          FROM documents WHERE doc_id IS NOT NULL))
+       |)
+       |SELECT c.cluster_id, c.doc_id, q.quality,
+       |  FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS kept_doc,
+       |  c.doc_id = FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS keep
+       |FROM clusters c JOIN quality q USING (doc_id)
+       |ORDER BY c.cluster_id, c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_curation_pipeline" -> (q78CurationPipeline _),
     "q83_pii_redact" -> (q83PiiRedact _),
     "q84_decontaminate" -> (q84Decontaminate _),
+    "q141_canonical_selection" -> (q141CanonicalSelection _),
   )
 
   val oracles: Map[String, String] = Map(
     "q78_curation_pipeline" -> q78Sql,
     "q83_pii_redact" -> q83Sql,
     "q84_decontaminate" -> q84Sql,
+    "q141_canonical_selection" -> q141Sql,
   )
 }

@@ -68,6 +68,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q141 keeps the highest-QUALITY copy, not the smallest id; ties break to the smaller id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("canon141").toString
+    // core: 40 tokens with 8 stopwords → quality 0.4; the LONGER
+    // near-dup (doc 11, 60 tokens, stop ratio kept ≥ 0.2) scores 0.6 —
+    // so the min-id doc is NOT the best copy and a min-id keep rule
+    // would delete the highest-quality text
+    val core = (1 to 32).map(i => s"w$i").grouped(4)
+      .flatMap(g => g :+ "the").mkString(" ")               // 40 toks, 8 "the"
+    val extra = (33 to 48).map(i => s"w$i").grouped(4)
+      .flatMap(g => g :+ "the").mkString(" ")               // +20 toks, +4 "the"
+    Seq(
+      (10L, core),
+      (11L, s"$core $extra"),
+      (12L, core.replace("w32", "zz")),
+      (20L, ("the quick brown fox " * 10).trim),
+      (21L, ("the quick brown fox " * 10).trim))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Curation.q141CanonicalSelection(spark, dir)
+      .select($"doc_id", $"kept_doc", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet.intersect(Set(10L, 11L, 12L)) == Set(10L, 11L, 12L),
+      s"near-dup triple must cluster together, got ${got.keySet}")
+    assert(got(11L) == ((11L, true)), s"highest-quality copy must be kept: $got")
+    assert(got(10L) == ((11L, false)) && got(12L) == ((11L, false)),
+      s"lower-quality copies deleted in favor of 11: $got")
+    // identical pair: equal quality → smaller id wins deterministically
+    assert(got(20L) == ((20L, true)) && got(21L) == ((20L, false)), s"$got")
+  }
+
   test("q140 span plan: non-overlapping, in-bounds, n div 20 spans, ~15% coverage, deterministic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("span140").toString
