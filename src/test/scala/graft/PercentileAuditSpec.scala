@@ -110,6 +110,33 @@ class PercentileAuditSpec extends SparkSpec {
     assert(got == expect, s"got $got")
   }
 
+  test("q142 incremental CC: a delta edge MERGES two old components; untouched and increment-only components keep exact labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p142").toString
+    val rows = Seq(
+      // base component A: parts {1,2} co-purchased twice
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      // base component B: parts {5,6}
+      (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L),
+      // bridge pair (2,5): support 1 in base ...
+      (5L, 2L), (5L, 5L),
+      // untouched base component C: parts {8,9}
+      (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L),
+      // ... +1 in the increment (order 10 ≡ 0 mod 10) → support 2 →
+      // the NEW edge must merge A and B into cluster 1
+      (10L, 2L), (10L, 5L),
+      // increment-only component: parts {11,12} supported entirely by
+      // increment orders 20, 30
+      (20L, 11L), (20L, 12L), (30L, 11L), (30L, 12L))
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.GraphOps.q142IncrementalCc(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, // A ∪ B merged via the delta bridge
+      8L -> 8L, 9L -> 8L,                     // untouched
+      11L -> 11L, 12L -> 11L),                // increment-only
+      s"got $got")
+  }
+
   test("q99 counts planted violations exactly once each") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p99").toString
     val t0 = new java.sql.Timestamp(1609459200000L)
