@@ -746,6 +746,94 @@ object VectorOps {
       |SELECT x3.j AS i, CAST(x3.x AS BIGINT) AS x, lam.lambda_fix
       |FROM x3 CROSS JOIN lam ORDER BY i""".stripMargin
 
+  /** q143 — Matryoshka truncation audit [Kusupati et al. 2022, MRL —
+    * the property modern embedding models are trained for and vector
+    * stores exploit]: how much retrieval quality survives keeping only
+    * the first 16 of 64 dimensions? The full-precision top-10 (q41's
+    * exact fixed-point cosine, query = vec 0) is decorated with each
+    * hit's rank under TRUNCATED cosine (rank 1000 when absent — q114's
+    * missing-list convention) plus the overlap@10 — the measured
+    * decision input for "can we serve ANN from the 4× cheaper prefix
+    * and rerank with full vectors".
+    *
+    * Scale shape: two instances of the q41/q114 chain (norms + dots as
+    * vec_id-keyed partial+final aggs, query vector broadcast, top-10
+    * via TakeOrderedAndProject); the truncated arm scans 25% of the
+    * exploded positions; everything after the two limits runs on
+    * ≤ 10-row relations.
+    */
+  def q143MatryoshkaAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = exploded(s, d)
+    def arm(ed: DataFrame, tag: String): DataFrame = {
+      val norms = ed.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
+      val qv = ed.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
+      val qn = norms.filter($"vec_id" === 0).select($"n2".as("qn2"))
+      ed.join(broadcast(qv), Seq("pos"))
+        .filter($"vec_id" =!= 0)
+        .groupBy($"vec_id").agg(xsum($"qv" * $"v").as("dot"))
+        .join(norms, Seq("vec_id")).crossJoin(broadcast(qn))
+        .select($"vec_id", ($"dot" / (sqrt($"n2") * sqrt($"qn2"))).as(s"cos_$tag"))
+        .orderBy(col(s"cos_$tag").desc, $"vec_id").limit(10)
+    }
+    val fullTop = arm(e, "full").withColumn("rank_full",
+      row_number().over(Window.orderBy($"cos_full".desc, $"vec_id")).cast("long"))
+    val truncTop = arm(e.filter($"pos" < 16), "trunc").withColumn("rank_trunc",
+      row_number().over(Window.orderBy($"cos_trunc".desc, $"vec_id")).cast("long"))
+    val joined = fullTop
+      .join(truncTop.select($"vec_id", $"rank_trunc"), Seq("vec_id"), "left")
+    val overlap = joined.agg(count($"rank_trunc").as("overlap_at_10"))
+    joined.crossJoin(broadcast(overlap))
+      .select($"vec_id", $"rank_full", $"cos_full",
+        coalesce($"rank_trunc", lit(1000L)).as("rank_trunc"), $"overlap_at_10")
+      .orderBy($"rank_full")
+  }
+
+  val q143Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT c.vec_id, CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e c JOIN e q ON q.vec_id = 0 AND q.pos = c.pos
+      |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+      |), fullr AS (
+      |  SELECT vec_id,
+      |    dot / (SQRT(n2) * SQRT((SELECT n2 FROM norms WHERE vec_id = 0))) AS cos_full
+      |  FROM dots JOIN norms USING (vec_id)
+      |  ORDER BY cos_full DESC, vec_id LIMIT 10
+      |), fullrk AS (
+      |  SELECT vec_id, cos_full,
+      |    ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS rank_full
+      |  FROM fullr
+      |), et AS (SELECT * FROM e WHERE pos < 16
+      |), tnorms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM et GROUP BY vec_id
+      |), tdots AS (
+      |  SELECT c.vec_id, CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM et c JOIN et q ON q.vec_id = 0 AND q.pos = c.pos
+      |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+      |), truncr AS (
+      |  SELECT vec_id,
+      |    dot / (SQRT(n2) * SQRT((SELECT n2 FROM tnorms WHERE vec_id = 0))) AS cos_trunc
+      |  FROM tdots JOIN tnorms USING (vec_id)
+      |  ORDER BY cos_trunc DESC, vec_id LIMIT 10
+      |), truncrk AS (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_trunc DESC, vec_id) AS rank_trunc
+      |  FROM truncr
+      |)
+      |SELECT f.vec_id, CAST(f.rank_full AS BIGINT) AS rank_full, f.cos_full,
+      |  CAST(COALESCE(t.rank_trunc, 1000) AS BIGINT) AS rank_trunc,
+      |  CAST((SELECT COUNT(*) FROM fullrk ff JOIN truncrk tt USING (vec_id)) AS BIGINT) AS overlap_at_10
+      |FROM fullrk f LEFT JOIN truncrk t USING (vec_id)
+      |ORDER BY f.rank_full""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -756,6 +844,7 @@ object VectorOps {
     "q74_pq_adc" -> (q74PqAdc _),
     "q76_ivf_search" -> (q76IvfSearch _),
     "q127_pca_power" -> (q127PcaPower _),
+    "q143_matryoshka_audit" -> (q143MatryoshkaAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -768,5 +857,6 @@ object VectorOps {
     "q74_pq_adc" -> q74Sql,
     "q76_ivf_search" -> q76Sql,
     "q127_pca_power" -> q127Sql,
+    "q143_matryoshka_audit" -> q143Sql,
   )
 }

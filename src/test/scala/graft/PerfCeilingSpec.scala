@@ -62,6 +62,7 @@ class PerfCeilingSpec extends SparkSpec {
     "q139_curriculum_phases" -> 1.71,
     "q141_canonical_selection" -> 3.45,
     "q142_incremental_cc" -> 1.88,
+    "q143_matryoshka_audit" -> 0.88,
     "q37_simhash_dedup" -> 1.40)
 
   private def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -61,4 +61,27 @@ class VectorDedupSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(capped == uncapped && capped.nonEmpty)
   }
+
+  test("q143: a tail-matched neighbor tops the full list but vanishes from the truncated one") {
+    val dir = java.nio.file.Files.createTempDirectory("mrl143").toString
+    // query = e1 in the 16-dim prefix + all-ones tail; vec 1 matches
+    // ONLY in the tail (prefix orthogonal) → full rank 1, truncated
+    // cosine 0; 15 fillers carry prefix mass so vec 1 falls outside the
+    // truncated top-10 and the overlap@10 drops to the 9 shared fillers
+    def v(prefix: Seq[Float], tail: Float): Seq[Float] =
+      (prefix ++ Seq.fill(16 - prefix.length)(0.0f) ++ Seq.fill(48)(tail))
+    val rows = Seq(
+      (0L, v(Seq(1.0f), 1.0f), 0),
+      (1L, v(Seq(0.0f, 1.0f), 1.0f), 0)) ++
+      (3L to 17L).map(i => (i, v(Seq(0.5f, i.toFloat / 100), 0.05f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.q143MatryoshkaAudit(spark, dir)
+      .select($"vec_id", $"rank_full", $"rank_trunc", $"overlap_at_10")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byVec = got.map(r => r._1 -> r).toMap
+    assert(byVec(1L)._2 == 1L, s"tail-matched vec must top the FULL list: $got")
+    assert(byVec(1L)._3 == 1000L, s"and be absent from the truncated top-10: $got")
+    assert(got.forall(_._4 == 9L), s"overlap@10 must be the 9 shared fillers: $got")
+  }
 }
