@@ -250,13 +250,65 @@ object Retrieval {
       |  GROUP BY tf.doc_id, l.len)
       |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q144 — RAG context ASSEMBLY under a token budget: the step between
+    * retrieval and generation — take q114's fused top-10 and greedily
+    * admit documents in RRF-rank order while the running token total
+    * stays within the context budget (256 tokens here; the "greedy by
+    * rank until full" packing every RAG stack ships). Output keeps the
+    * skipped tail too (selected = false) so the cut is visible.
+    *
+    * Scale shape: the retrieval arms are q114's (broadcast-semi-filter
+    * lexical, one-agg semantic, TakeOrderedAndProject limits); the
+    * assembly itself runs on the 10-row fused relation — the window is
+    * over ten rows, the token-count join probes the corpus relation
+    * with a 10-row broadcast.
+    */
+  def q144ContextAssembly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 256L
+    val top = q114HybridRetrieval(s, d).select($"doc_id", $"rrf")
+    val toks = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    broadcast(top).join(toks, Seq("doc_id"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"rrf".desc, $"doc_id")).cast("long"))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.orderBy($"rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"rank", $"doc_id", $"n_tokens", $"cum_tokens",
+        ($"cum_tokens" <= budget).as("selected"))
+      .orderBy($"rank")
+  }
+
+  /** Oracle: q114's full SQL embedded as a CTE (the q59/q141 nesting
+    * trick), token counts joined, greedy running sum over rank.
+    */
+  val q144Sql: String =
+    s"""WITH fused AS (
+       |${q114Sql.linesIterator.map("  " + _).mkString("\n")}
+       |), toks AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), ranked AS (
+       |  SELECT f.doc_id, t.n_tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY f.rrf DESC, f.doc_id) AS BIGINT) AS rank
+       |  FROM fused f JOIN toks t USING (doc_id)
+       |)
+       |SELECT rank, doc_id, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  SUM(n_tokens) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) <= 256 AS selected
+       |FROM ranked ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_hybrid_retrieval" -> (q114HybridRetrieval _),
     "q131_bm25" -> (q131Bm25 _),
+    "q144_context_assembly" -> (q144ContextAssembly _),
   )
 
   val oracles: Map[String, String] = Map(
     "q114_hybrid_retrieval" -> q114Sql,
     "q131_bm25" -> q131Sql,
+    "q144_context_assembly" -> q144Sql,
   )
 }

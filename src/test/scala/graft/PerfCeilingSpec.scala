@@ -63,6 +63,7 @@ class PerfCeilingSpec extends SparkSpec {
     "q141_canonical_selection" -> 3.45,
     "q142_incremental_cc" -> 1.88,
     "q143_matryoshka_audit" -> 0.88,
+    "q144_context_assembly" -> 0.98,
     "q37_simhash_dedup" -> 1.40)
 
   private def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -75,6 +75,38 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(cos(2L) - 1.0) < 1e-9, s"aligned equal-width vec: ${cos(2L)}")
   }
 
+  test("q144 context assembly: greedy-by-rank admission stops exactly at the token budget") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ctx144").toString
+    // rank 1 (exact dup, 3 tokens) fits; rank 2 is a 300-token document
+    // that blows the 256 budget — it and everything after must carry
+    // selected = false while still appearing with exact running totals
+    val longText = "alpha beta " + (1 to 298).map(i => s"pad$i").mkString(" ")
+    Seq(
+      (0L, "alpha beta gamma"),
+      (7L, "alpha beta gamma"),
+      (3L, longText),
+      (5L, "yyy xxx"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (7L, Seq(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.5f, 0.0f, 0.0f), 0),
+      (5L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Retrieval.q144ContextAssembly(spark, dir)
+      .select($"rank", $"doc_id", $"n_tokens", $"cum_tokens", $"selected")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 3L, 3L, true),
+      (2L, 3L, 300L, 303L, false),
+      (3L, 5L, 2L, 305L, false)), s"got $got")
+  }
+
   test("q131 BM25: a doc sharing the query's rare term outranks stopword-only docs") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("bm25").toString
