@@ -644,6 +644,12 @@ object LmOps {
 
   // One merge step in SQL is the same window algebra; the three steps
   // nest mechanically (tN = argmax pair of sN-1, sN = merged relation).
+  // The 1-row top CTE attaches via LEFT JOIN ON TRUE with the merge
+  // predicate COALESCEd to FALSE, so an EMPTY tN (corpus exhausted of
+  // adjacent pairs before step 3 — all words single-symbol) makes sN a
+  // passthrough of sN-1 instead of collapsing it to zero rows — the
+  // exact path bpeTrainState's early stop takes on the Spark side
+  // (LmOpsSpec's '2-merge early stop' corpus).
   private def bpeStepSql(prev: String, topCte: String): String =
     s"""  SELECT word, freq,
        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
@@ -656,12 +662,12 @@ object LmOps {
        |        SELECT *, CASE WHEN is_m THEN pos - rn_m END AS grp_m
        |        FROM (
        |          SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-       |            p.sym = t.l AND p.nxt = t.r AS is_m,
+       |            COALESCE(p.sym = t.l AND p.nxt = t.r, FALSE) AS is_m,
        |            SUM(CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END)
        |              OVER (PARTITION BY p.word ORDER BY p.pos ROWS UNBOUNDED PRECEDING) AS rn_m
        |          FROM (SELECT word, freq, pos, sym,
        |                  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-       |                FROM $prev) p CROSS JOIN $topCte t))))
+       |                FROM $prev) p LEFT JOIN $topCte t ON TRUE))))
        |  WHERE NOT consumed""".stripMargin
 
   private def bpeTopSql(prev: String): String =

@@ -227,12 +227,21 @@ object SimHash {
     * evaluate interpreted — ~1 µs/token of expression-eval overhead in
     * the same serial scan stage). Sigs are bit-identical throughout
     * (same bytes, same seed; votes are order-independent). Docs with
-    * null text are filtered exactly as the explode form dropped them.
+    * null text AND docs that tokenize to ZERO tokens (empty /
+    * whitespace-only text) are filtered, restoring the explode form's
+    * relation exactly: a zero-token doc produced no vote rows and so
+    * no signature there, while an unguarded kernel path hands every
+    * such doc the constant all-zero-vote signature — instant spurious
+    * Hamming-0 pairs between unrelated empty docs (and 0/0 NaN
+    * token-Jaccard in the q37 audit). The size predicate re-evaluates
+    * the cheap token kernel once per row; correctness over a
+    * micro-optimization here.
     * Callers must have graft functions registered (q37 does).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull &&
+        size(call_function("token_hashes", col(textCol))) > 0)
       .select(col(idCol),
         call_function("simhash_sig",
           call_function("token_hashes", col(textCol))).as("sig"))

@@ -219,9 +219,13 @@ object Mixing {
         ((($"doc_id" % P) * a + b) % P + 1L).as("h"))
       .select($"doc_id", $"weight", expr(s"(weight * $P) div h").as("priority"))
     // top-(k+1) bounded LONG-keyed heap ([[graft.functions.TopKLong]]):
-    // the priority stays int64 end to end, so the ordering and the
-    // recovered τ are exact at ANY n_chars — the double-keyed variant
-    // was exact only while priority < 2^53 (n_chars ≲ 9·10^6). Ties
+    // the priority stays int64 end to end, so within the domain bound
+    // weight < 2^63/P (n_chars ≲ 9.2·10^9) the ordering and the
+    // recovered τ are exact — the double-keyed variant was exact only
+    // while priority < 2^53 (n_chars ≲ 9·10^6). Beyond that bound
+    // weight·P wraps int64 in non-ANSI Spark while DuckDB raises, so
+    // the bound is a documented domain contract (same posture as
+    // q116's doc_id < P), not an "exact at any n_chars" claim. Ties
     // impossible to get wrong (total order on (priority DESC, doc_id
     // ASC) in both engines).
     val heap = w.agg(graft.functions.TopKLong(k + 1)(
