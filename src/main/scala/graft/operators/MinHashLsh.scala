@@ -82,33 +82,45 @@ object MinHashLsh {
       .select(col(idCol), array((0 until K).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
-  /** Candidate near-dup pairs (doc_a < doc_b) via banding; each pair also
-    * gets `n_shared_bands`. `maxBucket` drops pathological buckets —
-    * enforced inside the aggregation by `collect_capped`, so a hot band
-    * bucket (boilerplate corpus) is bounded at maxBucket+1 members in
-    * the buffer instead of materializing millions before the filter.
+  /** Banded bucket relation `(band, band_sig, ids)` with the capped
+    * member collect and singleton buckets dropped — [[candidates]] and
+    * q36's gated pipeline both derive from it. `maxBucket` bounds
+    * pathological buckets inside the aggregation via `collect_capped`,
+    * so a hot band bucket (boilerplate corpus) holds at most
+    * maxBucket+1 members in the buffer instead of materializing
+    * millions before the filter.
     */
-  def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
+  def bandBuckets(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
     graft.plans.GraftExtensions.register(sigs.sparkSession) // collect_capped
     // no defensive sig-isNotNull filter here: callers guarantee non-null
     // signatures (an aggregate output or minhash_sig over a non-null
-    // array), and the predicate would push below q36's shared Exchange
-    // into ONE branch, breaking the canonical equality reuse needs
-    val banded = sigs
+    // array)
+    sigs
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(Bands - 1)),
           b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "band_sig")))
-    val bucketed = banded
       .groupBy(col("band"), col("band_sig"))
       .agg(call_function("collect_capped", col(idCol), lit(maxBucket)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
+  }
+
+  /** Pair explosion over [[bandBuckets]] output: (a < b, n_shared_bands),
+    * over-cap buckets dropped (the documented quadratic-bucket guard).
+    */
+  def pairsFromBuckets(bucketed: DataFrame, maxBucket: Int = 100): DataFrame =
     bucketed
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(col("band"), explode(col("ids")).as("a"), col("ids"))
       .select(col("band"), col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
+
+  /** Candidate near-dup pairs (doc_a < doc_b) via banding; each pair also
+    * gets `n_shared_bands`.
+    */
+  def candidates(sigs: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame =
+    pairsFromBuckets(bandBuckets(sigs, idCol, maxBucket), maxBucket)
 
   /** Full pipeline over `documents`: candidates verified with exact
     * Jaccard ≥ 0.5. Oracle-checked END TO END: with the 16×2 banding the
@@ -124,10 +136,6 @@ object MinHashLsh {
   def q36MinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
-    // the explicit doc_id null-filter matches the isnotnull predicate the
-    // verify joins infer on their key — without it the signature branch's
-    // scan differs canonically from the verify branches' scans and
-    // exchange reuse can't unify them (observed: 3 scans instead of 1)
     val docs = documents(s, d).select($"doc_id", $"text")
       .filter($"doc_id".isNotNull)
     // Per-doc distinct shingle hashes via the fused
@@ -138,30 +146,44 @@ object MinHashLsh {
     // downstream derives from this one `(doc_id, hs)` relation: the
     // signature via the codegen'd [[graft.functions.MinHashSig]]
     // expression, the shingle count via `size(hs)`, the exact verify via
-    // `array_intersect`. The repartition is the deliberate
-    // materialization point: one exchange of compact hash arrays that
-    // banding and both verify branches read via ReuseExchange, so the
-    // kernel runs once (no persist — explicit caching caused
-    // multi-minute kernel stalls in long sessions; recompute cost
-    // 28.5 s at sf0.1 in round 1). Docs under w tokens yield empty
-    // arrays and are filtered, matching the pipeline's semantics.
+    // `array_intersect`. The repartition + localCheckpoint is the
+    // materialization point: the broadcast gate below reads a bounded
+    // scalar before the verify plan exists, splitting the pipeline
+    // into separate jobs, and across jobs there is no ReuseExchange —
+    // the checkpoint keeps the corpus scan + kernel at exactly one
+    // execution (recompute cost 28.5 s at sf0.1 in round 1). Docs
+    // under w tokens yield empty arrays and are filtered, matching
+    // the pipeline's semantics.
     // (measured round 8: moving the repartition BEFORE the kernel to
-    // parallelize it past the single-input-split scan makes the reused
-    // exchange carry text and every consumer branch re-run the kernel —
-    // 0.97 → 1.18 s at sf0.1. Kernel-then-materialize stays the right
-    // shape even when the scan is one task.)
+    // parallelize it past the single-input-split scan makes the
+    // materialization carry text and every consumer branch re-run the
+    // kernel — 0.97 → 1.18 s at sf0.1. Kernel-then-materialize stays
+    // the right shape even when the scan is one task.)
     val perDoc = docs
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter(size($"hs") > 0)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
     val sigs = perDoc.select($"doc_id",
       call_function("minhash_sig", $"hs", lit(K)).as("sig"))
-    val cand = candidates(sigs, "doc_id")
-    // candidates broadcast (tiny survivor set); perDoc — corpus-sized —
-    // always probes, so both verify branches and the signature branch
-    // read the same reused pre-aggregation shuffle
-    broadcast(broadcast(cand)
-        .join(perDoc.select($"doc_id".as("a"), $"hs".as("hs_a")), Seq("a")))
+    // SIZE-GATED broadcasts (round-8 verdict item 2): band buckets
+    // checkpoint (dup-mass-sized, ≤ maxBucket+1 ids each), one bounded
+    // scalar job measures the candidate-pair bound, and the verify
+    // joins broadcast only under the byte budget — above it they
+    // shuffle on the doc key with identical results. Over-cap buckets
+    // drop by design (banding's documented guard).
+    val buckets = bandBuckets(sigs, "doc_id").localCheckpoint()
+    val (_, pairBound) = TextOps.bucketGate(buckets, "ids", 100)
+    val cand = pairsFromBuckets(buckets)
+    val maxBroadcastBytes = 64L << 20
+    val candB = if (pairBound * 48L <= maxBroadcastBytes) broadcast(cand) else cand
+    val verifyA = candB
+      .join(perDoc.select($"doc_id".as("a"), $"hs".as("hs_a")), Seq("a"))
+    val decorated =
+      if (TextOps.estDecoratedBytes(s, perDoc, pairBound, maxBroadcastBytes) <= maxBroadcastBytes)
+        broadcast(verifyA)
+      else verifyA
+    decorated
       .join(perDoc.select($"doc_id".as("b"), $"hs".as("hs_b")), Seq("b"))
       .withColumn("common", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
       .withColumn("jaccard", $"common".cast("double") /
@@ -273,10 +295,18 @@ object SimHash {
     * bucket guard as [[MinHashLsh.candidates]], trading a little recall
     * on pathological buckets for a bounded join.
     */
-  def foundPairs(s: SparkSession, d: String): DataFrame = {
+  def foundPairs(s: SparkSession, d: String): DataFrame =
+    foundPairsFromSigs(signatures(documents(s, d), "doc_id", "text"))
+
+  /** [[foundPairs]] from an already-computed `(doc_id, sig)` relation —
+    * lets q37 feed the signature column off its ONE shared corpus scan
+    * instead of scanning documents again.
+    */
+  def foundPairsFromSigs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
+    graft.plans.GraftExtensions.register(s) // collect_capped
     val maxBucket = 100
-    val docs = signatures(documents(s, d), "doc_id", "text")
     // Candidate pairs WITHOUT a self-join: collect each chunk bucket's
     // members — (doc_id, sig) structs, capped at `maxBucket` by the
     // quadratic guard — and pair them by double-explode. The signature
@@ -354,22 +384,55 @@ object SimHash {
     */
   def q37SimhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val found = foundPairs(s, d).localCheckpoint()
-    val docs = documents(s, d).filter($"doc_id".isNotNull)
-    // ONE scan feeds both ground-truth branches: distinct tokens (the
-    // precision floor) and the normalized-text md5 (exact dups) ride
-    // the same compact checkpointed relation — round 7 scanned the
-    // parquet once per branch reference (4 scans in the final stage
-    // alone)
-    val base = docs.select($"doc_id",
-        array_distinct(TextOps.tokens($"text")).as("ts"),
-        md5(concat_ws(" ", TextOps.tokens($"text"))).as("h"))
+    graft.plans.GraftExtensions.register(s)
+    // ONE corpus scan feeds EVERY branch (round-8 verdict item 3 —
+    // round 8 still ran three text-derived scans: the signature
+    // pipeline, the tokens+md5 base, and the shingle-hash perDoc).
+    // The shared checkpoint carries all four text derivations, every
+    // one a fused codegen kernel (no interpreted split/array ops — at
+    // small SF the whole derivation stage runs serially on the single
+    // parquet split, so per-row cost IS the wall clock there):
+    //  - sig (+ has_toks):  SimHash pairing (found pairs)
+    //  - ts  (w=1 shingle hashes = sorted distinct token hashes): the
+    //        precision floor's token Jaccard via the merge-walk kernel
+    //        — same value as string-set Jaccard, collision risk 1e-15
+    //  - h   (xxhash64 of the ordered token-hash array): exact-dup
+    //        equivalence key. The oracle recomputes the dup-pair COUNT
+    //        from its own md5 of normalized text — only the grouping
+    //        equivalence must match, so any injective key of the
+    //        normalized token sequence works, and this one costs zero
+    //        extra text passes
+    //  - hs  (sorted 3-shingle hashes): the prefix-filter near truth
+    // has_toks reproduces [[signatures]]' zero-token filter exactly
+    // (null text → null → dropped; whitespace-only → false → dropped).
+    // repartition the RAW text, kernels after, checkpoint last: with a
+    // checkpoint as the materialization point (consumers never re-run
+    // the kernels) this order strictly beats kernel-first — the
+    // exchange carries text once instead of ~2× its volume in derived
+    // arrays, and the kernels run on all partitions instead of
+    // serializing onto the single small-SF parquet split (measured
+    // 0.92 s single-task → parallel). The old kernel-first rule was an
+    // exchange-REUSE discipline; it does not apply to checkpoints.
+    val base = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", $"text")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"text",
+        call_function("token_hashes", $"text").as("__th"))
+      .select($"doc_id",
+        (size($"__th") > 0).as("has_toks"),
+        call_function("simhash_sig", $"__th").as("sig"),
+        call_function("shingle_hashes", $"text", lit(1)).as("ts"),
+        xxhash64($"__th").as("h"),
+        call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .localCheckpoint()
+    val found = foundPairsFromSigs(
+        base.filter($"has_toks" === true).select($"doc_id", $"sig"))
       .localCheckpoint()
     val toks = base.select($"doc_id", $"ts")
     val minTj = broadcast(found)
       .join(toks.select($"doc_id".as("doc_a"), $"ts".as("ta")), Seq("doc_a"))
       .join(toks.select($"doc_id".as("doc_b"), $"ts".as("tb")), Seq("doc_b"))
-      .withColumn("c", size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("c", call_function("sorted_intersect_count", $"ta", $"tb"))
       .withColumn("tj", $"c".cast("double") / (size($"ta") + size($"tb") - $"c"))
       // empty found set → vacuously precise
       .agg(coalesce(min($"tj"), lit(1.0)).as("min_tj"))
@@ -385,19 +448,18 @@ object SimHash {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
     // Near-pair ground truth via [[TextOps.prefixJaccardPairs]] — the
     // recall-EXACT all-pairs join (prefix-filter theorem in its
-    // scaladoc) over ONE (doc_id, hs) relation materialized at the
-    // repartition. `shingle_hashes` returns SORTED distinct hashes —
-    // the global order the prefix theorem needs and the precondition
-    // for the codegen'd `sorted_intersect_count` merge-walk verify.
-    // The collect_capped bucket cap (100) never binds at shipped SFs
-    // (largest planted dup group ≪ 100), so measured recall stays 1
-    // and the driver's cell-exact oracle comparison holds.
-    graft.plans.GraftExtensions.register(s)
-    val perDoc = docs
-      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+    // scaladoc) over the shared checkpoint's (doc_id, hs) slice.
+    // `shingle_hashes` returns SORTED distinct hashes — the global
+    // order the prefix theorem needs and the precondition for the
+    // codegen'd `sorted_intersect_count` merge-walk verify.
+    // failOnCapped makes the exactness CHECKED: a corpus whose prefix
+    // buckets overflow the quadratic guard raises instead of silently
+    // under-counting the near set the oracle recomputes brute-force.
+    val perDoc = base
+      .select($"doc_id", $"hs")
       .filter($"hs".isNotNull && size($"hs") > 0)
-      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-    val near = TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8)
+    val near = TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
+        failOnCapped = true, inputMaterialized = true)
       .select($"doc_a", $"doc_b")
     val dupsAgg = dups.join(foundFlag, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_dups"), count($"f").as("n_dups_found"))

@@ -249,12 +249,12 @@ object TextOps {
     // from the fused [[graft.functions.ShingleHashes]] kernel (scan →
     // project, no shuffle; bit-parity with the explodedShingles pipeline
     // asserted in ShingleHashesSpec), counts via `size(hs)`. The
-    // repartition is the deliberate materialization point: every later
-    // stage (df-capped blocking, candidate pairing, exact verify) reads
-    // that one Exchange via ReuseExchange — no persist()/localCheckpoint
-    // (explicit caching caused both the round-1 GC-variance failure AND
-    // multi-minute kernel stalls in long sessions), no recompute (the
-    // round-1 formulation cost 24.5 s at sf0.1 from 5 references).
+    // repartition + localCheckpoint is the materialization point: the
+    // broadcast GATE below reads a bounded scalar before the verify
+    // plan exists, splitting the pipeline into separate jobs, and
+    // across jobs there is no ReuseExchange — the checkpoint is what
+    // keeps the corpus scan + kernel at exactly one execution (the
+    // round-1 recompute cost 24.5 s at sf0.1 from 5 references).
     //
     // The exact verify is the codegen'd `sorted_intersect_count` merge
     // walk on the sorted 64-bit hash arrays instead of a shingle-level
@@ -264,17 +264,13 @@ object TextOps {
     // Collision risk per pair ≈ n_a·n_b/2^64 ≈ 1e-15.
     // At 100 TB the per-doc array is the same order as the text column
     // itself, so the one shuffle is no heavier than shuffling the corpus.
-    // Explicit join-key null-filters match the predicates the verify
-    // joins infer — every branch must carry identical predicates or the
-    // branches' scans differ canonically and reuse splits the pipeline.
-    // (the explicit hs-isNotNull matches the predicate the candidate
-    // branch's explode() infers — same canonical-equality story)
     val perDoc = documents(s, d)
       .filter($"doc_id".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source",
         call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
     // df-capped blocking WITHOUT a hash-level self-join: collect the docs
     // sharing each rare hash (df ∈ [2,50], so ≤50 per bucket) and pair
     // them by double-explode — candidate generation touches the exploded
@@ -282,27 +278,38 @@ object TextOps {
     // the aggregation buffer at 51 members per hash: a stop-shingle
     // shared by millions of docs would otherwise materialize its whole
     // bucket in one buffer before the size filter could drop it.
-    val cand = perDoc
+    // Shared buckets (≥ 2 members) checkpoint — dup-mass-sized, ≤ 51
+    // ids each — so the gate scalar and the pairing read one
+    // materialization.
+    val buckets = perDoc
       .select($"doc_id", $"source", explode($"hs").as("h"))
       .groupBy($"source", $"h")
       .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
-      .filter(size($"docs").between(2, 50))
+      .filter(size($"docs") >= 2)
+      .localCheckpoint()
+    // SIZE-GATED broadcasts (round-8 verdict item 2): the candidate
+    // relation grows with corpus dup mass, not with the bucket cap, so
+    // hint-forced broadcasts are a driver OOM at 100 TB percent-level
+    // duplication. The gate measures a pair bound from the capped
+    // bucket relation (one bounded scalar job); above the budget the
+    // verify joins shuffle on the doc key with identical results.
+    // Over-cap buckets here DROP by design (df-capped blocking's
+    // documented bounded recall) — no failOnCapped.
+    val (_, pairBound) = bucketGate(buckets, "docs", 50)
+    val cand = buckets.filter(size($"docs").between(2, 50))
       .select($"source", explode($"docs").as("doc_a"), $"docs")
       .select($"source", $"doc_a", explode($"docs").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
       .distinct()
-    // verify joins carry `source` in the key so all three perDoc
-    // references consume the identical (doc_id, source, hs) columns —
-    // that keeps their pruned subplans canonically equal, which is the
-    // precondition for exchange reuse (drop `source` and the pruner
-    // specializes each branch into its own copy of the pipeline).
-    // The CANDIDATE side broadcasts, never perDoc: candidate pairs are
-    // a tiny survivor set, while perDoc is corpus-sized (its hash
-    // arrays ~ the text itself) — and with perDoc always on the probe
-    // side, every branch reads the SAME pre-aggregation shuffle, so the
-    // shingle pipeline runs once.
-    broadcast(broadcast(cand)
-        .join(perDoc.select($"source", $"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("source", "doc_a")))
+    val maxBroadcastBytes = 64L << 20
+    val candB = if (pairBound * 48L <= maxBroadcastBytes) broadcast(cand) else cand
+    val verifyA = candB
+      .join(perDoc.select($"source", $"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("source", "doc_a"))
+    val decorated =
+      if (estDecoratedBytes(s, perDoc, pairBound, maxBroadcastBytes) <= maxBroadcastBytes)
+        broadcast(verifyA)
+      else verifyA
+    decorated
       .join(perDoc.select($"source", $"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("source", "doc_b"))
       .withColumn("common",
         call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
@@ -329,29 +336,79 @@ object TextOps {
     *
     * `perDoc` must be (idCol, hs) with hs sorted distinct hashes
     * (e.g. [[graft.functions.ShingleHashes]] output), pre-filtered
-    * non-null/non-empty and already at its materialization point so the
-    * prefix branch and both verify branches reuse one exchange. Hot
-    * prefix buckets are capped at `maxBucket` by `collect_capped` — the
-    * house quadratic-bucket guard (never binding at shipped SFs).
+    * non-null/non-empty. It is localCheckpointed here: the broadcast
+    * gate below reads a bounded scalar BEFORE the verify plan exists,
+    * which splits the pipeline into separate jobs, and across jobs
+    * there is no ReuseExchange — without the checkpoint every job
+    * would recompute the corpus scan + shingle kernel.
+    *
+    * Hot prefix buckets are capped at `maxBucket` by `collect_capped` —
+    * the house quadratic-bucket guard (never binding at shipped SFs).
+    * Because dropping a bucket silently breaks the recall-EXACT
+    * contract (SkewStressSpec demonstrates true J = 1.0 clique pairs
+    * vanishing), the cap is no longer assumed non-binding:
+    * `failOnCapped = true` (q134/q37 — callers whose output is
+    * oracle-compared against brute force) raises on the first over-cap
+    * bucket instead of returning a silently-incomplete pair set;
+    * the default keeps the documented drop-the-bucket behavior for
+    * bounded-recall callers.
+    *
+    * The verify joins are SIZE-GATED rather than hint-forced: the
+    * candidate-pair relation decorated with full hash arrays grows
+    * with corpus dup mass (not with the bucket cap), so an
+    * unconditional broadcast is a driver OOM at 100 TB percent-level
+    * duplication. The gate measures a pair-count bound from the capped
+    * bucket relation (one bounded scalar job — the CC-fingerprint
+    * discipline) and estimates decorated bytes via the mean hash-array
+    * length; above `maxBroadcastBytes` the verify joins shuffle on the
+    * doc key (the q56 discipline) with identical results.
     */
   def prefixJaccardPairs(perDoc: DataFrame, idCol: String, tau: Double,
-                         maxBucket: Int = 100): DataFrame = {
+                         maxBucket: Int = 100,
+                         failOnCapped: Boolean = false,
+                         maxBroadcastBytes: Long = 64L << 20,
+                         inputMaterialized: Boolean = false): DataFrame = {
     val s = perDoc.sparkSession
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
-    val cand = perDoc
+    // inputMaterialized: callers whose perDoc is already a (slice of a)
+    // checkpoint (q37's shared base) skip the second materialization —
+    // re-checkpointing a checkpointed projection copies every hash
+    // array once more for nothing (measured 7 s of task time at sf0.1)
+    val pd = if (inputMaterialized) perDoc else perDoc.localCheckpoint()
+    // shared-prefix buckets only (singletons pair nothing); bounded at
+    // maxBucket+1 ids per bucket by collect_capped, so the checkpoint
+    // is dup-mass-sized, never corpus-exploded
+    val buckets = pd
       .select(col(idCol), explode(slice(col("hs"), lit(1),
         (size(col("hs")) - ceil(size(col("hs")) * tau) + 1).cast("int"))).as("ph"))
       .groupBy($"ph")
       .agg(call_function("collect_capped", col(idCol), lit(maxBucket)).as("ids"))
-      .filter(size($"ids").between(2, maxBucket))
+      .filter(size($"ids") >= 2)
+      .localCheckpoint()
+    val (nCapped, pairBound) = bucketGate(buckets, "ids", maxBucket)
+    if (failOnCapped && nCapped > 0)
+      throw new IllegalStateException(
+        s"prefixJaccardPairs: $nCapped prefix bucket(s) exceeded maxBucket=$maxBucket — " +
+          "the recall-exact contract would be silently violated; raise maxBucket " +
+          "or accept bounded recall (failOnCapped = false)")
+    val cand = buckets.filter(size($"ids").between(2, maxBucket))
       .select(explode($"ids").as("doc_a"), $"ids")
       .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
       .distinct()
-    broadcast(broadcast(cand)
-        .join(perDoc.select(col(idCol).as("doc_a"), $"hs".as("hs_a")), Seq("doc_a")))
-      .join(perDoc.select(col(idCol).as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+    // checkpointed inputs carry no stats, so the hints are the ONLY
+    // broadcast signal — both are measured, not assumed: the bare pair
+    // list at 48 B/row, the decorated relation at 48 + 8·mean|hs|
+    val candB = if (pairBound * 48L <= maxBroadcastBytes) broadcast(cand) else cand
+    val verifyA = candB
+      .join(pd.select(col(idCol).as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
+    val decorated =
+      if (estDecoratedBytes(s, pd, pairBound, maxBroadcastBytes) <= maxBroadcastBytes)
+        broadcast(verifyA)
+      else verifyA
+    decorated
+      .join(pd.select(col(idCol).as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
       .withColumn("common",
         call_function("sorted_intersect_count", $"hs_a", $"hs_b"))
       .withColumn("jaccard", $"common".cast("double") /
@@ -360,10 +417,45 @@ object TextOps {
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
   }
 
+  /** One bounded scalar job over a capped bucket relation: (number of
+    * over-cap buckets — dropped wholesale by the `between` filter —
+    * and an upper bound on candidate pairs from surviving buckets).
+    * Σ C(|bucket|, 2) over-counts the DISTINCT pair set (a pair seen
+    * in k buckets counts k times) — a safe over-estimate for a
+    * broadcast gate.
+    */
+  private[operators] def bucketGate(buckets: DataFrame, idsCol: String,
+                                    maxBucket: Int): (Long, Long) = {
+    val n = size(col(idsCol)).cast("long")
+    // n·(n−1) summed as exact int64 (`/` would promote to double);
+    // halved on the driver
+    val r = buckets.agg(
+      coalesce(sum(when(n > maxBucket, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(n <= maxBucket, n * (n - 1L)).otherwise(0L)), lit(0L))).head()
+    (r.getLong(0), r.getLong(1) / 2L)
+  }
+
+  /** Estimated bytes of the candidate relation once decorated with one
+    * full hash array per pair (mean array length from one 1-row agg on
+    * the checkpointed per-doc relation, skipped when the bare pair
+    * bound alone already exceeds the budget). 48 B of row overhead per
+    * pair, 8 B per hash.
+    */
+  private[operators] def estDecoratedBytes(s: SparkSession, pd: DataFrame,
+                                           pairBound: Long, budget: Long): Long = {
+    if (pairBound * 48L > budget) return Long.MaxValue
+    val avgLen = pd.agg(coalesce(avg(size(col("hs"))), lit(0.0))).head().getDouble(0)
+    (pairBound * (48.0 + avgLen * 8.0)).toLong
+  }
+
   /** q134 — the all-pairs join as a first-class query at τ = 0.7: the
     * EXACT-recall dedup path (every pair the brute-force oracle finds,
     * none it doesn't) at ~20% of the exploded rows and zero signature
-    * machinery. Same single-scan reuse discipline as q35.
+    * machinery. The corpus is scanned once into the checkpoint inside
+    * [[prefixJaccardPairs]]; `failOnCapped` makes the recall-exact
+    * claim CHECKED, not assumed — a corpus whose prefix buckets
+    * overflow the quadratic guard raises instead of silently
+    * hash-mismatching the brute-force oracle.
     */
   def q134AllPairsJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -373,7 +465,7 @@ object TextOps {
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-    prefixJaccardPairs(perDoc, "doc_id", 0.7)
+    prefixJaccardPairs(perDoc, "doc_id", 0.7, failOnCapped = true)
       .orderBy($"doc_a", $"doc_b")
   }
 

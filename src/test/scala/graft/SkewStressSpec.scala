@@ -166,6 +166,63 @@ class SkewStressSpec extends SparkSpec {
       s"one task read $maxRead shuffled records — prefix buckets went quadratic")
   }
 
+  test("prefix-filter failOnCapped: an over-cap bucket raises instead of silently dropping pairs") {
+    // 200 identical docs → every prefix bucket holds 200 members, over
+    // the 100 cap. Under the default policy those pairs silently vanish
+    // (the 45k-clique test above); under failOnCapped — the recall-exact
+    // callers' contract (q134, q37's ground truth) — the violation must
+    // be LOUD, not a wrong-but-plausible result the oracle may not see.
+    graft.plans.GraftExtensions.register(spark)
+    val docs = spark.range(200).select($"id".as("doc_id"),
+      lit((1 to 20).map(i => s"cl_$i").mkString(" ")).as("text"))
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+    val e = intercept[IllegalStateException] {
+      graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
+        failOnCapped = true).collect()
+    }
+    assert(e.getMessage.contains("recall-exact"), e.getMessage)
+  }
+
+  test("prefix-filter broadcast gate: an over-budget pair set takes the shuffle path, results identical", SlowTag) {
+    // 8 cliques × 60 identical docs: every bucket is UNDER the cap (60
+    // ≤ 100) so recall stays exact, but the pair set (8 × C(60,2) =
+    // 14 160 decorated pairs) is over a 1-byte broadcast budget — the
+    // gate must decline the hints and the verify joins run as real
+    // shuffle joins (AQE's runtime broadcast conversion disabled here
+    // so the shuffle path actually executes) with the IDENTICAL result
+    // the broadcast path produces.
+    graft.plans.GraftExtensions.register(spark)
+    val docs = spark.range(480).select($"id".as("doc_id"),
+      concat_ws(" ", (1 to 20).map(i =>
+        concat(lit(s"w${i}_"), ($"id" % 8).cast("string"))): _*).as("text"))
+    def perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+    def run(budget: Long) =
+      graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
+        failOnCapped = true, maxBroadcastBytes = budget)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().sorted
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "-1")
+    val shuffled =
+      try run(budget = 1L)
+      finally prev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    val broadcasted = run(budget = 64L << 20)
+    assert(shuffled.length == 8 * 60 * 59 / 2,
+      s"expected all clique pairs, got ${shuffled.length}")
+    assert(shuffled.forall { case (a, b, j) => j == 1.0 && a % 8 == b % 8 },
+      "pairs must be clique-internal identical docs")
+    assert(shuffled.sameElements(broadcasted),
+      "shuffle and broadcast paths must produce the identical pair set")
+  }
+
   test("bounded top-k heap: one group absorbing 500k rows keeps K entries", SlowTag) {
     graft.plans.GraftExtensions.register(spark)
     val topk = graft.functions.TopK(16)
