@@ -409,11 +409,13 @@ object GraphOps {
     // operator (the q122 lesson). It materializes create-if-absent,
     // keyed on (dataset, application) like q122's bucketed tables, so
     // the query's steady-state cost is the increment expansion + delta
-    // merge + label resolve.
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d + "|" + s.sparkContext.applicationId))
+    // merge + label resolve. Both dirs register with [[graft.lake
+    // .AppState]] so the application's end deletes them (hygiene).
+    val tag = graft.lake.AppState.tag(s, d)
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val (pcPath, lblPath) = (s"$wh/graft_cc_pc_$tag", s"$wh/graft_cc_lbl_$tag")
+    graft.lake.AppState.register(s, pcPath)
+    graft.lake.AppState.register(s, lblPath)
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(pcPath)) ||

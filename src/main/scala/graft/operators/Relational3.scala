@@ -369,9 +369,13 @@ object Relational3 {
   def q122BucketedJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.Exact.dsum
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d + "|" + s.sparkContext.applicationId))
+    val tag = graft.lake.AppState.tag(s, d)
     val (liTbl, ordTbl) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    // the bucketed tables' warehouse dirs register for deletion at
+    // application end (the in-memory catalog dies with the app, so
+    // removing the directories IS the full cleanup)
+    for (t <- Seq(liTbl, ordTbl))
+      graft.lake.AppState.register(s, s"${s.conf.get("spark.sql.warehouse.dir")}/$t")
     if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
       // the catalog is in-memory but the warehouse directory outlives
       // the JVM: a stale location from a previous app with the same tag

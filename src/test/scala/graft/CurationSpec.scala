@@ -23,6 +23,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q145 cuts a planted shared span from exactly the non-canonical copies") {
+    // doc 1 owns the span (min doc_id) and keeps it verbatim; doc 2
+    // embeds it mid-text and loses exactly the 5 span tokens; doc 3
+    // shares only the first 3-gram and loses those 3 tokens. Boundary
+    // grams straddling planted/unique tokens (e.g. "x2 alpha beta")
+    // are df = 1 and must not trigger removal.
+    val dir = java.nio.file.Files.createTempDirectory("q145").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "x1 x2 alpha beta gamma delta epsilon y1"),
+      (3L, "alpha beta gamma z9"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Curation.q145DupSpanRemoval(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got sameElements Array(
+      (1L, 5L, 0L, "alpha beta gamma delta epsilon"),
+      (2L, 8L, 5L, "x1 x2 y1"),
+      (3L, 4L, 3L, "z9")), got.mkString("; "))
+  }
+
   test("q81 chunks tile every doc: full coverage, stride 48, size cap 64") {
     val rows = graft.operators.CorpusOps.q81DocChunks(spark, sf)
       .select($"doc_id", $"chunk_idx", $"n_tokens", $"n_chunk_tokens")
