@@ -28,7 +28,9 @@ object SparkEntry {
         "q50_blob_meta" -> (Multimodal.q50BlobMeta _),
         "q51_image_pipeline" -> (Multimodal.q51ImagePipeline _),
         "q117_audio_pipeline" -> (Multimodal.q117AudioPipeline _),
-        "q119_video_pipeline" -> (Multimodal.q119VideoPipeline _))
+        "q119_video_pipeline" -> (Multimodal.q119VideoPipeline _),
+        "q146_blob_dedup" -> (Multimodal.q146BlobDedup _),
+        "q147_blob_attr_fingerprint" -> (Multimodal.q147BlobAttrFingerprint _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,6 +45,8 @@ object SparkEntry {
         "q51_image_pipeline" -> Multimodal.q51Sql,
         "q117_audio_pipeline" -> Multimodal.q117Sql,
         "q119_video_pipeline" -> Multimodal.q119Sql,
+        "q146_blob_dedup" -> Multimodal.q146Sql,
+        "q147_blob_attr_fingerprint" -> Multimodal.q147Sql,
         // the LSH pipeline's verified OUTPUT is hash-free, so the oracle
         // checks it end to end (recall-1 banding argument in MinHashLsh);
         // q37/q43 are planted-invariant audits (ground truth + floors)

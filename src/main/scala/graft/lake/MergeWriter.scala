@@ -52,16 +52,37 @@ object MergeWriter {
       if (!lakeExists) tagged
       else {
         val existing = spark.read.parquet(path)
-        // Prune the read to partitions the batch actually touches: the
-        // semi join on partition keys prunes at the scan (partition cols
-        // are directory levels, so this is metadata-only pruning).
-        val touched = tagged.select(Keys.map(col): _*).distinct()
-        val affected = existing.join(broadcast(touched), Keys, "left_semi")
-          // Materialize and cut lineage: Spark refuses to overwrite a path
-          // its own read plan references. Affected partitions are batch-
-          // sized, so executor-local checkpoint storage is bounded.
-          .localCheckpoint()
-        affected.unionByName(tagged)
+        // Prune the read to partitions the batch actually touches with a
+        // STATIC filter on the partition columns: the touched key set is
+        // bounded by the batch's distinct (symbol, interval, data_type,
+        // exchange, date) combinations — a handful of rows — so it
+        // collects to the driver and becomes an OR-of-equalities the
+        // scan prunes at PLANNING time (directory-level pruning, zero
+        // data files outside the touched partitions are opened).
+        //
+        // The previous formulation — a broadcast left-semi join on the
+        // partition keys — claimed "metadata-only pruning" but measured
+        // otherwise: dynamic partition pruning does not reliably fire
+        // for it, and the merge read the ENTIRE lake per batch
+        // (ScaleRehearsalSpec's 10× rehearsal: 212k records read
+        // against a 200k-row lake for a 1k-row batch). At 100 TB that
+        // is a lake scan per micro-batch — the exact failure the
+        // "cost scales with batch size" contract forbids.
+        val touched = tagged.select(Keys.map(col): _*).distinct().collect()
+        if (touched.isEmpty) tagged
+        else {
+          val cond = touched.map { r =>
+            Keys.zipWithIndex.map { case (k, i) => col(k) === lit(r.getString(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          val affected = existing.filter(cond)
+            // Materialize and cut lineage: Spark refuses to overwrite a
+            // path its own read plan references. Affected partitions are
+            // batch-sized, so executor-local checkpoint storage is
+            // bounded.
+            .localCheckpoint()
+          affected.unionByName(tagged)
+        }
       }
     val deduped = KeepLast.dedup(
       combined,

@@ -105,7 +105,7 @@ object Drift {
       .agg(sum($"a").as("ba"), sum($"b").as("bb"))
     // single-partition window over the BUCKET relation only (≤ value
     // range rows — hundreds), never the event relation
-    val wB = Window.orderBy($"bucket")
+    val wB = BoundedWindow.ordered($"bucket", $"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = per.select($"bucket",
       coalesce(sum($"ba").over(wB), lit(0L)).as("ca0"),

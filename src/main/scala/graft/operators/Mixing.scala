@@ -244,7 +244,7 @@ object Mixing {
       .withColumn("est_weight", greatest($"weight", $"tau"))
       .crossJoin(broadcast(exactTot))
       .withColumn("est_total", sum($"est_weight").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+        BoundedWindow.all($"doc_id")))
       .withColumn("err_permille",
         expr("(abs(est_total - exact_total) * 1000) div exact_total"))
       .select($"doc_id", $"weight", $"priority", $"tau", $"est_weight",
@@ -406,7 +406,7 @@ object Mixing {
     val sample = keyed.orderBy($"h", $"doc_id").limit(512)
       .select($"quality", $"doc_id")
     val ranked = sample.withColumn("rn",
-      row_number().over(Window.orderBy($"quality", $"doc_id")).cast("long"))
+      row_number().over(BoundedWindow.ordered($"doc_id", $"quality", $"doc_id")).cast("long"))
     val nsDf = sample.agg(count(lit(1)).as("ns"))
     val thrRanks = nsDf
       .select(explode(sequence(lit(1), lit(9))).as("i"), $"ns")

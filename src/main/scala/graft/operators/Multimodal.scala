@@ -199,7 +199,14 @@ object Multimodal {
     * oracle verifies the whole synthesize→decode round trip. Only
     * (doc_id, w, h) cross the encoder boundary.
     */
-  def q51ImagePipeline(s: SparkSession, d: String): DataFrame = {
+  /** The q51 synthesis seam factored for reuse: slim (doc_id, blob)
+    * with header-valid PNG/JPEG bytes whose dimensions derive from doc
+    * attributes. The byte payload is a pure function of
+    * (doc_id parity, w, h) and injective in them (w/h are embedded in
+    * the header) — the property the q146/q147 dedup oracles lean on:
+    * byte-identical ⇔ attribute-identical.
+    */
+  def imageBlobs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dims = documents(s, d).select($"doc_id",
       (lit(1) + $"n_chars" % 1024).cast("int").as("w"),
@@ -207,7 +214,7 @@ object Multimodal {
     val blobSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("blob", BinaryType)))
-    val blobs = dims.mapPartitions { it =>
+    dims.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val bytes =
@@ -216,6 +223,11 @@ object Multimodal {
         Row(id, bytes)
       }
     }(org.apache.spark.sql.Encoders.row(blobSchema))
+  }
+
+  def q51ImagePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = imageBlobs(s, d)
     imageMeta(blobs, "doc_id", "blob")
       .select($"doc_id",
         $"image_meta.width".cast("long").as("width"),
@@ -552,4 +564,88 @@ object Multimodal {
       |    x -> CAST(x AS VARCHAR)), ',') AS sampled_idx,
       |  CAST((n_frames - 1) // stride + 1 AS BIGINT) AS n_sampled
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q146 — EXACT dedup over the binary column (round-8 verdict gap 2:
+    * the multimodal tier decoded but never deduped). The q34/q128
+    * discipline applied to bytes: md5 + octet_length are computed
+    * per-partition as a pure map over the slim (id, blob) relation, so
+    * only 16-byte digests and longs ever shuffle — the blobs
+    * themselves never leave their scan partitions, which is the entire
+    * 100 TB posture for byte-level dedup. Groups key on (n_bytes, md5)
+    * (length blocking makes a digest collision need equal lengths
+    * too); each group reports its keeper (min doc_id) and copy count.
+    *
+    * Oracle: the synthetic payload is injective in (parity, w, h)
+    * ([[imageBlobs]]), so DuckDB reproduces the byte-equality classes
+    * from the doc attributes — the hash comparison checks both that
+    * the dedup groups byte-identical blobs and nothing else, and that
+    * the synthesis is deterministic.
+    */
+  def q146BlobDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageBlobs(s, d)
+      .where($"doc_id".isNotNull)
+      .select($"doc_id",
+        octet_length($"blob").cast("long").as("n_bytes"),
+        md5($"blob").as("bh"))
+      .groupBy($"n_bytes", $"bh")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"keeper_doc_id", $"n_bytes", $"n_copies")
+      .orderBy($"keeper_doc_id")
+  }
+
+  val q146Sql: String =
+    """WITH attrs AS (
+      |  SELECT doc_id, doc_id % 2 AS fmt,
+      |    1 + n_chars % 1024 AS w, 1 + (doc_id * 7) % 1024 AS h
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT MIN(doc_id) AS keeper_doc_id,
+      |  CAST(CASE WHEN fmt = 0 THEN 29 ELSE 41 END AS BIGINT) AS n_bytes,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM attrs GROUP BY fmt, w, h
+      |ORDER BY keeper_doc_id""".stripMargin
+
+  /** q147 — decoded-attribute FINGERPRINT grouping: the near-dup tier
+    * for blobs. Byte-level dedup misses re-encodes; the standard next
+    * tier fingerprints the DECODED attributes — here (format, 64-px
+    * width bucket, 64-px height bucket, channels) from the REAL header
+    * decoder ([[decodeImageHeader]] via the mapPartitions codec seam),
+    * grouping images that byte-dedup keeps apart. Each fingerprint
+    * group reports members, representative, and how many EXACT
+    * variants (distinct byte payloads) it absorbs — n_exact > 1 is
+    * precisely the near-dup signal. Same scale shape as q146: the
+    * decode is a per-partition map; only (16-byte digest, 4 small
+    * attrs) shuffle.
+    */
+  def q147BlobAttrFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageMeta(imageBlobs(s, d).where($"doc_id".isNotNull), "doc_id", "blob")
+      .select($"doc_id", md5($"blob").as("bh"),
+        $"image_meta.format".as("format"),
+        expr("CAST(image_meta.width AS BIGINT) div 64").as("wb"),
+        expr("CAST(image_meta.height AS BIGINT) div 64").as("hb"),
+        $"image_meta.channels".cast("long").as("channels"))
+      .groupBy($"format", $"wb", $"hb", $"channels")
+      .agg(min($"doc_id").as("rep_doc"), count(lit(1)).as("n_members"),
+        countDistinct($"bh").as("n_exact"))
+      .select($"rep_doc", $"format", $"wb", $"hb", $"channels",
+        $"n_members", $"n_exact")
+      .orderBy($"rep_doc")
+  }
+
+  val q147Sql: String =
+    """WITH attrs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |    (1 + n_chars % 1024) // 64 AS wb,
+      |    (1 + (doc_id * 7) % 1024) // 64 AS hb,
+      |    1 + n_chars % 1024 AS w, 1 + (doc_id * 7) % 1024 AS h
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT MIN(doc_id) AS rep_doc, format,
+      |  CAST(wb AS BIGINT) AS wb, CAST(hb AS BIGINT) AS hb,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT (w, h)) AS BIGINT) AS n_exact
+      |FROM attrs GROUP BY format, wb, hb
+      |ORDER BY rep_doc""".stripMargin
 }

@@ -57,7 +57,7 @@ object Retrieval {
       .groupBy($"doc_id").agg(count(lit(1)).as("lex_overlap"))
       .orderBy($"lex_overlap".desc, $"doc_id").limit(50)
     val lexR = lexTop.withColumn("lex_rank",
-      row_number().over(Window.orderBy($"lex_overlap".desc, $"doc_id")).cast("long"))
+      row_number().over(BoundedWindow.ordered($"doc_id", $"lex_overlap".desc, $"doc_id")).cast("long"))
 
     // Norms are aggregated over the exploded relation BEFORE the query-
     // vector join (round-7 verdict item 5, closing the former
@@ -85,7 +85,7 @@ object Retrieval {
         ($"dot" / (sqrt($"n2") * sqrt($"qn2"))).as("cos"))
       .orderBy($"cos".desc, $"doc_id").limit(50)
     val semR = semTop.withColumn("sem_rank",
-      row_number().over(Window.orderBy($"cos".desc, $"doc_id")).cast("long"))
+      row_number().over(BoundedWindow.ordered($"doc_id", $"cos".desc, $"doc_id")).cast("long"))
 
     lexR.join(semR, Seq("doc_id"), "full_outer")
       .select($"doc_id",
@@ -271,9 +271,9 @@ object Retrieval {
       .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
     broadcast(top).join(toks, Seq("doc_id"))
       .withColumn("rank",
-        row_number().over(Window.orderBy($"rrf".desc, $"doc_id")).cast("long"))
+        row_number().over(BoundedWindow.ordered($"doc_id", $"rrf".desc, $"doc_id")).cast("long"))
       .withColumn("cum_tokens",
-        sum($"n_tokens").over(Window.orderBy($"rank")
+        sum($"n_tokens").over(BoundedWindow.ordered($"doc_id", $"rank")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"rank", $"doc_id", $"n_tokens", $"cum_tokens",
         ($"cum_tokens" <= budget).as("selected"))

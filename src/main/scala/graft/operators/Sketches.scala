@@ -208,7 +208,7 @@ object Sketches {
     val keyed = li.select($"l_extendedprice".as("v"),
       expr(s"((l_orderkey * 10 + l_linenumber) % $P * ($a % $P) + 40503) % $P").as("h"))
     val sample = keyed.orderBy($"h", $"v").limit(K)
-      .withColumn("rn", row_number().over(Window.orderBy($"v", $"h")).cast("long"))
+      .withColumn("rn", row_number().over(BoundedWindow.ordered($"h", $"v", $"h")).cast("long"))
     val ps = Seq(10L, 50L, 250L, 500L, 750L, 950L, 990L).toDF("p")
     val est = broadcast(ps
         .withColumn("rn", expr(s"greatest((p * $K + 999) div 1000, 1)")))

@@ -778,9 +778,9 @@ object VectorOps {
         .orderBy(col(s"cos_$tag").desc, $"vec_id").limit(10)
     }
     val fullTop = arm(e, "full").withColumn("rank_full",
-      row_number().over(Window.orderBy($"cos_full".desc, $"vec_id")).cast("long"))
+      row_number().over(BoundedWindow.ordered($"vec_id", $"cos_full".desc, $"vec_id")).cast("long"))
     val truncTop = arm(e.filter($"pos" < 16), "trunc").withColumn("rank_trunc",
-      row_number().over(Window.orderBy($"cos_trunc".desc, $"vec_id")).cast("long"))
+      row_number().over(BoundedWindow.ordered($"vec_id", $"cos_trunc".desc, $"vec_id")).cast("long"))
     val joined = fullTop
       .join(truncTop.select($"vec_id", $"rank_trunc"), Seq("vec_id"), "left")
     val overlap = joined.agg(count($"rank_trunc").as("overlap_at_10"))

@@ -166,6 +166,64 @@ class ScaleRehearsalSpec extends SparkSpec {
       s"expected ~one cluster per planted triple ($expected), got $nClusters")
   }
 
+  /** Total file-scan records read across every task inside `body`. */
+  private def inputRecords(body: => Unit): Long = {
+    val tot = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && e.taskMetrics.inputMetrics != null)
+          tot.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(1500) /* drain the async listener bus */ }
+    finally spark.sparkContext.removeSparkListener(listener)
+    tot.get()
+  }
+
+  test("merge reads scale with the batch, not the lake (streaming-tier rehearsal at 10x)", SlowTag) {
+    // The MergeWriter claim under test: "the merge only ever
+    // reads/writes the partitions present in the incoming batch, so
+    // cost scales with batch size, not lake size". Here that is
+    // MEASURED, not plan-read: a 40-date lake and a 400-date lake (2 M
+    // rows — 10×) each take the same 2-date batch; the file-scan
+    // records of the merge must be ~(2 affected dates + batch), and —
+    // the load-bearing assertion — must NOT grow with the lake.
+    import graft.lake.MergeWriter
+    val rowsPerDate = 5000L
+    def mkLake(nDates: Long): String = {
+      val lake = java.nio.file.Files.createTempDirectory(s"mergescale_$nDates").toString + "/lake"
+      val df = spark.range(nDates * rowsPerDate).select(
+        expr(s"timestamp_millis(1609459200000 + (id div $rowsPerDate) * 86400000" +
+          s" + (id % $rowsPerDate) * 17000)").as("timestamp"),
+        lit(1.0).as("open"), lit(2.0).as("high"), lit(0.5).as("low"),
+        ($"id" % 100).cast("double").as("close"), lit(10.0).as("volume"),
+        lit("BTC-USDT").as("symbol"), lit("coinbase").as("exchange"))
+      MergeWriter.merge(spark, MergeWriter.withPartitionCols(df, "15m", "spot"), lake, 1)
+      lake
+    }
+    def batch = MergeWriter.withPartitionCols(
+      spark.range(1000).select(
+        expr("timestamp_millis(1609459200000 + (id div 500) * 86400000 + (id % 500) * 17000)")
+          .as("timestamp"),
+        lit(1.0).as("open"), lit(2.0).as("high"), lit(0.5).as("low"),
+        lit(42.0).as("close"), lit(10.0).as("volume"),
+        lit("BTC-USDT").as("symbol"), lit("coinbase").as("exchange")), "15m", "spot")
+    val lakeS = mkLake(40L)
+    val lakeB = mkLake(400L)
+    val readS = inputRecords { MergeWriter.merge(spark, batch, lakeS, 2) }
+    val readB = inputRecords { MergeWriter.merge(spark, batch, lakeB, 2) }
+    // affected = 2 dates × 5000 = 10k rows (+ the 1k batch union); 4×
+    // slack absorbs the touched-keys pass and metric noise
+    assert(readS <= 4 * (2 * rowsPerDate + 1000L),
+      s"small-lake merge read $readS records — affected-partition pruning failed")
+    assert(readB <= readS + 2 * rowsPerDate,
+      s"merge read grew with LAKE size ($readS → $readB records for a 10× lake) — " +
+        "the read is no longer bounded by the batch's partitions")
+    // and the merged lake is intact: the 2 touched dates re-deduped,
+    // the other 398 untouched
+    assert(spark.read.parquet(lakeB).count() == 400L * rowsPerDate)
+  }
+
   test("bucketed join shuffle volume is scale-independent (exchange-free SMJ, measured)", SlowTag) {
     val small = factsDir(150000L)
     val big = factsDir(1500000L)
