@@ -416,12 +416,92 @@ object Curation {
       |FROM stats s LEFT JOIN ka USING (doc_id)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** q149 — linear QUALITY-CLASSIFIER inference at corpus scale: the
+    * fastText-style filter every modern pretraining pipeline runs
+    * (GPT-3's WebText-similarity classifier; LLaMA/CCNet's fastText
+    * gate) — a linear model over hashed bag-of-n-gram features, scored
+    * per document, keep/drop by threshold. Features are the PORTABLE
+    * base-31 polynomial hashes ([[graft.functions.PolyShingleHashes]],
+    * q84's kernel) of distinct unigrams and bigrams, bucketed mod 4096;
+    * the "trained" weight vector is planted deterministically per
+    * bucket (a multiplicative hash into [0, 2000] — stands in for
+    * learned weights exactly like q51's synthesized headers stand in
+    * for image files: the SERVING math is real, the parameters are the
+    * seam). Score = mean bucket weight in exact integer milli-units;
+    * keep = score ≥ the 1000-milli midpoint.
+    *
+    * Scale shape: the model BROADCASTS (4096 rows — any real fastText
+    * model is MB-scale and broadcasts the same way); features are one
+    * fused-kernel map + explode; the per-doc rollup is one
+    * partial+final agg on doc_id. The corpus is scanned once and never
+    * shuffles on tokens. All arithmetic non-negative int64, so `div`
+    * ≡ DuckDB `//` and the oracle is cell-exact.
+    */
+  def q149QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val B = 4096L
+    val weights = s.range(B).select($"id".as("bucket"),
+      ($"id" * 2654435761L % 1000003L % 2001L).as("w"))
+    // the trimmed-nonempty gate (mirrored in the oracle) keeps the
+    // zero-token degenerate case out of both engines' divergent
+    // empty-string split semantics
+    val feats = documents(s, d)
+      .filter($"doc_id".isNotNull && $"text".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id",
+        concat(call_function("poly_shingle_hashes", $"text", lit(1)),
+          call_function("poly_shingle_hashes", $"text", lit(2))).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", explode($"hs").as("h"))
+      .select($"doc_id", ($"h" % B).as("bucket"))
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"w").as("w_sum"))
+      .withColumn("score_milli", expr("(w_sum * 1000) div n_feats"))
+      .withColumn("keep", $"score_milli" >= 1000000L)
+      .select($"doc_id", $"n_feats", $"w_sum", $"score_milli", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val q149Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND LEN(TRIM(text)) > 0
+      |), g1 AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(toks, t ->
+      |    list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                (a, b) -> (a * 31 + b) % 9007199254740881))) AS hl
+      |  FROM docs
+      |), g2 AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks), 1)), i -> toks[i] || ' ' || toks[i+1]), s ->
+      |    list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                (a, b) -> (a * 31 + b) % 9007199254740881))) AS hl
+      |  FROM docs
+      |), feats AS (
+      |  SELECT doc_id, UNNEST(g1.hl || g2.hl) % 4096 AS bucket
+      |  FROM g1 JOIN g2 USING (doc_id)
+      |), weights AS (
+      |  SELECT i AS bucket, (i * 2654435761) % 1000003 % 2001 AS w
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS i)
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |  CAST(SUM(w) AS BIGINT) AS w_sum,
+      |  CAST((SUM(w) * 1000) // COUNT(*) AS BIGINT) AS score_milli,
+      |  (SUM(w) * 1000) // COUNT(*) >= 1000000 AS keep
+      |FROM feats JOIN weights USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_curation_pipeline" -> (q78CurationPipeline _),
     "q83_pii_redact" -> (q83PiiRedact _),
     "q84_decontaminate" -> (q84Decontaminate _),
     "q141_canonical_selection" -> (q141CanonicalSelection _),
     "q145_dup_span_removal" -> (q145DupSpanRemoval _),
+    "q149_quality_classifier" -> (q149QualityClassifier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +510,6 @@ object Curation {
     "q84_decontaminate" -> q84Sql,
     "q141_canonical_selection" -> q141Sql,
     "q145_dup_span_removal" -> q145Sql,
+    "q149_quality_classifier" -> q149Sql,
   )
 }

@@ -300,15 +300,142 @@ object Retrieval {
        |  SUM(n_tokens) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) <= 256 AS selected
        |FROM ranked ORDER BY rank""".stripMargin
 
+  /** q148 — MMR (Maximal Marginal Relevance, Carbonell & Goldstein '98)
+    * diversification rerank: the step between retrieval and context
+    * assembly when the top-k is redundant — greedily select K = 5 of
+    * the top-20 cosine candidates maximizing
+    * λ·rel − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7. Standard in
+    * every RAG stack; a dedup-aware retriever in miniature.
+    *
+    * Scale shape: the candidate arm is q114's semantic chain
+    * (TakeOrderedAndProject top-20, corpus never sorted); candidate
+    * pairwise sims are a 20-vector self-join on the broadcast-filtered
+    * exploded relation (≤ 20·64 rows); the greedy unroll is FIVE
+    * bounded plan steps over checkpointed ≤ 20-row relations — no
+    * driver-side collect anywhere. Cosines ride the same
+    * floor-fixed-point dot products as q41/q114, so every score is
+    * bit-identical cross-engine and the greedy argmax (ties by doc_id)
+    * is deterministic.
+    */
+  def q148MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lam = 0.7
+    val e = VectorOps.exploded(s, d)
+    val norms = e.groupBy($"vec_id").agg(VectorOps.xsum($"v" * $"v").as("n2"))
+    val qv = e.filter($"vec_id" === 0).select($"pos", $"v".as("qv"))
+    val dots = e.join(broadcast(qv), Seq("pos"))
+      .groupBy($"vec_id").agg(VectorOps.xsum($"qv" * $"v").as("dot"))
+    val qn = norms.filter($"vec_id" === 0).select($"n2".as("qn2"))
+    val cand = dots.join(norms, Seq("vec_id")).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qn))
+      .select($"vec_id".as("doc_id"),
+        ($"dot" / (sqrt($"n2") * sqrt($"qn2"))).as("rel"))
+      .orderBy($"rel".desc, $"doc_id").limit(20)
+      .localCheckpoint() // 20 rows
+    val ids = cand.select($"doc_id".as("vec_id"))
+    val ce = e.join(broadcast(ids), Seq("vec_id"))
+    val pd = ce.as("a").join(ce.as("b"),
+        $"a.pos" === $"b.pos" && $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.vec_id".as("x"), $"b.vec_id".as("y"))
+      .agg(VectorOps.xsum($"a.v" * $"b.v").as("dxy"))
+    val sims0 = pd
+      .join(norms.select($"vec_id".as("x"), $"n2".as("nx")), Seq("x"))
+      .join(norms.select($"vec_id".as("y"), $"n2".as("ny")), Seq("y"))
+      .select($"x", $"y", ($"dxy" / (sqrt($"nx") * sqrt($"ny"))).as("sim"))
+    val sims = sims0.unionAll(sims0.select($"y".as("x"), $"x".as("y"), $"sim"))
+      .localCheckpoint() // ≤ 20·19 rows
+    var selected = cand.orderBy($"rel".desc, $"doc_id").limit(1)
+      .select($"doc_id", lit(1L).as("mmr_rank"), $"rel",
+        lit(0.0).as("max_sim"), (lit(lam) * $"rel").as("score"))
+      .localCheckpoint()
+    for (k <- 2 to 5) {
+      val next = cand
+        .join(selected.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .join(sims.join(selected.select($"doc_id".as("y")), Seq("y"))
+            .groupBy($"x".as("doc_id")).agg(max($"sim").as("max_sim")),
+          Seq("doc_id"), "left")
+        .withColumn("max_sim", coalesce($"max_sim", lit(0.0)))
+        // 0.3 as a LITERAL, not 1 − λ: Scala's `1 - 0.7` is
+        // 0.30000000000000004 and the last-bit drift breaks the
+        // cell-exact oracle (measured)
+        .withColumn("score", lit(lam) * $"rel" - lit(0.3) * $"max_sim")
+        .orderBy($"score".desc, $"doc_id").limit(1)
+        .select($"doc_id", lit(k.toLong).as("mmr_rank"), $"rel", $"max_sim", $"score")
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select($"mmr_rank", $"doc_id", $"rel", $"max_sim", $"score")
+      .orderBy($"mmr_rank")
+  }
+
+  /** Oracle: the identical unrolled greedy — candidate/pairwise CTEs in
+    * the q114 fixed-point dot arithmetic, five selection steps
+    * generated mechanically (the bpeStepSql pattern).
+    */
+  val q148Sql: String = {
+    val steps = (2 to 5).map { k =>
+      val prevSel = (1 until k).map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ALL ")
+      s"""r$k AS (
+         |  SELECT c.doc_id, c.rel, COALESCE(MAX(s.sim), 0.0) AS max_sim
+         |  FROM cand c LEFT JOIN sims s
+         |    ON s.x = c.doc_id AND s.y IN ($prevSel)
+         |  WHERE c.doc_id NOT IN ($prevSel)
+         |  GROUP BY c.doc_id, c.rel
+         |), s$k AS (
+         |  SELECT doc_id, CAST($k AS BIGINT) AS mmr_rank, rel, max_sim,
+         |    0.7*rel - 0.3*max_sim AS score
+         |  FROM r$k ORDER BY score DESC, doc_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+       |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+       |  FROM e GROUP BY vec_id
+       |), dots AS (
+       |  SELECT c.vec_id, CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+       |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id = 0 AND c.vec_id <> 0
+       |  GROUP BY c.vec_id
+       |), cand AS (
+       |  SELECT d.vec_id AS doc_id, d.dot / (SQRT(n.n2) * SQRT(qn.n2)) AS rel
+       |  FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+       |    JOIN norms qn ON qn.vec_id = 0
+       |  ORDER BY rel DESC, doc_id LIMIT 20
+       |), pd AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y,
+       |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dxy
+       |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id IN (SELECT doc_id FROM cand)
+       |    AND b.vec_id IN (SELECT doc_id FROM cand)
+       |  GROUP BY 1, 2
+       |), sims0 AS (
+       |  SELECT x, y, dxy / (SQRT(nx.n2) * SQRT(ny.n2)) AS sim
+       |  FROM pd JOIN norms nx ON nx.vec_id = pd.x JOIN norms ny ON ny.vec_id = pd.y
+       |), sims AS (
+       |  SELECT x, y, sim FROM sims0 UNION ALL SELECT y AS x, x AS y, sim FROM sims0
+       |), s1 AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS mmr_rank, rel, 0.0 AS max_sim,
+       |    0.7*rel AS score
+       |  FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+       |), $steps
+       |SELECT mmr_rank, doc_id, rel, max_sim, score FROM (
+       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+       |ORDER BY mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_hybrid_retrieval" -> (q114HybridRetrieval _),
     "q131_bm25" -> (q131Bm25 _),
     "q144_context_assembly" -> (q144ContextAssembly _),
+    "q148_mmr_rerank" -> (q148MmrRerank _),
   )
 
   val oracles: Map[String, String] = Map(
     "q114_hybrid_retrieval" -> q114Sql,
     "q131_bm25" -> q131Sql,
     "q144_context_assembly" -> q144Sql,
+    "q148_mmr_rerank" -> q148Sql,
   )
 }

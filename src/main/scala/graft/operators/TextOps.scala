@@ -906,6 +906,68 @@ object TextOps {
       |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q150 — cross-source duplication MATRIX: for every ordered source
+    * pair (source of the smaller doc_id first), how many exact-recall
+    * near-dup pairs (τ = 0.7, the q134 prefix-filter join) cross it,
+    * and how many are byte-level identical (J = 1). This is the
+    * curation dashboard question behind source mixing — "how much of
+    * source B is already in source A" decides dedup ordering and
+    * mixture weights (the RefinedWeb/Dolma-style per-source dedup
+    * accounting).
+    *
+    * Scale shape: the pair relation is [[prefixJaccardPairs]]'
+    * survivor set and BROADCASTS into two joins against the pruned
+    * (doc_id, source) projection; the rollup is a partial+final agg on
+    * the ≤|sources|² key space.
+    */
+  def q150CrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val docs = documents(s, d).filter($"doc_id".isNotNull && $"source".isNotNull)
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") > 0)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+    val pairs = prefixJaccardPairs(perDoc, "doc_id", 0.7, failOnCapped = true)
+    val src = docs.select($"doc_id", $"source")
+    broadcast(pairs.select($"doc_a", $"doc_b", $"jaccard"))
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), Seq("doc_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"jaccard" >= 1.0, 1L).otherwise(0L)).as("n_exact"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q150Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(sh) AS shingle FROM d0 WHERE LEN(sh) > 0
+      |), sz AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+      |), cm AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |  FROM cm JOIN sz sa ON sa.doc_id = cm.doc_a JOIN sz sb ON sb.doc_id = cm.doc_b
+      |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.7
+      |)
+      |SELECT da.source AS source_a, db.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN jaccard >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+      |FROM pairs JOIN d0 da ON da.doc_id = pairs.doc_a
+      |           JOIN d0 db ON db.doc_id = pairs.doc_b
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -919,6 +981,7 @@ object TextOps {
     "q59_dedup_clusters" -> (q59DedupClusters _),
     "q100_dedup_increment" -> (q100DedupIncrement _),
     "q134_allpairs_join" -> (q134AllPairsJoin _),
+    "q150_cross_source_dups" -> (q150CrossSourceDups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -934,5 +997,6 @@ object TextOps {
     "q59_dedup_clusters" -> q59Sql,
     "q100_dedup_increment" -> q100Sql,
     "q134_allpairs_join" -> q134Sql,
+    "q150_cross_source_dups" -> q150Sql,
   )
 }

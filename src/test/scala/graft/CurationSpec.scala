@@ -46,6 +46,39 @@ class CurationSpec extends SparkSpec {
       (3L, 4L, 3L, "z9")), got.mkString("; "))
   }
 
+
+  test("q149 classifier: feature count = distinct unigrams + bigrams; keep tracks the threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("q149").toString
+    Seq((1L, "a b a"), (2L, "zz"), (3L, "a b a"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Curation.q149QualityClassifier(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // "a b a": distinct unigrams {a, b} + distinct bigrams {"a b", "b a"} = 4
+    assert(got(0)._2 == 4L, got.mkString("; "))
+    assert(got(1)._2 == 1L) // "zz": one unigram, no bigram
+    // identical text => identical score (deterministic model)
+    assert(got(0).copy(_1 = 3L) == got(2))
+    for (r <- got) assert(r._5 == (r._4 >= 1000000L), r.toString)
+  }
+
+  test("q150 cross-source matrix: a doc duplicated across sources lands in the right cell") {
+    val dir = java.nio.file.Files.createTempDirectory("q150").toString
+    Seq((1L, "alpha beta gamma delta", "A"), (2L, "alpha beta gamma delta", "B"),
+        (3L, "alpha beta gamma delta", "A"), (4L, "unrelated text entirely here", "B"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.q150CrossSourceDups(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // pairs (1,2): A->B, (1,3): A->A, (2,3): B->A, all exact dups
+    assert(got == Seq(("A", "A", 1L, 1L), ("A", "B", 1L, 1L), ("B", "A", 1L, 1L)),
+      got.mkString("; "))
+  }
+
   test("q81 chunks tile every doc: full coverage, stride 48, size cap 64") {
     val rows = graft.operators.CorpusOps.q81DocChunks(spark, sf)
       .select($"doc_id", $"chunk_idx", $"n_tokens", $"n_chunk_tokens")

@@ -107,6 +107,38 @@ class RetrievalSpec extends SparkSpec {
       (3L, 5L, 2L, 305L, false)), s"got $got")
   }
 
+
+  test("q148 MMR: the redundant twin of the first pick is demoted below a diverse doc") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr148").toString
+    Seq((0L, "q"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // query along e1; docs 1 and 2 are scalar multiples (cos(1,2) = 1,
+    // rel 0.85 each); doc 3 is moderately relevant (rel 0.6) but nearly
+    // orthogonal to doc 1 (cos ~ 0.28); docs 4/5 orthogonal fillers.
+    // Pure relevance ranks 1, 2, 3 - MMR must rank 1, 3, 2: the twin
+    // carries max_sim = 1 (score 0.7*0.85 - 0.3 = 0.295) and loses to
+    // the diverse doc (0.7*0.6 - 0.3*0.28 = 0.336).
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.85f, 0.5268f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.70f, 1.0536f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.6f, -0.44f, 0.668f, 0.0f), 0),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f), 0),
+      (5L, Seq(0.0f, 0.0f, 0.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Retrieval.q148MmrRerank(spark, dir)
+      .select($"mmr_rank", $"doc_id", $"max_sim")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L, 4L, 5L), got.mkString("; "))
+    // the twin carries its identical-similarity penalty visibly
+    assert(math.abs(got(2)._3 - 1.0) < 1e-9, s"twin max_sim: ${got(2)}")
+    assert(got(0)._3 == 0.0)
+  }
+
   test("q131 BM25: a doc sharing the query's rare term outranks stopword-only docs") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("bm25").toString
