@@ -275,6 +275,45 @@ object Mixing {
       |    // (SELECT SUM(weight) FROM p) AS BIGINT) AS err_permille
       |FROM kept ORDER BY priority DESC, doc_id""".stripMargin
 
+  /** q151 — k-ANONYMITY audit over quasi-identifiers: the governance
+    * gate a dataset release runs before publication — group docs by the
+    * (lang, source, 100-char size bucket) quasi-identifier tuple and
+    * flag every document whose group has fewer than k = 5 members
+    * (re-identifiable via attribute linkage; Sweeney's k-anonymity
+    * criterion). The PII tier (q83) scrubs direct identifiers; this is
+    * the complementary INDIRECT-identifier audit.
+    *
+    * Scale shape: the group relation is bounded by the quasi-identifier
+    * cross space (langs × sources × buckets — dimension-sized at any
+    * corpus scale) and BROADCASTS back over the scan; one partial+final
+    * agg plus a pure-map decoration, the corpus never shuffles.
+    */
+  def q151KAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", $"lang", $"source",
+        expr("n_chars div 100").as("size_bucket"))
+    val groups = docs.groupBy($"lang", $"source", $"size_bucket")
+      .agg(count(lit(1)).as("k"))
+    docs.join(broadcast(groups), Seq("lang", "source", "size_bucket"))
+      .select($"doc_id", $"lang", $"source", $"size_bucket", $"k",
+        ($"k" < 5).as("at_risk"))
+      .orderBy($"doc_id")
+  }
+
+  val q151Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars // 100 AS size_bucket
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), g AS (
+      |  SELECT lang, source, size_bucket, COUNT(*) AS k
+      |  FROM d GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, lang, source, CAST(size_bucket AS BIGINT) AS size_bucket,
+      |  CAST(k AS BIGINT) AS k, k < 5 AS at_risk
+      |FROM d JOIN g USING (lang, source, size_bucket)
+      |ORDER BY doc_id""".stripMargin
+
   /** q128 — leakage-safe train/val/test split: the split is assigned to
     * the exact-duplicate GROUP, not the document, so two copies of the
     * same text can never straddle train and eval (the classic benchmark
@@ -461,6 +500,7 @@ object Mixing {
     "q128_leakage_safe_split" -> (q128LeakageSafeSplit _),
     "q130_token_budget" -> (q130TokenBudget _),
     "q139_curriculum_phases" -> (q139CurriculumPhases _),
+    "q151_k_anonymity" -> (q151KAnonymity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +511,6 @@ object Mixing {
     "q128_leakage_safe_split" -> q128Sql,
     "q130_token_budget" -> q130Sql,
     "q139_curriculum_phases" -> q139Sql,
+    "q151_k_anonymity" -> q151Sql,
   )
 }

@@ -834,6 +834,74 @@ object VectorOps {
       |FROM fullrk f LEFT JOIN truncrk t USING (vec_id)
       |ORDER BY f.rank_full""".stripMargin
 
+
+  /** q152 — SEMANTIC decontamination: the embedding-level sibling of
+    * q84's n-gram sweep (the Llama/GPT-4-style contamination audit —
+    * paraphrased benchmark leakage that shares no shingles still sits
+    * next to its eval doc in embedding space). Eval set = vec_id % 97
+    * (q84's convention); the audit reports the TOP-20
+    * most-contaminated train docs (by exact max cosine to any eval
+    * vector, ties by id) — the worst-offenders list an audit actually
+    * consumes, stable at any scale factor unlike a fixed threshold.
+    *
+    * Scale shape: the eval side is benchmark-sized and BROADCASTS into
+    * the position join (the q41 discipline — a shuffle join would key
+    * on 64 pos values and cap parallelism); per-train argmax is one
+    * deterministic `max(struct)` aggregate over eval-normalized partial
+    * cosines (eval norms fold in pre-aggregate — broadcast-sized; the
+    * train norm divides AFTER the argmax on the train-sized relation,
+    * valid because it is constant within the group). Exact fixed-point
+    * dots throughout, so the top-20 cut is cross-engine stable.
+    */
+  def q152SemanticDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = exploded(s, d)
+    val norms = e.groupBy($"vec_id").agg(xsum($"v" * $"v").as("n2"))
+    val ev = e.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("eval_id"), $"pos", $"v".as("evv"))
+    val dots = broadcast(ev).join(e.as("c"), Seq("pos"))
+      .filter($"c.vec_id" % 97 =!= 0)
+      .groupBy($"c.vec_id".as("train_id"), $"eval_id")
+      .agg(xsum($"evv" * $"c.v").as("dot"))
+    val qs = dots
+      .join(broadcast(norms.filter($"vec_id" % 97 === 0)
+        .select($"vec_id".as("eval_id"), $"n2".as("en2"))), Seq("eval_id"))
+      .withColumn("qcos", $"dot" / sqrt($"en2"))
+    qs.groupBy($"train_id")
+      .agg(max(struct($"qcos", (-$"eval_id").as("nid"))).as("m"))
+      .join(norms.select($"vec_id".as("train_id"), $"n2".as("tn2")), Seq("train_id"))
+      .select($"train_id", ($"m.qcos" / sqrt($"tn2")).as("max_cos"),
+        (-$"m.nid").as("nearest_eval"))
+      .orderBy($"max_cos".desc, $"train_id")
+      .limit(20)
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY vec_id
+      |), dots AS (
+      |  SELECT c.vec_id AS train_id, q.vec_id AS eval_id,
+      |    CAST(SUM(CAST(FLOOR(q.v * c.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+      |  GROUP BY 1, 2
+      |), qs AS (
+      |  SELECT d.train_id, d.eval_id, d.dot / SQRT(en.n2) AS qcos
+      |  FROM dots d JOIN norms en ON en.vec_id = d.eval_id
+      |), am AS (
+      |  SELECT train_id, eval_id AS nearest_eval, qcos
+      |  FROM qs
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY train_id ORDER BY qcos DESC, eval_id) = 1
+      |)
+      |SELECT a.train_id, a.qcos / SQRT(tn.n2) AS max_cos,
+      |  CAST(a.nearest_eval AS BIGINT) AS nearest_eval
+      |FROM am a JOIN norms tn ON tn.vec_id = a.train_id
+      |ORDER BY max_cos DESC, a.train_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -845,6 +913,7 @@ object VectorOps {
     "q76_ivf_search" -> (q76IvfSearch _),
     "q127_pca_power" -> (q127PcaPower _),
     "q143_matryoshka_audit" -> (q143MatryoshkaAudit _),
+    "q152_semantic_decontamination" -> (q152SemanticDecontamination _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -858,5 +927,6 @@ object VectorOps {
     "q76_ivf_search" -> q76Sql,
     "q127_pca_power" -> q127Sql,
     "q143_matryoshka_audit" -> q143Sql,
+    "q152_semantic_decontamination" -> q152Sql,
   )
 }

@@ -218,4 +218,18 @@ class MixingSpec extends SparkSpec {
       .select($"doc_id", $"quality", $"phase").as[(Long, Double, Long)].collect().toSeq
     assert(rows.toSet == again.toSet, "phase assignment must be deterministic")
   }
+
+  test("q151 k-anonymity: a singleton quasi-identifier group is at risk, a 5-group is not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q151").toString
+    (Seq((1L, "en", "web", 150L)) ++ (2L to 6L).map(i => (i, "en", "web", 250L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "'t' AS text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Mixing.q151KAnonymity(spark, dir)
+      .select($"doc_id", $"k", $"at_risk").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.head == ((1L, 1L, true)), got.mkString("; "))
+    assert(got.tail.forall(r => r._2 == 5L && !r._3), got.mkString("; "))
+  }
 }

@@ -84,4 +84,26 @@ class VectorDedupSpec extends SparkSpec {
     assert(byVec(1L)._3 == 1000L, s"and be absent from the truncated top-10: $got")
     assert(got.forall(_._4 == 9L), s"overlap@10 must be the 9 shared fillers: $got")
   }
+
+  test("q152 semantic decontamination: a planted copy of an eval vector tops the audit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q152").toString
+    // eval ids are multiples of 97; train vec 5 duplicates eval vec 97
+    // exactly (cos 1), every other train vec is orthogonal-ish noise
+    val rows = (0L to 120L).map { id =>
+      val v: Seq[Float] =
+        if (id == 97L || id == 5L) Seq(1.0f, 2.0f, 3.0f, 4.0f)
+        else Seq((id % 7).toFloat + 1f, (id % 3).toFloat, 0f, (id % 11).toFloat)
+      (id, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.q152SemanticDecontamination(spark, dir)
+      .select($"train_id", $"max_cos", $"nearest_eval")
+      .as[(Long, Double, Long)].collect()
+    assert(got.head._1 == 5L && got.head._3 == 97L, got.take(3).mkString("; "))
+    assert(math.abs(got.head._2 - 1.0) < 1e-9, got.head.toString)
+    assert(got.length == 20)
+    assert(got.forall(r => r._1 % 97 != 0 && r._3 % 97 == 0))
+  }
 }
