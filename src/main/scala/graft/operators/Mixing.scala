@@ -314,6 +314,64 @@ object Mixing {
       |FROM d JOIN g USING (lang, source, size_bucket)
       |ORDER BY doc_id""".stripMargin
 
+  /** q153 — deterministic TRAINING ORDER + shard assignment: the step
+    * between curation and writing webdataset-style shards — every doc
+    * gets a pseudo-random but REPRODUCIBLE position (seeded permutation
+    * via two independent affine hashes: one routes to a shard, one
+    * orders within it), so a re-run of the pipeline writes
+    * byte-identical shards and a training job can resume
+    * mid-epoch deterministically. No RNG state, no driver-side
+    * shuffling — the q58/q120 portable-hash discipline applied to data
+    * ordering.
+    *
+    * Scale shape: shard routing is a pure map; the within-shard rank is
+    * a window PARTITIONED BY shard — exactly the distributed sort a
+    * shard writer performs anyway (hash-partition by shard, sort within
+    * partition), never a global window. The per-shard manifest (count +
+    * token total) is dimension-bounded (n_shards rows) and broadcasts
+    * back onto the assignment.
+    */
+  def q153TrainingOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("shard", (($"doc_id" % P) * (2654435761L % P) + 40503L) % P % 16L)
+      .withColumn("h2", (($"doc_id" % P) * (1779033703L % P) + 144169L) % P)
+    val ranked = docs.withColumn("pos_in_shard",
+      (row_number().over(Window.partitionBy($"shard")
+        .orderBy($"h2", $"doc_id")) - 1).cast("long"))
+    val manifest = ranked.groupBy($"shard")
+      .agg(count(lit(1)).as("shard_docs"), sum($"n_tokens").as("shard_tokens"))
+    ranked.join(broadcast(manifest), Seq("shard"))
+      .select($"doc_id", $"shard", $"pos_in_shard", $"n_tokens",
+        $"shard_docs", $"shard_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q153Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    ((doc_id % 1000000007) * (2654435761 % 1000000007) + 40503) % 1000000007 % 16 AS shard,
+      |    ((doc_id % 1000000007) * (1779033703 % 1000000007) + 144169) % 1000000007 AS h2
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), r AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos_in_shard
+      |  FROM d
+      |), m AS (
+      |  SELECT shard, COUNT(*) AS shard_docs, SUM(n_tokens) AS shard_tokens
+      |  FROM r GROUP BY shard
+      |)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos_in_shard, n_tokens,
+      |  CAST(shard_docs AS BIGINT) AS shard_docs,
+      |  CAST(shard_tokens AS BIGINT) AS shard_tokens
+      |FROM r JOIN m USING (shard)
+      |ORDER BY doc_id""".stripMargin
+
   /** q128 — leakage-safe train/val/test split: the split is assigned to
     * the exact-duplicate GROUP, not the document, so two copies of the
     * same text can never straddle train and eval (the classic benchmark
@@ -501,6 +559,7 @@ object Mixing {
     "q130_token_budget" -> (q130TokenBudget _),
     "q139_curriculum_phases" -> (q139CurriculumPhases _),
     "q151_k_anonymity" -> (q151KAnonymity _),
+    "q153_training_order" -> (q153TrainingOrder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,5 +571,6 @@ object Mixing {
     "q130_token_budget" -> q130Sql,
     "q139_curriculum_phases" -> q139Sql,
     "q151_k_anonymity" -> q151Sql,
+    "q153_training_order" -> q153Sql,
   )
 }

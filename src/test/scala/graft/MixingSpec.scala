@@ -232,4 +232,22 @@ class MixingSpec extends SparkSpec {
     assert(got.head == ((1L, 1L, true)), got.mkString("; "))
     assert(got.tail.forall(r => r._2 == 5L && !r._3), got.mkString("; "))
   }
+
+  test("q153 training order: per-shard positions are a contiguous 0-based permutation; reruns identical") {
+    import spark.implicits._
+    val a = graft.operators.Mixing.q153TrainingOrder(spark, sf)
+      .select($"doc_id", $"shard", $"pos_in_shard", $"shard_docs")
+      .as[(Long, Long, Long, Long)].collect()
+    for ((_, g) <- a.groupBy(_._2)) {
+      val ps = g.map(_._3).sorted
+      assert(ps.toSeq == (0L until g.length.toLong).toSeq,
+        s"positions must tile 0..n-1 within the shard")
+      assert(g.forall(_._4 == g.length.toLong))
+    }
+    // deterministic: a second run assigns the identical order
+    val b = graft.operators.Mixing.q153TrainingOrder(spark, sf)
+      .select($"doc_id", $"shard", $"pos_in_shard", $"shard_docs")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+  }
 }
