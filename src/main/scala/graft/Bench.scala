@@ -13,12 +13,30 @@ object Bench {
     // spread randomly over sub-second queries. The warm pass absorbs
     // both; the timed pass then measures steady-state plan execution,
     // JMH-style. SPARK_GRAFT_BENCH_NOWARM=1 restores single-pass timing.
+    // Between queries, drop every persisted RDD (localCheckpoint blocks:
+    // the dedup/graph/MMR pipelines each materialize bounded relations).
+    // Without this, blocks from all ~150 queries accumulate in the 6 GB
+    // fixed heap until driver GC happens to trigger the ContextCleaner —
+    // storage pressure and GC churn that NO production run of a single
+    // query would see (Verify, Debug, and any real job run one query per
+    // lineage). Explicit unpersist after each query times each plan in
+    // the same steady state its isolated run has. Safe here: queries are
+    // independent and nothing re-reads a prior query's checkpoint.
+    // Spark logs a WARN per unpersisted localCheckpoint ("lineage has
+    // been truncated and cannot be recomputed") — correct information,
+    // wrong audience: the bench DISCARDS these RDDs on purpose. Silence
+    // that one logger so ~300 benign lines don't bury a real warning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) {
       SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm $name failed: ${e.getClass.getSimpleName}")
         }
+        dropCheckpoints()
       }
     }
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -56,6 +74,7 @@ object Bench {
         }
       // a failed query must not masquerade as a fast one
       val dt = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
+      dropCheckpoints()
       if (debug) {
         val rt = Runtime.getRuntime
         val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)

@@ -52,6 +52,39 @@ case class ShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL sibling of [[ShingleHashes]]: the same fused
+  * tokenize/shingle/xxhash64 kernel but with hashes in TOKEN-POSITION
+  * order, duplicates kept — element k is the hash of the w-gram starting
+  * at token k, so `posexplode` over the result replaces the positional
+  * gram pipeline (posexplode tokens → window `lead`s → concat) the
+  * span-level queries (q125 coverage, q145 removal) previously ran:
+  * that shape shuffles every (doc, pos, token) row through a per-doc
+  * sort just to build strings that immediately become group/join keys;
+  * here gram identity is an 8-byte hash born directly in the scan.
+  */
+case class OrderedShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 && w <= 16 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ordered_shingle_hashes expects (string, w in [1,16]), got (${other.sql}, $w)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ordered_shingle_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHashes.computeOrdered(t.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleHashes.computeOrdered($x, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedShingleHashes =
+    copy(child = newChild)
+}
+
 /** Portable-hash sibling of [[ShingleHashes]]: identical tokenize/shingle
   * kernel, base-31-mod-M polynomial hash instead of xxhash64 — the
   * oracle-reproducible variant q79 builds its MinHash on. ASCII corpus
@@ -129,6 +162,12 @@ object ShingleHashes {
   /** [[TokenHashes]]' kernel: 1-shingles, duplicates and order kept. */
   def computeTokens(text: UTF8String): GenericArrayData =
     computeImpl(text, 1, poly = false, sortedDistinct = false)
+
+  /** [[OrderedShingleHashes]]' kernel: w-shingles in token-position
+    * order, duplicates kept (element k = hash of the gram at token k).
+    */
+  def computeOrdered(text: UTF8String, w: Int): GenericArrayData =
+    computeImpl(text, w, poly = false, sortedDistinct = false)
 
   /** [[PolyShingleHashes]]' kernel: same tokenize/shingle pass, but each
     * shingle hashes via the PORTABLE base-31 polynomial mod 2⁵³-range M

@@ -347,22 +347,23 @@ object Curation {
     */
   def q145DupSpanRemoval(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.register(s)
     val docs = documents(s, d).filter($"doc_id".isNotNull)
     val ex = docs.select($"doc_id",
       posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
-    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
-    val grams = ex
-      .withColumn("l1", lead($"tok", 1).over(byPos))
-      .withColumn("l2", lead($"tok", 2).over(byPos))
-      .filter($"l2".isNotNull)
-      .select($"doc_id", $"pos".cast("long").as("gpos"),
-        concat_ws(" ", $"tok", $"l1", $"l2").as("gram"))
-    val owners = grams.groupBy($"gram")
+    // positional grams via the fused ordered-shingle kernel (q125's
+    // round-9 rewrite): no window-lead pipeline, and gram identity is
+    // an 8-byte hash through the owner aggregation and join instead of
+    // a string (output carries no hashes — oracle unaffected)
+    val grams = docs.select($"doc_id",
+        posexplode(call_function("ordered_shingle_hashes", $"text", lit(3)))
+          .as(Seq("gpos0", "gh")))
+      .select($"doc_id", $"gpos0".cast("long").as("gpos"), $"gh")
+    val owners = grams.groupBy($"gh")
       .agg(countDistinct($"doc_id").as("df"), min($"doc_id").as("owner"))
       .filter($"df" >= 2)
-      .select($"gram", $"owner")
-    val removedPos = grams.join(owners, Seq("gram"))
+      .select($"gh", $"owner")
+    val removedPos = grams.join(owners, Seq("gh"))
       .filter($"doc_id" =!= $"owner")
       .select($"doc_id", explode(sequence($"gpos", $"gpos" + 2)).as("pos"))
       .distinct()

@@ -732,21 +732,26 @@ object LmOps {
   def q125DupSpanCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.register(s)
     val docs = documents(s, d).filter($"doc_id".isNotNull)
-    val ex = docs.select($"doc_id",
-      posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
-    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
-    val grams = ex
-      .withColumn("l1", lead($"tok", 1).over(byPos))
-      .withColumn("l2", lead($"tok", 2).over(byPos))
-      .filter($"l2".isNotNull)
-      .select($"doc_id", $"pos".cast("long").as("gpos"),
-        concat_ws(" ", $"tok", $"l1", $"l2").as("gram"))
-    val dfc = grams.groupBy($"gram")
+    // positional grams via the fused [[graft.functions
+    // .OrderedShingleHashes]] kernel (round 9): element k IS the gram
+    // at token k, so the posexplode+window-lead+concat pipeline — a
+    // per-doc SORT of every (doc, pos, token) row just to build strings
+    // that immediately become group keys — collapses to scan → project
+    // → generate, and gram identity is an 8-byte hash instead of a
+    // ~20-char string through the df aggregation and join (collision
+    // risk over the corpus gram vocabulary ≈ |V|²/2⁶⁴ ≈ 1e-9; the
+    // output carries no hashes, so the oracle is unaffected).
+    val grams = docs.select($"doc_id",
+        posexplode(call_function("ordered_shingle_hashes", $"text", lit(3)))
+          .as(Seq("gpos0", "gh")))
+      .select($"doc_id", $"gpos0".cast("long").as("gpos"), $"gh")
+    val dfc = grams.groupBy($"gh")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= 2)
-      .select($"gram")
-    val dup = grams.join(dfc, Seq("gram"))
+      .select($"gh")
+    val dup = grams.join(dfc, Seq("gh"))
     val cover = dup
       .withColumn("gap", $"gpos" - lag($"gpos", 1).over(
         Window.partitionBy($"doc_id").orderBy($"gpos")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, TokenHashes, WinnowFps}
+import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, OrderedShingleHashes, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, TokenHashes, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -87,6 +87,19 @@ object GraftExtensions {
       PolyShingleHashes(children.head, w): Expression
     })
 
+  private val orderedShingleHashesDescriptor = (
+    new FunctionIdentifier("ordered_shingle_hashes"),
+    new ExpressionInfo(classOf[OrderedShingleHashes].getName, "ordered_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      val w = children.lift(1) match {
+        case None => 3
+        case Some(Literal(v: Int, IntegerType)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"ordered_shingle_hashes: w must be an integer literal, got $other")
+      }
+      OrderedShingleHashes(children.head, w): Expression
+    })
+
   private val tokenHashesDescriptor = (
     new FunctionIdentifier("token_hashes"),
     new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
@@ -140,6 +153,7 @@ object GraftExtensions {
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
+      orderedShingleHashesDescriptor,
       tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
       winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor)
 

@@ -47,6 +47,33 @@ class ShingleHashesSpec extends SparkSpec {
     assert(rep == ((5, 2)), s"multiplicity lost: $rep")
   }
 
+
+  test("ordered_shingle_hashes: positional grams match the window-lead pipeline elementwise") {
+    // the q125/q145 positional relation: element k = xxhash64 of the
+    // 3-gram at token position k, duplicates and order kept — must
+    // equal the posexplode + lead + concat_ws construction exactly
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"text".isNotNull)
+    val viaExpr = docs.select($"doc_id",
+      call_function("ordered_shingle_hashes", $"text", lit(3)).as("ghs"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val viaPipeline = docs
+      .select($"doc_id", posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("l1", lead($"tok", 1).over(byPos))
+      .withColumn("l2", lead($"tok", 2).over(byPos))
+      .filter($"l2".isNotNull)
+      .withColumn("gh", xxhash64(concat_ws(" ", $"tok", $"l1", $"l2")))
+      .groupBy($"doc_id")
+      .agg(array_agg(struct($"pos", $"gh")).as("ps"))
+      .select($"doc_id",
+        transform(array_sort($"ps"), x => x("gh")).as("ref"))
+    val joined = viaExpr.filter(size($"ghs") > 0)
+      .join(viaPipeline, Seq("doc_id"), "full")
+    assert(joined.filter($"ghs".isNull =!= $"ref".isNull).count() == 0)
+    assert(joined.filter($"ghs".isNotNull && $"ghs" =!= $"ref").count() == 0)
+  }
+
   test("tokenization edges: leading whitespace, repeated separators, short docs") {
     val cases = Seq(
       (1L, "One two three four"),     // fold + plain
