@@ -564,55 +564,52 @@ object TextOps {
     val s = documents.sparkSession
     import s.implicits._
     graft.plans.GraftExtensions.register(s) // winnow_fps, collect_capped
-    // same reuse discipline as q35/q36: one payload column, explicit
-    // null-filter matching the join-inferred predicate, repartition as
-    // the materialization point all branches read via ReuseExchange.
-    // The kernel runs BEFORE the exchange — this is load-bearing, not
-    // incidental: the exchange MATERIALIZES the fps arrays, so every
-    // consumer reads computed results. Moving the kernel after the
-    // exchange was measured 4× WORSE at sf0.1 (3.4 → 14 s): Catalyst
-    // has no cross-operator common-subexpression elimination, so each
-    // consuming operator (filter, explode, both join branches, size())
-    // re-evaluates the full rolling hash per row, and AQE coalesces the
-    // tiny exchange to one partition so the recompute isn't even
-    // parallel. At small SF the pre-exchange kernel serializes onto the
-    // single parquet split (~0.8 s of q56's floor — an artifact of a
-    // one-row-group file); at 100 TB the scan has thousands of natural
-    // splits and the kernel parallelizes with them, exactly where an
-    // expensive scan-fused projection should sit.
-    // EXPLICIT partition count on the materialization exchange: a bare
-    // repartition($"doc_id") lets AQE coalesce the tiny post-shuffle
-    // relation to ONE partition, which then serializes every downstream
-    // per-doc stage (explode, bucket agg, both verify probes) onto a
-    // single task — measured 2.96 -> 2.07 s on q56 and 3.24 -> 2.67 s
-    // on q59 at sf0.1 from this one change. defaultParallelism scales
-    // with the cluster, so at 100 TB this only pins the floor AQE
-    // would have picked anyway; the reuse discipline is unchanged
-    // (explicit-N exchanges are canonically stable across branches).
+    // Round 9: the q35/q36 GATED shape. The raw text repartitions
+    // first, the kernel runs post-exchange, and the localCheckpoint is
+    // the materialization point every branch reads — with a checkpoint
+    // (unlike the old exchange-reuse discipline) consumers read
+    // computed arrays, so kernel-after-exchange no longer re-evaluates
+    // per consumer, the exchange carries text once instead of ~2× its
+    // volume in fingerprint arrays, and the kernel parallelizes past
+    // the single small-SF parquet split. The EXPLICIT partition count
+    // still matters: a bare repartition lets AQE coalesce the tiny
+    // post-shuffle relation to ONE partition and serialize every
+    // downstream per-doc stage (measured 2.96 → 2.07 s on q56 in the
+    // reuse era; same physics applies to the checkpoint).
     val perDoc = documents
       .filter($"doc_id".isNotNull)
+      .select($"doc_id", $"text")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
     // df-capped CANDIDATE blocking (collect_capped bounds hot
-    // boilerplate buckets at 51 before the size filter drops them)
-    val ex = perDoc.select($"doc_id", explode($"fps").as("fp"))
-    val cand = ex
+    // boilerplate buckets at 51 before the size filter drops them);
+    // shared buckets (≥ 2 members) checkpoint so the gate scalar and
+    // the pairing read one materialization
+    val buckets = perDoc.select($"doc_id", explode($"fps").as("fp"))
       .groupBy($"fp")
       .agg(call_function("collect_capped", $"doc_id", lit(50)).as("docs"))
-      .filter(size($"docs").between(2, 50))
+      .filter(size($"docs") >= 2)
+      .localCheckpoint()
+    // SIZE-GATED bare-pair broadcast (the q35/q36 discipline applied to
+    // the winnow tier — the candidate pair count grows with corpus dup
+    // mass, not with the bucket cap, so even two-longs-per-row
+    // broadcasts need a measured bound): under the 64 MB budget the
+    // pair list broadcasts; over it the verify joins shuffle on the doc
+    // key with identical results. The DECORATED relation never
+    // broadcasts here (candidates × fingerprint arrays — 300 MB at
+    // sf0.1).
+    val (_, pairBound) = bucketGate(buckets, "docs", 50)
+    val cand = buckets.filter(size($"docs").between(2, 50))
       .select(explode($"docs").as("doc_a"), $"docs")
       .select($"doc_a", explode($"docs").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
       .distinct()
-    // exact verify: winnow_fps arrays are sorted-distinct, so
-    // array_intersect size IS the distinct shared-fingerprint count.
-    // Only the BARE pair list broadcasts (two longs per candidate) —
-    // once fps_a is attached the relation is candidates × array and
-    // must SHUFFLE to meet doc_b, not broadcast (a 300 MB broadcast at
-    // sf0.1); perDoc stays on the probe side of both joins so every
-    // branch reads the one repartition exchange.
-    broadcast(cand)
+    val candB = if (pairBound * 48L <= (64L << 20)) broadcast(cand) else cand
+    // exact verify: winnow_fps arrays are sorted-distinct, so the
+    // merge-walk count IS the distinct shared-fingerprint count.
+    candB
       .join(perDoc.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a"))
       .join(perDoc.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
       .withColumn("n_shared",
@@ -820,20 +817,24 @@ object TextOps {
     graft.plans.GraftExtensions.register(s)
     val perDoc = documents(s, d)
       .filter($"doc_id".isNotNull)
+      .select($"doc_id", $"text")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", ($"doc_id" % 10 === 0).as("is_new"),
         call_function("winnow_fps", $"text", lit(8), lit(4)).as("fps"))
       .filter($"fps".isNotNull && size($"fps") > 0)
-      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint() // the q56 gated-shape materialization point
     // "fp occurs in a new document" ⇔ "the capped bucket has a new
-    // member" — testing the collected structs (instead of a semi join
-    // against the increment's fp set) keeps candidate generation to ONE
-    // ex consumer, so all branches reuse the perDoc exchange; a
-    // production deployment with increment ≪ corpus would swap this
-    // for a probe of its persistent fp index
-    val ex = perDoc.select($"doc_id", $"is_new", explode($"fps").as("fp"))
-    val cand = ex
+    // member" — testing the collected structs keeps candidate
+    // generation to one pass over the exploded relation; a production
+    // deployment with increment ≪ corpus would swap this for a probe
+    // of its persistent fp index
+    val buckets = perDoc.select($"doc_id", $"is_new", explode($"fps").as("fp"))
       .groupBy($"fp")
       .agg(call_function("collect_capped", struct($"doc_id", $"is_new"), lit(50)).as("docs"))
+      .filter(size($"docs") >= 2)
+      .localCheckpoint()
+    val (_, pairBound) = bucketGate(buckets, "docs", 50)
+    val cand = buckets
       .filter(size($"docs").between(2, 50) &&
         exists($"docs", x => x("is_new")))
       .select(explode($"docs").as("a"), $"docs")
@@ -841,10 +842,10 @@ object TextOps {
       .filter($"a.doc_id" < $"b.doc_id" && ($"a.is_new" || $"b.is_new"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // verify joins carry `is_new` so all three perDoc consumers read
-    // the IDENTICAL column set — the q35 reuse precondition (pruning
-    // would otherwise specialize each branch into its own scan)
-    broadcast(cand)
+    // size-gated bare-pair broadcast (the q56 discipline; identical
+    // results on the shuffle path)
+    val candB = if (pairBound * 48L <= (64L << 20)) broadcast(cand) else cand
+    candB
       .join(perDoc.select($"doc_id".as("doc_a"), $"is_new".as("new_a"),
         $"fps".as("fps_a")), Seq("doc_a"))
       .join(perDoc.select($"doc_id".as("doc_b"), $"is_new".as("new_b"),

@@ -64,11 +64,11 @@ class PlanSpec extends SparkSpec {
 
   test("dedup pipelines scan documents exactly once (exchange reuse / checkpoint holds)") {
     // Two disciplines coexist since round 9:
-    //  - reuse queries (q37's foundPairs, q56, q100) run as ONE job
-    //    whose branches share a single exchange → exactly 1 parquet
-    //    scan in the final adaptive plan;
-    //  - gated queries (q35, q36, q134) materialize perDoc via
-    //    localCheckpoint BEFORE the broadcast gate's scalar job, so
+    //  - reuse queries (q37's foundPairs) run as ONE job whose
+    //    branches share a single exchange → exactly 1 parquet scan in
+    //    the final adaptive plan;
+    //  - gated queries (q35, q36, q56, q100, q134) materialize perDoc
+    //    via localCheckpoint BEFORE the broadcast gate's scalar job, so
     //    their FINAL plan must read only checkpoints → exactly 0
     //    parquet scans (a scan here means a branch silently fell off
     //    the checkpoint and re-reads the corpus).
@@ -79,8 +79,8 @@ class PlanSpec extends SparkSpec {
       // deliberate branches); the single-scan pin applies to the
       // production SimHash pairing pipeline underneath it
       ("q37", SimHash.foundPairs(spark, sf), 1),
-      ("q56", TextOps.q56WinnowFingerprint(spark, sf), 1),
-      ("q100", TextOps.q100DedupIncrement(spark, sf), 1),
+      ("q56", TextOps.q56WinnowFingerprint(spark, sf), 0),
+      ("q100", TextOps.q100DedupIncrement(spark, sf), 0),
       ("q134", TextOps.q134AllPairsJoin(spark, sf), 0))
     cases.foreach { case (name, df, want) =>
       df.collect()
