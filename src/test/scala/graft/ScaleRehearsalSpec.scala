@@ -166,6 +166,34 @@ class ScaleRehearsalSpec extends SparkSpec {
       s"expected ~one cluster per planted triple ($expected), got $nClusters")
   }
 
+  test("q145 dup-span removal shuffle grows ~linearly from sf0.1 doc volume to 10x", SlowTag) {
+    // the near-dup triple corpus makes virtually every gram cross-doc
+    // duplicated (df = 3 within a group), so the removal rewrites ~2/3
+    // of the corpus — the heaviest possible load for the owner join and
+    // the positional anti join; both must stay linear in the corpus
+    val small = docsDir(5000L)
+    val big = docsDir(50000L)
+    val s = shuffleStats {
+      graft.operators.Curation.q145DupSpanRemoval(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    var removedOk = true
+    val b = shuffleStats {
+      val r = graft.operators.Curation.q145DupSpanRemoval(spark, big)
+        .selectExpr("sum(case when n_removed > 0 then 1 else 0 end) AS n_cut",
+          "count(*) AS n")
+        .head()
+      // exactly the non-canonical members of each planted dup group are
+      // cut: 2 per full triple, 1 for a leftover pair (50000 % 3 = 2 →
+      // 16666·2 + 1)
+      val (cut, n) = (r.getLong(0), r.getLong(1))
+      val expected = (n / 3) * 2 + (if (n % 3 == 2) 1 else 0)
+      removedOk = cut == expected
+    }
+    assertLinear("q145_dup_span_removal", s, b, ratioCeiling = 16L)
+    assert(removedOk, "exactly the non-canonical members of each dup group must be rewritten")
+  }
+
   /** Total file-scan records read across every task inside `body`. */
   private def inputRecords(body: => Unit): Long = {
     val tot = new java.util.concurrent.atomic.AtomicLong(0L)
