@@ -37,6 +37,50 @@ object AppState {
   def register(s: SparkSession, path: String): String =
     registerFor(s.sparkContext.applicationId, s, path)
 
+  // Serializes create-if-absent builds WITHIN this JVM (cross-JVM safety
+  // comes from the appId-unique path). Separate from the registration
+  // monitor so a minutes-long state build never blocks registerFor.
+  private val buildMtx = new Object
+
+  /** Create-if-absent materialization with an ATOMIC publish (round-9
+    * advice: the bare exists-check-then-write is neither atomic nor
+    * completeness-checked — an interrupted first build leaves a partial
+    * parquet directory every later consumer trusts, and two concurrent
+    * first-touch threads race the overwrite).
+    *
+    * Contract: `build(tmpDir)` writes a COMPLETE parquet relation (with
+    * Spark's `_SUCCESS` marker) to `tmpDir`; the helper renames it into
+    * `path` in one filesystem op. An existing `path` is trusted only if
+    * its `_SUCCESS` marker survives — a torn directory from a killed
+    * earlier process is deleted and rebuilt, never served. Concurrent
+    * same-JVM first touches serialize on [[buildMtx]]; the loser sees
+    * the winner's publish and skips its build.
+    */
+  def materializeOnce(s: SparkSession, path: String)(build: String => Unit): String =
+    buildMtx.synchronized {
+      val hp = new Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val published = fs.exists(new Path(hp, "_SUCCESS"))
+      if (!published) {
+        if (fs.exists(hp)) fs.delete(hp, true) // torn earlier build
+        val tmp = new Path(path + ".__building")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        build(tmp.toString)
+        if (!fs.exists(new Path(tmp, "_SUCCESS"))) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"materializeOnce: build produced no _SUCCESS marker at $tmp — " +
+              "refusing to publish a possibly-partial state directory")
+        }
+        if (!fs.rename(tmp, hp)) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"materializeOnce: atomic rename $tmp -> $hp failed")
+        }
+      }
+      path
+    }
+
   /** Registration under an explicit app key — lets AppStateSpec
     * exercise the register→sweep contract against a synthetic key
     * without touching the shared test session's real state set.

@@ -254,10 +254,11 @@ object Curation {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = s"$wh/graft_winnow_lbl_${graft.lake.AppState.tag(s, d)}"
     graft.lake.AppState.register(s, path)
-    val fs = new org.apache.hadoop.fs.Path(wh)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-      TextOps.q59DedupClusters(s, d).write.mode("overwrite").parquet(path)
+    // Atomic publish (build to temp, rename, trust only _SUCCESS) —
+    // a torn first build must never be served as valid labels.
+    graft.lake.AppState.materializeOnce(s, path) { tmp =>
+      TextOps.q59DedupClusters(s, d).write.mode("overwrite").parquet(tmp)
+    }
     s.read.parquet(path)
   }
 

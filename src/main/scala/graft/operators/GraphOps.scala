@@ -416,15 +416,18 @@ object GraphOps {
     val (pcPath, lblPath) = (s"$wh/graft_cc_pc_$tag", s"$wh/graft_cc_lbl_$tag")
     graft.lake.AppState.register(s, pcPath)
     graft.lake.AppState.register(s, lblPath)
-    val fs = new org.apache.hadoop.fs.Path(wh)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(pcPath)) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(lblPath))) {
-      val basePC = coPurchaseCounts(li.filter($"ok" % 10 =!= 0))
-      basePC.write.mode("overwrite").parquet(pcPath)
+    // Atomic create-if-absent (temp + rename + _SUCCESS check): the
+    // label build READS the published pair-count relation, so the two
+    // publishes sequence naturally — lblPath existing implies a
+    // complete pcPath beneath it.
+    graft.lake.AppState.materializeOnce(s, pcPath) { tmp =>
+      coPurchaseCounts(li.filter($"ok" % 10 =!= 0))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.lake.AppState.materializeOnce(s, lblPath) { tmp =>
       val baseEdges = s.read.parquet(pcPath).filter($"cnt" >= 2).select($"x", $"y")
       ConnectedComponents.labels(s, baseEdges, "x", "y")
-        .write.mode("overwrite").parquet(lblPath)
+        .write.mode("overwrite").parquet(tmp)
     }
     val oldPC = s.read.parquet(pcPath)
     val lbl = s.read.parquet(lblPath)

@@ -452,14 +452,15 @@ object SimHash {
     // `shingle_hashes` returns SORTED distinct hashes — the global
     // order the prefix theorem needs and the precondition for the
     // codegen'd `sorted_intersect_count` merge-walk verify.
-    // failOnCapped makes the exactness CHECKED: a corpus whose prefix
-    // buckets overflow the quadratic guard raises instead of silently
+    // OverCapExact makes the exactness UNCONDITIONAL: a corpus whose
+    // prefix buckets overflow the quadratic guard re-routes them
+    // through the distributed exact tier instead of silently
     // under-counting the near set the oracle recomputes brute-force.
     val perDoc = base
       .select($"doc_id", $"hs")
       .filter($"hs".isNotNull && size($"hs") > 0)
     val near = TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
-        failOnCapped = true, inputMaterialized = true)
+        overCap = TextOps.OverCapExact, inputMaterialized = true)
       .select($"doc_a", $"doc_b")
     val dupsAgg = dups.join(foundFlag, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_dups"), count($"f").as("n_dups_found"))

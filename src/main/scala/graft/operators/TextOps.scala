@@ -294,7 +294,7 @@ object TextOps {
     // bucket relation (one bounded scalar job); above the budget the
     // verify joins shuffle on the doc key with identical results.
     // Over-cap buckets here DROP by design (df-capped blocking's
-    // documented bounded recall) — no failOnCapped.
+    // documented bounded recall) — the OverCapDrop policy.
     val (_, pairBound) = bucketGate(buckets, "docs", 50)
     val cand = buckets.filter(size($"docs").between(2, 50))
       .select($"source", explode($"docs").as("doc_a"), $"docs")
@@ -320,6 +320,13 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** [[prefixJaccardPairs]] over-cap policies: drop over-cap buckets
+    * (bounded recall) vs re-route them through the distributed exact
+    * tier (exact recall at any skew, no abort).
+    */
+  final val OverCapDrop = 0
+  final val OverCapExact = 1
+
   /** All-pairs set-similarity SELF-JOIN with exact recall (Bayardo et
     * al. "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
     * PPJoin): candidates from PREFIX filtering, verification by exact
@@ -343,15 +350,32 @@ object TextOps {
     * would recompute the corpus scan + shingle kernel.
     *
     * Hot prefix buckets are capped at `maxBucket` by `collect_capped` —
-    * the house quadratic-bucket guard (never binding at shipped SFs).
-    * Because dropping a bucket silently breaks the recall-EXACT
-    * contract (SkewStressSpec demonstrates true J = 1.0 clique pairs
-    * vanishing), the cap is no longer assumed non-binding:
-    * `failOnCapped = true` (q134/q37 — callers whose output is
-    * oracle-compared against brute force) raises on the first over-cap
-    * bucket instead of returning a silently-incomplete pair set;
-    * the default keeps the documented drop-the-bucket behavior for
-    * bounded-recall callers.
+    * the house quadratic-bucket guard. Because dropping a bucket
+    * silently breaks the recall-EXACT contract (SkewStressSpec
+    * demonstrates true J = 1.0 clique pairs vanishing), `overCap`
+    * picks the policy when the cap binds:
+    *
+    *  - [[TextOps.OverCapDrop]] (default) — over-cap buckets drop
+    *    wholesale: the documented bounded-recall behavior for callers
+    *    that want dup ACCOUNTING, not every pair of a boilerplate
+    *    clique (a 45k-doc identical clique has ~10⁹ true pairs; a
+    *    caller that can't consume 10⁹ rows shouldn't enumerate them).
+    *  - [[TextOps.OverCapExact]] — over-cap buckets re-route through a
+    *    DISTRIBUTED tier that keeps recall exact without the round-9
+    *    abort (`failOnCapped`'s successor): the positional prefix
+    *    relation (id, pos, |hs|) restricted to over-cap keys self-joins
+    *    on the prefix element — a shuffle join whose within-key
+    *    quadratic runs on executors, never the driver — pruned by the
+    *    PPJoin length filter (J ≥ τ ⇒ τ·max(|a|,|b|) ≤ min(|a|,|b|))
+    *    and positional filter (at a match on positions i, j: shared
+    *    elements before it ≤ min(i,j), at/after it ≤ 1 +
+    *    min(|a|−i−1, |b|−j−1); pruning when the sum can't reach the
+    *    overlap bound ⌈τ(|a|+|b|)/(1+τ)⌉ is safe at EVERY match, so
+    *    the pair always survives at its smallest common prefix
+    *    element). Union with the capped tier, one distinct, same
+    *    verify. Exactness: every J ≥ τ pair shares a prefix element
+    *    whose bucket is either ≤ cap (array tier) or > cap (join
+    *    tier).
     *
     * The verify joins are SIZE-GATED rather than hint-forced: the
     * candidate-pair relation decorated with full hash arrays grows
@@ -361,11 +385,14 @@ object TextOps {
     * bucket relation (one bounded scalar job — the CC-fingerprint
     * discipline) and estimates decorated bytes via the mean hash-array
     * length; above `maxBroadcastBytes` the verify joins shuffle on the
-    * doc key (the q56 discipline) with identical results.
+    * doc key (the q56 discipline) with identical results. When the
+    * exact tier is active the true pair count is UNKNOWABLE from the
+    * capped relation (collect_capped truncates membership), so the
+    * gate goes maximally conservative: no broadcast hints at all.
     */
   def prefixJaccardPairs(perDoc: DataFrame, idCol: String, tau: Double,
                          maxBucket: Int = 100,
-                         failOnCapped: Boolean = false,
+                         overCap: Int = OverCapDrop,
                          maxBroadcastBytes: Long = 64L << 20,
                          inputMaterialized: Boolean = false): DataFrame = {
     val s = perDoc.sparkSession
@@ -376,35 +403,55 @@ object TextOps {
     // re-checkpointing a checkpointed projection copies every hash
     // array once more for nothing (measured 7 s of task time at sf0.1)
     val pd = if (inputMaterialized) perDoc else perDoc.localCheckpoint()
+    val prefLen = (size(col("hs")) - ceil(size(col("hs")) * tau) + 1).cast("int")
     // shared-prefix buckets only (singletons pair nothing); bounded at
     // maxBucket+1 ids per bucket by collect_capped, so the checkpoint
     // is dup-mass-sized, never corpus-exploded
     val buckets = pd
-      .select(col(idCol), explode(slice(col("hs"), lit(1),
-        (size(col("hs")) - ceil(size(col("hs")) * tau) + 1).cast("int"))).as("ph"))
+      .select(col(idCol), explode(slice(col("hs"), lit(1), prefLen)).as("ph"))
       .groupBy($"ph")
       .agg(call_function("collect_capped", col(idCol), lit(maxBucket)).as("ids"))
       .filter(size($"ids") >= 2)
       .localCheckpoint()
     val (nCapped, pairBound) = bucketGate(buckets, "ids", maxBucket)
-    if (failOnCapped && nCapped > 0)
-      throw new IllegalStateException(
-        s"prefixJaccardPairs: $nCapped prefix bucket(s) exceeded maxBucket=$maxBucket — " +
-          "the recall-exact contract would be silently violated; raise maxBucket " +
-          "or accept bounded recall (failOnCapped = false)")
-    val cand = buckets.filter(size($"ids").between(2, maxBucket))
+    val exactTier = overCap == OverCapExact && nCapped > 0
+    val candUnder = buckets.filter(size($"ids").between(2, maxBucket))
       .select(explode($"ids").as("doc_a"), $"ids")
       .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
-      .distinct()
+    val cand = (if (!exactTier) candUnder else {
+      // Over-cap keys are a projection of the checkpointed bucket
+      // relation; the join is left unhinted — AQE sees the real
+      // runtime shuffle sizes (checkpoints carry no planner stats)
+      // and converts to broadcast when the key set is small.
+      val overKeys = buckets.filter(size($"ids") > maxBucket).select($"ph")
+      val pref = pd
+        .select(col(idCol).as("id"), size(col("hs")).as("len"),
+          posexplode(slice(col("hs"), lit(1), prefLen)).as(Seq("pos", "ph")))
+        .join(overKeys, Seq("ph"))
+      val candOver = pref
+        .select($"ph", $"id".as("doc_a"), $"pos".as("pa"), $"len".as("la"))
+        .join(pref.select($"ph", $"id".as("doc_b"), $"pos".as("pb"), $"len".as("lb")),
+          Seq("ph"))
+        .filter($"doc_a" < $"doc_b")
+        .filter(least($"la", $"lb").cast("double") >= lit(tau) * greatest($"la", $"lb"))
+        .filter((least($"pa", $"pb") + lit(1) +
+            least($"la" - $"pa" - 1, $"lb" - $"pb" - 1)).cast("double") >=
+          lit(tau / (1.0 + tau)) * ($"la" + $"lb") - lit(1e-9))
+        .select($"doc_a", $"doc_b")
+      candUnder.unionAll(candOver)
+    }).distinct()
     // checkpointed inputs carry no stats, so the hints are the ONLY
     // broadcast signal — both are measured, not assumed: the bare pair
-    // list at 48 B/row, the decorated relation at 48 + 8·mean|hs|
-    val candB = if (pairBound * 48L <= maxBroadcastBytes) broadcast(cand) else cand
+    // list at 48 B/row, the decorated relation at 48 + 8·mean|hs|.
+    // Exact-tier pair counts are unbounded by the cap → never hint.
+    val candB =
+      if (!exactTier && pairBound * 48L <= maxBroadcastBytes) broadcast(cand) else cand
     val verifyA = candB
       .join(pd.select(col(idCol).as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
     val decorated =
-      if (estDecoratedBytes(s, pd, pairBound, maxBroadcastBytes) <= maxBroadcastBytes)
+      if (!exactTier &&
+          estDecoratedBytes(s, pd, pairBound, maxBroadcastBytes) <= maxBroadcastBytes)
         broadcast(verifyA)
       else verifyA
     decorated
@@ -452,10 +499,11 @@ object TextOps {
     * EXACT-recall dedup path (every pair the brute-force oracle finds,
     * none it doesn't) at ~20% of the exploded rows and zero signature
     * machinery. The corpus is scanned once into the checkpoint inside
-    * [[prefixJaccardPairs]]; `failOnCapped` makes the recall-exact
-    * claim CHECKED, not assumed — a corpus whose prefix buckets
-    * overflow the quadratic guard raises instead of silently
-    * hash-mismatching the brute-force oracle.
+    * [[prefixJaccardPairs]]; `OverCapExact` makes the recall-exact
+    * claim UNCONDITIONAL — a corpus whose prefix buckets overflow the
+    * quadratic guard re-routes those buckets through the distributed
+    * exact tier instead of silently hash-mismatching the brute-force
+    * oracle (round 9's fail-loud abort, made scale-safe).
     */
   def q134AllPairsJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -465,7 +513,7 @@ object TextOps {
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-    prefixJaccardPairs(perDoc, "doc_id", 0.7, failOnCapped = true)
+    prefixJaccardPairs(perDoc, "doc_id", 0.7, overCap = OverCapExact)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -917,9 +965,15 @@ object TextOps {
     * accounting).
     *
     * Scale shape: the pair relation is [[prefixJaccardPairs]]'
-    * survivor set and BROADCASTS into two joins against the pruned
-    * (doc_id, source) projection; the rollup is a partial+final agg on
-    * the ≤|sources|² key space.
+    * survivor set, localCheckpointed (it feeds two joins and one count)
+    * and broadcast into the pruned (doc_id, source) joins ONLY under a
+    * measured size gate — the survivor set grows with corpus dup mass
+    * (percent-level duplication at 100 TB is billions of pairs), so an
+    * unconditional hint here is a driver OOM, the exact class the
+    * size-gating discipline exists for. Above the budget the two joins
+    * shuffle on the doc key against the 2-column source projection —
+    * identical results. The rollup is a partial+final agg on the
+    * ≤|sources|² key space either way.
     */
   def q150CrossSourceDups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -929,9 +983,15 @@ object TextOps {
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-    val pairs = prefixJaccardPairs(perDoc, "doc_id", 0.7, failOnCapped = true)
+    val pairs = prefixJaccardPairs(perDoc, "doc_id", 0.7, overCap = OverCapExact)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .localCheckpoint()
+    // ~40 B/row (two int64 keys + a double + row overhead); one bounded
+    // scalar count over the checkpointed survivor set decides the hint.
+    val pairsGated =
+      if (pairs.count() * 40L <= (64L << 20)) broadcast(pairs) else pairs
     val src = docs.select($"doc_id", $"source")
-    broadcast(pairs.select($"doc_a", $"doc_b", $"jaccard"))
+    pairsGated
       .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), Seq("doc_a"))
       .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), Seq("doc_b"))
       .groupBy($"source_a", $"source_b")

@@ -85,4 +85,23 @@ class MergeWriterSpec extends SparkSpec {
       s"$lake/symbol=BTC-USDT/interval=15m/data_type=spot/exchange=coinbase/date=20210101")
     assert(path.isDirectory, s"expected hive layout, got ${path.getParent}")
   }
+
+  test("single-writer lock: a concurrent second merge fails loud, not silently-lost rows") {
+    val lake = tmpLake()
+    val b = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+    // simulate a writer mid-merge: its lock file exists
+    val lock = new org.apache.hadoop.fs.Path(lake + ".__writer_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] { MergeWriter.merge(spark, b, lake, 1) }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // the loser must NOT have stolen or removed the holder's lock
+    assert(fs.exists(lock), "failed acquire must leave the holder's lock in place")
+    // crash recovery: operator breaks the stale lock, merge proceeds,
+    // and the lock is released afterwards for the next writer
+    assert(MergeWriter.breakLock(spark, lake))
+    MergeWriter.merge(spark, b, lake, 1)
+    assert(!fs.exists(lock), "lock must release after a successful merge")
+    assert(spark.read.parquet(lake).count() == 1)
+  }
 }

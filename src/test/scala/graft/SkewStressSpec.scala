@@ -166,23 +166,41 @@ class SkewStressSpec extends SparkSpec {
       s"one task read $maxRead shuffled records — prefix buckets went quadratic")
   }
 
-  test("prefix-filter failOnCapped: an over-cap bucket raises instead of silently dropping pairs") {
-    // 200 identical docs → every prefix bucket holds 200 members, over
-    // the 100 cap. Under the default policy those pairs silently vanish
-    // (the 45k-clique test above); under failOnCapped — the recall-exact
-    // callers' contract (q134, q37's ground truth) — the violation must
-    // be LOUD, not a wrong-but-plausible result the oracle may not see.
+  test("prefix-filter OverCapExact: over-cap buckets keep recall exact via the distributed tier") {
+    // 200 identical docs + 30 planted near-dup pairs in the unique
+    // tier. Every clique prefix bucket holds 200 members, over the 100
+    // cap: under the default Drop policy the clique pairs silently
+    // vanish (the 45k-clique test above); under OverCapExact — the
+    // recall-exact callers' contract (q134, q37's ground truth, q150)
+    // — ALL C(200,2) = 19 900 clique pairs must come through the
+    // distributed over-cap tier, de-duplicated against the capped
+    // tier, alongside every under-cap pair.
     graft.plans.GraftExtensions.register(spark)
-    val docs = spark.range(200).select($"id".as("doc_id"),
+    val clique = spark.range(200).select($"id".as("doc_id"),
       lit((1 to 20).map(i => s"cl_$i").mkString(" ")).as("text"))
-    val perDoc = docs
+    // pairs (1000+2k, 1001+2k): 40 shared tokens + 1 differing tail
+    // token → 39 3-shingles each, the last 3 differ: J = 36/42 ≈
+    // 0.857 ≥ 0.8, prefix buckets of size 2 (group-unique tokens)
+    val uniq = spark.range(1000, 1060).select($"id".as("doc_id"),
+      concat(
+        concat_ws(" ", (1 to 40).map(i =>
+          concat(lit(s"u${i}_"), floor(($"id" - lit(1000)) / 2).cast("long").cast("string"))): _*),
+        lit(" tail_"), $"id".cast("string")).as("text"))
+    val perDoc = clique.unionAll(uniq)
       .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
       .filter($"hs".isNotNull && size($"hs") > 0)
-    val e = intercept[IllegalStateException] {
-      graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
-        failOnCapped = true).collect()
-    }
-    assert(e.getMessage.contains("recall-exact"), e.getMessage)
+    val pairs = graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
+        overCap = graft.operators.TextOps.OverCapExact)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val cliquePairs = pairs.count { case (a, b) => a < 200 && b < 200 }
+    val uniqPairs = pairs.filter { case (a, b) => a >= 1000 && b >= 1000 }
+    assert(cliquePairs == 200 * 199 / 2,
+      s"exact tier must recover all 19900 over-cap clique pairs, got $cliquePairs")
+    assert(uniqPairs.length == 30 &&
+        uniqPairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 },
+      s"all 30 under-cap planted pairs must survive, got ${uniqPairs.length}")
+    assert(pairs.length == 200 * 199 / 2 + 30,
+      s"no duplicate or spurious pairs across tiers, got ${pairs.length}")
   }
 
   test("prefix-filter broadcast gate: an over-budget pair set takes the shuffle path, results identical", SlowTag) {
@@ -202,7 +220,7 @@ class SkewStressSpec extends SparkSpec {
       .filter($"hs".isNotNull && size($"hs") > 0)
     def run(budget: Long) =
       graft.operators.TextOps.prefixJaccardPairs(perDoc, "doc_id", 0.8,
-        failOnCapped = true, maxBroadcastBytes = budget)
+        overCap = graft.operators.TextOps.OverCapExact, maxBroadcastBytes = budget)
         .select($"doc_a", $"doc_b", $"jaccard")
         .as[(Long, Long, Double)].collect().sorted
     val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
