@@ -345,7 +345,69 @@ object CorpusOps {
       |  CAST((n_spans * 3 * 1000) // n AS BIGINT) AS masked_permille
       |FROM spans ORDER BY doc_id, span_idx""".stripMargin
 
+  /** q155 — Heaps-law vocabulary-growth curve over 3-shingle TYPES:
+    * cumulative distinct-type count after each decile of the corpus (by
+    * doc_id order) — the diminishing-returns diagnostic behind "is more
+    * of this source still adding new content?" (Heaps' law V(n) ≈
+    * K·n^β; a curve that flattens early means the source is saturated
+    * and further ingestion mostly re-sees known types — a data-mixing
+    * signal alongside q86's OOV ratio and q112's entropy). Shingle
+    * types, not unigrams: a corpus's unigram vocabulary saturates
+    * almost immediately (every decile after the first adds ~nothing),
+    * while the n-gram type space keeps discriminating.
+    *
+    * The naive formulation — distinct-count per growing prefix — is
+    * 10 corpus passes. One pass suffices: a type enters the vocabulary
+    * at its FIRST document, so vocab(≤ t) = #{types: min(doc_id) ≤ t}.
+    * Scale shape: the only corpus shuffle is the shingle-hash →
+    * min(doc_id) aggregate (map-side partial min, type-space-bounded
+    * output; 8-byte hashed keys, the text never shuffles — per-decile
+    * counts over hashes equal counts over strings by the q134/q56
+    * collision-free argument); the decile bucketing is a pure map off
+    * a 1-row broadcast max, and the cumulative sum is a 10-row bounded
+    * window. Integer decile arithmetic (`div` ≡ DuckDB `//` on
+    * non-negatives) keeps the bucket boundary engine-exact.
+    */
+  def q155HeapsLaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val docs = documents(s, d)
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+    val mx = docs.agg(max($"doc_id").as("max_id"))
+    docs.select($"doc_id",
+        explode(call_function("shingle_hashes", $"text", lit(3))).as("sh"))
+      .groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .select(least(expr("(first_doc * 10) div (max_id + 1)"), lit(9L)).as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_vocab",
+        sum($"new_types").over(BoundedWindow.ordered($"decile", $"decile")))
+      .orderBy($"decile")
+  }
+
+  val q155Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), sh AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      |  FROM docs
+      |), fs AS (
+      |  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+      |), mx AS (SELECT MAX(doc_id) AS max_id FROM docs),
+      |b AS (
+      |  SELECT LEAST((first_doc * 10) // (max_id + 1), 9) AS decile,
+      |    COUNT(*) AS n
+      |  FROM fs, mx GROUP BY 1
+      |)
+      |SELECT decile, CAST(n AS BIGINT) AS new_types,
+      |  CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
+      |FROM b ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_heaps_law" -> (q155HeapsLaw _),
     "q103_exact_k_sample" -> (q103ExactKSample _),
     "q71_repetition_signals" -> (q71RepetitionSignals _),
     "q72_ngram_topk" -> (q72NgramTopk _),
@@ -356,6 +418,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_heaps_law" -> q155Sql,
     "q103_exact_k_sample" -> q103Sql,
     "q71_repetition_signals" -> q71Sql,
     "q72_ngram_topk" -> q72Sql,

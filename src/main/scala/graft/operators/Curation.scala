@@ -497,7 +497,62 @@ object Curation {
       |FROM feats JOIN weights USING (bucket)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q154 — NEAR-dup-cluster leakage-safe split: q128 keys the
+    * train/val/test split on EXACT-duplicate groups (md5 of text); the
+    * leakage that actually poisons held-out eval at training scale is
+    * NEAR-duplication — a val doc whose 95 %-similar sibling sat in
+    * train scores as memorization, not generalization (the GPT-3 /
+    * RefinedWeb decontamination lesson). The split key here is the
+    * winnow-CC near-dup cluster (q59's MAINTAINED label state via
+    * [[winnowClusterState]]; unclustered docs key on themselves), so
+    * every member of a near-dup cluster lands in the SAME split by
+    * construction. Bucket convention is q128's exactly (same P, a,
+    * 8/1/1 split) — the two queries differ only in the group relation.
+    *
+    * Scale shape: corpus-side cost is one pure-map doc_id projection;
+    * the label relation is survivor-sized (near-dup members only) and
+    * parquet-backed, so the planner has REAL stats for the left join —
+    * no broadcast hint (dup mass grows with the corpus; the q150
+    * lesson), AQE converts when it measures small. Hash→bucket is a
+    * pure map; no shuffle after the join.
+    */
+  def q154ClusterSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 1000000007L
+    val a = 2654435761L % P
+    val lbl = winnowClusterState(s, d)
+    documents(s, d).filter($"doc_id".isNotNull).select($"doc_id")
+      .join(lbl, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("group_rep"),
+        $"cluster_id".isNotNull.as("clustered"))
+      .withColumn("bucket10", (($"group_rep" % P) * a + 17L) % P % 10)
+      .withColumn("split",
+        when($"bucket10" <= 7, "train")
+          .when($"bucket10" === 8, "val").otherwise("test"))
+      .select($"doc_id", $"group_rep", $"clustered", $"split")
+      .orderBy($"doc_id")
+  }
+
+  // q59's full statement embeds as the label CTE (DuckDB allows a
+  // nested WITH RECURSIVE inside a CTE body), so the cluster relation
+  // literally IS q59's oracle; the split arithmetic is q128's.
+  val q154Sql: String =
+    s"""WITH lbl AS (
+       |${TextOps.q59Sql.linesIterator.map("  " + _).mkString("\n")}
+       |), docs AS (
+       |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(l.cluster_id, d.doc_id) AS group_rep,
+       |  l.cluster_id IS NOT NULL AS clustered,
+       |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM docs d LEFT JOIN lbl l ON l.doc_id = d.doc_id,
+       |  LATERAL (SELECT ((COALESCE(l.cluster_id, d.doc_id) % 1000000007)
+       |             * (2654435761 % 1000000007) + 17) % 1000000007 % 10 AS b) t
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_cluster_safe_split" -> (q154ClusterSafeSplit _),
     "q78_curation_pipeline" -> (q78CurationPipeline _),
     "q83_pii_redact" -> (q83PiiRedact _),
     "q84_decontaminate" -> (q84Decontaminate _),
@@ -507,6 +562,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_cluster_safe_split" -> q154Sql,
     "q78_curation_pipeline" -> q78Sql,
     "q83_pii_redact" -> q83Sql,
     "q84_decontaminate" -> q84Sql,
