@@ -68,4 +68,57 @@ class AppStateSpec extends SparkSpec {
     assert(first.sameElements(second))
     assert(first.nonEmpty)
   }
+
+  test("materializeOnce: concurrent first touches build once; both readers see the publish") {
+    import spark.implicits._
+    val path = s"$wh/graft_race_state"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def touch(): Array[Long] = {
+      graft.lake.AppState.materializeOnce(spark, path) { tmp =>
+        built.incrementAndGet()
+        spark.range(100).write.mode("overwrite").parquet(tmp)
+      }
+      spark.read.parquet(path).as[Long].collect().sorted
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val task: java.util.concurrent.Callable[Array[Long]] = () => touch()
+    try {
+      val f1 = pool.submit(task)
+      val f2 = pool.submit(task)
+      val (r1, r2) = (f1.get(), f2.get())
+      assert(built.get() == 1, s"racing first touches built ${built.get()} times")
+      assert(r1.sameElements(r2) && r1.length == 100)
+    } finally {
+      pool.shutdown()
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+  }
+
+  test("materializeOnce: a torn directory (no _SUCCESS) is rebuilt, never served") {
+    import spark.implicits._
+    val path = s"$wh/graft_torn_state"
+    // simulate a killed first build: data file present, no _SUCCESS
+    val torn = new java.io.File(path)
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "part-0.parquet"), "garbage")
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.lake.AppState.materializeOnce(spark, path) { tmp =>
+      built.incrementAndGet()
+      spark.range(7).write.mode("overwrite").parquet(tmp)
+    }
+    assert(built.get() == 1, "torn dir must trigger a rebuild")
+    assert(spark.read.parquet(path).as[Long].collect().sorted.sameElements(0L until 7L))
+    // and once published, a later touch trusts the _SUCCESS and skips
+    graft.lake.AppState.materializeOnce(spark, path) { tmp =>
+      built.incrementAndGet()
+      spark.range(7).write.mode("overwrite").parquet(tmp)
+    }
+    assert(built.get() == 1, "published state must not rebuild")
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }

@@ -81,7 +81,10 @@ class PlanSpec extends SparkSpec {
       ("q37", SimHash.foundPairs(spark, sf), 1),
       ("q56", TextOps.q56WinnowFingerprint(spark, sf), 0),
       ("q100", TextOps.q100DedupIncrement(spark, sf), 0),
-      ("q134", TextOps.q134AllPairsJoin(spark, sf), 0))
+      ("q134", TextOps.q134AllPairsJoin(spark, sf), 0),
+      // containment join: verify joins + candidate pairing all ride the
+      // perDoc/bucket checkpoints — a parquet scan is a corpus rescan
+      ("q157", Fuzzy.q157ContainmentJoin(spark, sf), 0))
     cases.foreach { case (name, df, want) =>
       df.collect()
       val p = df.queryExecution.executedPlan match {

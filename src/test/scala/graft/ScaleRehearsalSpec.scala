@@ -166,6 +166,42 @@ class ScaleRehearsalSpec extends SparkSpec {
       s"expected ~one cluster per planted triple ($expected), got $nClusters")
   }
 
+  test("q156 shuffle volume is vocab-bounded: 10x corpus with a FIXED vocabulary shuffles flat", SlowTag) {
+    // q156's scale posture claims the corpus contributes only a
+    // map-side-combined token-count aggregate whose shuffle is bounded
+    // by vocabulary × partitions, with ALL pairing work on the
+    // vocabulary relation — so a 10× corpus over the SAME 300-token
+    // vocabulary must leave total shuffle records ~FLAT (not merely
+    // linear). This is the measured version of "bounded for natural
+    // language regardless of corpus bytes".
+    def vocabDir(nDocs: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"vocab_$nDocs").toString
+      spark.range(nDocs).select(
+          $"id".as("doc_id"),
+          concat_ws(" ", (1 to 30).map(i =>
+            concat(lit("tok"), (($"id" * 31 + i) % 300).cast("string"))): _*).as("text"),
+          lit("en").as("lang"), lit("s").as("source"), lit(200L).as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val small = vocabDir(20000L)
+    val big = vocabDir(200000L)
+    var rows = 0L
+    val s = shuffleStats {
+      graft.operators.Fuzzy.q156TokenVariants(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats {
+      rows = graft.operators.Fuzzy.q156TokenVariants(spark, big).count()
+    }
+    assert(rows > 0, "variant pairs must exist in the synthetic vocab")
+    // flat, not linear: 2× headroom absorbs partial-agg buffer jitter;
+    // a corpus-shuffling plan would land near 10×
+    assert(b._1 <= s._1 * 2 + 100000L,
+      s"q156 shuffle grew ${b._1.toDouble / s._1.max(1)}× for 10× corpus " +
+        s"over a fixed vocab (${s._1} → ${b._1} records) — corpus-sized stage leaked")
+  }
+
   test("q145 dup-span removal shuffle grows ~linearly from sf0.1 doc volume to 10x", SlowTag) {
     // the near-dup triple corpus makes virtually every gram cross-doc
     // duplicated (df = 3 within a group), so the removal rewrites ~2/3
