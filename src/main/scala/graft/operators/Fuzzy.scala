@@ -198,13 +198,112 @@ object Fuzzy {
       |WHERE (common * 1000) // sa.n >= 800
       |ORDER BY contained_doc, container_doc""".stripMargin
 
+  /** q158 — WEIGHTED (multiset) Jaccard near-dup: J_w(A,B) =
+    * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over token
+    * MULTISETS — the repetition-robust member of the similarity
+    * family. Set-Jaccard (q34–q37, q134) treats "spam spam spam … spam"
+    * and "spam" as identical (one distinct type); weighted Jaccard
+    * scores them by mass, which is what boilerplate-vs-content dup
+    * accounting actually wants (SpotSigs/multiset-resemblance
+    * literature). Σmax is derived, never joined: Σmax = |A| + |B| −
+    * Σmin (multiset identity), so only the intersection mass is
+    * computed pairwise.
+    *
+    * Blocking: q157's deterministic df ≤ 50 shingle buckets
+    * (undirected a < b). Verification joins the per-doc term-frequency
+    * relation twice on (doc, token) — pair×|doc| rows, bounded by the
+    * df-capped candidate count — then one partial+final Σmin agg.
+    * Integer wj_milli (`div` ≡ `//` on non-negatives) keeps the
+    * τ = 0.6 threshold engine-exact.
+    */
+  def q158WeightedJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    val perDoc = docs
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .filter($"hs".isNotNull && size($"hs") >= 5)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+    val buckets = perDoc.select($"doc_id", explode($"hs").as("h"))
+      .groupBy($"h")
+      .agg(call_function("collect_capped", $"doc_id", lit(50)).as("ids"))
+      .filter(size($"ids").between(2, 50))
+    val cand = buckets
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+      .localCheckpoint()
+    // term-frequency relation: feeds both verify sides and the totals —
+    // checkpoint so the tokenize+agg scan runs once
+    val tf = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tot = tf.groupBy($"doc_id").agg(sum($"tf").as("tot"))
+    val inter = cand
+      .join(tf.select($"doc_id".as("doc_a"), $"tok", $"tf".as("tf_a")), Seq("doc_a"))
+      .join(tf.select($"doc_id".as("doc_b"), $"tok", $"tf".as("tf_b")),
+        Seq("doc_b", "tok"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(least($"tf_a", $"tf_b")).as("inter_mass"))
+    inter
+      .join(tot.select($"doc_id".as("doc_a"), $"tot".as("tot_a")), Seq("doc_a"))
+      .join(tot.select($"doc_id".as("doc_b"), $"tot".as("tot_b")), Seq("doc_b"))
+      .withColumn("union_mass", $"tot_a" + $"tot_b" - $"inter_mass")
+      .withColumn("wj_milli", expr("(inter_mass * 1000) div union_mass"))
+      .filter($"wj_milli" >= 600)
+      .select($"doc_a", $"doc_b", $"inter_mass", $"union_mass", $"wj_milli")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q158Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, toks,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), docs AS (
+      |  SELECT doc_id, sh FROM d0 WHERE LEN(sh) >= 5
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(sh) AS s FROM docs
+      |), keep AS (
+      |  SELECT s FROM ex GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 50
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ex a JOIN keep k ON a.s = k.s
+      |  JOIN ex b ON b.s = a.s AND a.doc_id < b.doc_id
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM d0)
+      |  WHERE tok <> '' GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS im
+      |  FROM cand c JOIN tf a ON a.doc_id = c.doc_a
+      |  JOIN tf b ON b.doc_id = c.doc_b AND b.tok = a.tok
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b, im AS inter_mass,
+      |  ta.tot + tb.tot - im AS union_mass,
+      |  (im * 1000) // (ta.tot + tb.tot - im) AS wj_milli
+      |FROM inter i JOIN tot ta ON ta.doc_id = i.doc_a
+      |JOIN tot tb ON tb.doc_id = i.doc_b
+      |WHERE (im * 1000) // (ta.tot + tb.tot - im) >= 600
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_token_variants" -> (q156TokenVariants _),
     "q157_containment_join" -> (q157ContainmentJoin _),
+    "q158_weighted_jaccard" -> (q158WeightedJaccard _),
   )
 
   val oracles: Map[String, String] = Map(
     "q156_token_variants" -> q156Sql,
     "q157_containment_join" -> q157Sql,
+    "q158_weighted_jaccard" -> q158Sql,
   )
 }

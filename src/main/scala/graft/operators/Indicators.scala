@@ -559,7 +559,65 @@ object Indicators {
       |  CAST(cr AS DOUBLE) / SQRT(CAST(vxr AS DOUBLE) * CAST(vyr AS DOUBLE)) AS autocorr_lag1
       |FROM red ORDER BY event_type""".stripMargin
 
+  /** q159 — rolling-origin forecast BACKTEST: per daily series, the
+    * exact mean absolute error of the lag-1 naive forecast vs the lag-7
+    * seasonal-naive forecast, evaluated only where BOTH have history —
+    * the model-selection primitive every monitoring/forecasting layer
+    * runs before trusting a seasonal model (M-competition baselines:
+    * beat seasonal-naive or go home). `seasonal_wins` is the decision
+    * bit. MAE stays in exact cl units (floor(close·10⁴) longs —
+    * dailyCandles' quantization): sums of |Δ| are exact int64, the
+    * per-series MAE is integral `div` — no float anywhere, so the
+    * comparison bit is engine-exact even when the two MAEs differ by
+    * one quantum.
+    *
+    * Scale shape: the resample agg upstream is partial+final
+    * (map-side combine on (event_type, day)); the two lags ride ONE
+    * series-partitioned window pass (O(1) state rows per series, no
+    * global window); the backtest rollup is a |series|-row agg.
+    */
+  def q159ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day_ts")
+    dailyCandles(s, d)
+      .select($"event_type", $"day_ts", $"cl",
+        lag($"cl", 1).over(w).as("naive"),
+        lag($"cl", 7).over(w).as("seasonal"))
+      .filter($"naive".isNotNull && $"seasonal".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"cl" - $"naive")).as("naive_abs_err"),
+        sum(abs($"cl" - $"seasonal")).as("seasonal_abs_err"))
+      .withColumn("naive_mae_cl", expr("naive_abs_err div n_eval"))
+      .withColumn("seasonal_mae_cl", expr("seasonal_abs_err div n_eval"))
+      .withColumn("seasonal_wins", $"seasonal_abs_err" < $"naive_abs_err")
+      .orderBy($"event_type")
+  }
+
+  val q159Sql: String =
+    s"""WITH daily AS (
+       |  $dailySql
+       |), lagged AS (
+       |  SELECT event_type, cl,
+       |    LAG(cl, 1) OVER (PARTITION BY event_type ORDER BY day_ts) AS naive,
+       |    LAG(cl, 7) OVER (PARTITION BY event_type ORDER BY day_ts) AS seasonal
+       |  FROM daily
+       |), ev AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |    CAST(SUM(ABS(cl - naive)) AS BIGINT) AS naive_abs_err,
+       |    CAST(SUM(ABS(cl - seasonal)) AS BIGINT) AS seasonal_abs_err
+       |  FROM lagged WHERE naive IS NOT NULL AND seasonal IS NOT NULL
+       |  GROUP BY event_type
+       |)
+       |SELECT event_type, n_eval, naive_abs_err, seasonal_abs_err,
+       |  naive_abs_err // n_eval AS naive_mae_cl,
+       |  seasonal_abs_err // n_eval AS seasonal_mae_cl,
+       |  seasonal_abs_err < naive_abs_err AS seasonal_wins
+       |FROM ev ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_forecast_backtest" -> (q159ForecastBacktest _),
     "q90_indicators" -> (q90Indicators _),
     "q91_return_corr" -> (q91ReturnCorr _),
     "q92_mad_outliers" -> (q92MadOutliers _),
@@ -571,6 +629,7 @@ object Indicators {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_forecast_backtest" -> q159Sql,
     "q90_indicators" -> q90Sql,
     "q91_return_corr" -> q91Sql,
     "q92_mad_outliers" -> q92Sql,

@@ -85,6 +85,28 @@ class FuzzySpec extends SparkSpec {
     dp(a.length)(b.length)
   }
 
+  test("q158: weighted Jaccard separates mass from types — exact dup scores 1000, doubled copy half") {
+    graft.plans.GraftExtensions.register(spark)
+    val phrase = (1 to 20).map(i => s"p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wj").toString
+    Seq(
+      (1L, phrase),                      // single copy
+      (2L, phrase + " " + phrase),       // SAME token types, double mass
+      (3L, phrase), (4L, phrase))        // exact dup pair
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Fuzzy.q158WeightedJaccard(spark, dir)
+      .select($"doc_a", $"doc_b", $"wj_milli")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => ((a, b), m) }.toMap
+    // exact duplicates: full mass overlap
+    assert(got((3L, 4L)) == 1000L && got((1L, 3L)) == 1000L)
+    // type-identical but mass-doubled: multiset J = 20/40 = 0.5 → below
+    // the 600 bar, EXCLUDED — the case set-Jaccard scores as 1.0
+    assert(!got.contains((1L, 2L)) && !got.contains((2L, 3L)),
+      s"doubled copy must fall under the weighted bar: $got")
+  }
+
   test("q157: containment sees a short doc pasted into a long one; Jaccard at the same bar does not") {
     graft.plans.GraftExtensions.register(spark)
     val quote = (1 to 10).map(i => s"q$i").mkString(" ")

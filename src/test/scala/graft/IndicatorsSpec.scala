@@ -51,6 +51,29 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("q159: weekly-periodic series — seasonal-naive wins; drifting series — naive wins") {
+    // "weekly": value depends only on day-of-week (period 7) with big
+    // amplitude → lag-7 error 0, lag-1 error large. "drift": value
+    // climbs 1 unit/day → lag-1 error 1/day, lag-7 error 7/day.
+    val days = (1 to 28).map(i => java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"))
+    val ev = days.zipWithIndex.flatMap { case (ts, i) =>
+      Seq((i.toLong * 2, ts, 1L, "weekly", 100.0 + 10.0 * (i % 7), "{}"),
+        (i.toLong * 2 + 1, ts, 1L, "drift", 100.0 + i, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("backtest").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Indicators.q159ForecastBacktest(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val wk = out("weekly")
+    assert(wk.getAs[Long]("n_eval") == 21, "first 7 days must be excluded")
+    assert(wk.getAs[Long]("seasonal_abs_err") == 0L && wk.getAs[Boolean]("seasonal_wins"),
+      s"period-7 series must backtest perfectly on lag-7: $wk")
+    val dr = out("drift")
+    assert(!dr.getAs[Boolean]("seasonal_wins"), s"drifting series must favor naive: $dr")
+    // exact integer MAE in cl units: naive errs 1.0/day = 10000 cl
+    assert(dr.getAs[Long]("naive_mae_cl") == 10000L && dr.getAs[Long]("seasonal_mae_cl") == 70000L, s"$dr")
+  }
+
   test("q91: correlation is in [-1,1]; identical series correlate at ~1") {
     val rows = Indicators.q91ReturnCorr(spark, sf).collect()
     assert(rows.nonEmpty)
