@@ -288,6 +288,152 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(spark.read.parquet(lakeB).count() == 400L * rowsPerDate)
   }
 
+  // ───────────────────────── vector / embedding tier ─────────────────────────
+  // Round-9 verdict item 3: the embedding tier's scale claims ("in-cell
+  // pair work scales with cell caps, not corpus²"; "the bucketed ANN
+  // pair stage is cap-bounded"; "q152's eval broadcast is benchmark-
+  // sized, cost linear in the train corpus") had only been plan-read.
+  // Measured here on synthetic embedding corpora at sf0.1-equivalent
+  // vector volume and at 10×.
+
+  /** Synthetic embedding corpus: `label` is the blocking cell
+    * (`id div cellSize`); members of a cell share a dominant direction
+    * (0.9 · cell base + 0.1 · per-vector noise, both deterministic
+    * LCG-uniform in [−0.5, 0.5]) so every in-cell pair is a true
+    * near-dup (cos ≈ 0.99) and the expected pair count is exactly
+    * nCells × C(cellSize, 2) — linear in the corpus. `hotFirst` > 0
+    * reassigns the first `hotFirst` vectors into one degenerate cell.
+    */
+  private def embDir(nVecs: Long, cellSize: Int, dim: Int, hotFirst: Long = 0L): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"scaleemb_$nVecs").toString
+    spark.range(nVecs).select(
+        $"id".as("vec_id"),
+        when($"id" < hotFirst, lit(999999))
+          .otherwise(($"id" / cellSize).cast("int")).as("label"),
+        expr(s"""transform(sequence(0, ${dim - 1}), p -> cast(
+            0.9 * (pmod((id div $cellSize) * 1103515245 + p * 12345 + 7, 1000003) / 1000003.0 - 0.5)
+          + 0.1 * (pmod(id * 2654435761 + p * 97 + 13, 1000003) / 1000003.0 - 0.5) as float))""")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("in-cell pair verify shuffle scales with cell caps, not corpus² (embedding tier)", SlowTag) {
+    // 100 cells of 40 → 1000 cells of 40: pair work per cell is the
+    // C(40,2) cap-bounded constant, so TOTAL shuffle must grow
+    // linearly with the cell count. A corpus²-shaped stage (the thing
+    // the label blocking exists to prevent) would grow ~100×.
+    val cell = 40
+    def run(dir: String): Long =
+      graft.operators.VectorOps
+        .embeddingNearDup(spark.read.parquet(s"$dir/embeddings.parquet"), 0.35, 100)
+        .count()
+    val small = embDir(4000L, cell, 16)
+    val big = embDir(40000L, cell, 16)
+    var pairsS = 0L; var pairsB = 0L
+    val s = shuffleStats { pairsS = run(small) }
+    val b = shuffleStats { pairsB = run(big) }
+    assertLinear("embedding_near_dup", s, b, ratioCeiling = 16L)
+    // and the pairs are REAL: ~one pair per in-cell 2-subset. The
+    // planted geometry puts in-cell cosine ≈ 0.99 for a typical cell,
+    // but a ~1% tail of cells draws a weak base norm (all 16 coords
+    // near 0) where noise wins and some pairs dip under 0.35 (measured
+    // 235 of 78 000 at 4k) — so the bound is ≥ 99% formed, and never
+    // MORE than planted (blocking forbids cross-cell pairs).
+    def expectPlanted(name: String, got: Long, cells: Long): Unit = {
+      val planted = cells * cell * (cell - 1) / 2
+      assert(got <= planted && got >= planted * 99 / 100,
+        s"$name: expected ~$planted in-cell pairs, got $got")
+    }
+    expectPlanted("small", pairsS, 100L)
+    expectPlanted("big", pairsB, 1000L)
+  }
+
+  test("hot cell over the cap is excluded, not verified quadratically (embedding tier)", SlowTag) {
+    // Same 40k corpus, but the first 4000 vectors collapse into ONE
+    // cell (100× the 40-member design). Under the maxCell=100 guard
+    // that cell is EXCLUDED from the verify tier: no pair may carry its
+    // label, and total shuffle must stay at-or-below the healthy
+    // corpus's (the 4000²/2 ≈ 8M pair rows the cap refused would
+    // triple it).
+    val healthy = embDir(40000L, 40, 16)
+    val skewed = embDir(40000L, 40, 16, hotFirst = 4000L)
+    def run(dir: String): org.apache.spark.sql.DataFrame =
+      graft.operators.VectorOps
+        .embeddingNearDup(spark.read.parquet(s"$dir/embeddings.parquet"), 0.35, 100)
+    val (hTot, _) = shuffleStats { run(healthy).write.format("noop").mode("overwrite").save() }
+    var hotPairs = -1L
+    val (sTot, _) = shuffleStats {
+      hotPairs = run(skewed).filter($"cell" === 999999L).count()
+    }
+    assert(hotPairs == 0L, s"over-cap cell leaked $hotPairs pairs into the verify tier")
+    assert(sTot <= hTot + 100000L,
+      s"skewed corpus shuffled $sTot records vs $hTot healthy — the hot cell was verified, not excluded")
+  }
+
+  test("q121 bucket-capped ANN pair stage stays ~linear at 10x corpus (embedding tier)", SlowTag) {
+    // The SRP bucket map and the per-node top-3 window are corpus-
+    // linear; the pair join is bounded by 256 buckets × 64² cap at ANY
+    // corpus size. Without the cap the pair stage is Σ|bucket|² ≈
+    // n²/256 — a 100× blow-up at 10× input, far past this ceiling.
+    def dir(n: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"scaleann_$n").toString
+      spark.range(n).select(
+          $"id".as("vec_id"), ($"id" % 7).cast("int").as("label"),
+          expr("""transform(sequence(0, 63), p -> cast(
+              pmod(id * 2654435761 + p * 97 + 13, 1000003) / 1000003.0 - 0.5 as float))""")
+            .as("embedding"))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val small = dir(5000L)
+    val big = dir(50000L)
+    var rows = 0L
+    val s = shuffleStats {
+      graft.operators.PortableAnn.q121KnnGraph(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats { rows = graft.operators.PortableAnn.q121KnnGraph(spark, big).count() }
+    assert(rows > 0L, "kNN graph must have edges on the synthetic corpus")
+    assertLinear("q121_knn_graph", s, b, ratioCeiling = 16L)
+  }
+
+  test("q152 decontamination cost is linear in the train corpus with a fixed eval set", SlowTag) {
+    // Eval membership is vec_id % 97 = 0 (q84's convention). Real
+    // benchmarks don't grow with the corpus, so the rehearsal plants a
+    // FIXED 50-vector eval set (ids 0, 97, …, 49·97) and train ids that
+    // skip every multiple of 97 (the m-th non-multiple is
+    // m + (m−1) div 96). The eval explode (50 × 16 rows) broadcasts at
+    // both scales; the dots aggregate is train × 50 groups — shuffle
+    // must grow ~linearly with train, and a train × train stage (what
+    // a growing eval side degenerates into) would grow ~100×.
+    def dir(nTrain: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"scaledecon_$nTrain").toString
+      val train = spark.range(nTrain).select(
+        (($"id" + 1) + expr("id div 96")).as("vec_id"))
+      val eval = spark.range(50).select(($"id" * 97).as("vec_id"))
+      train.unionAll(eval).select(
+          $"vec_id", lit(0).as("label"),
+          expr("""transform(sequence(0, 15), p -> cast(
+              pmod(vec_id * 2654435761 + p * 97 + 13, 1000003) / 1000003.0 - 0.5 as float))""")
+            .as("embedding"))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val small = dir(5000L)
+    val big = dir(50000L)
+    var rows = 0L
+    val s = shuffleStats {
+      graft.operators.VectorOps.q152SemanticDecontamination(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats {
+      rows = graft.operators.VectorOps.q152SemanticDecontamination(spark, big).count()
+    }
+    assert(rows == 20L, "the audit reports its top-20 at any scale")
+    assertLinear("q152_decontamination", s, b, ratioCeiling = 16L)
+  }
+
   test("bucketed join shuffle volume is scale-independent (exchange-free SMJ, measured)", SlowTag) {
     val small = factsDir(150000L)
     val big = factsDir(1500000L)
