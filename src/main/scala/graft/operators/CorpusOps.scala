@@ -406,7 +406,82 @@ object CorpusOps {
       |  CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
       |FROM b ORDER BY decile""".stripMargin
 
+  /** q160 — batch-expressible sibling of the streaming first-wins merge
+    * ([[graft.streaming.CorpusIngest.mergeDocs]]): replay the corpus as
+    * four ingest micro-batches (batch = doc_id % 4, dates spread as
+    * 20240101 + doc_id % 3) with simulated AT-LEAST-ONCE delivery —
+    * every third document is delivered a second time in batch
+    * (doc_id div 3) % 4 — through the REAL merge (write, re-read,
+    * re-merge), then return the final lake row set. This closes the one
+    * streaming-tier semantic with no oracle row: FIRST-wins polarity
+    * (a re-delivered document is interchangeable, so the lake must
+    * carry the EARLIEST delivery's ingest_seq), vs the candle sink's
+    * keep-LAST (a re-fetch is a correction — crypto_collector.py:548–553).
+    * The corpus has no byte-exact text duplicates, so the re-delivery
+    * schedule is what puts each fingerprint in front of the merge
+    * twice; a keep-last bug flips ingest_seq on every re-delivered row
+    * and the hash catches it. The oracle is the equivalent window over
+    * the same delivery schedule: per (source, date, text_md5) keep min
+    * batch, then min doc_id (the within-batch gate is the stream's
+    * first-occurrence dedup made deterministic).
+    *
+    * Scale: each merge reads only the touched (source, date)
+    * partitions via the static-pruned MergeWriter shape, so a replayed
+    * batch costs O(batch + touched partitions), never O(lake); the
+    * gate is one shuffle on the dedup key. The replay lake is
+    * appId-unique, fresh per call (the replay IS the operator), and
+    * swept at application end.
+    */
+  def q160FirstWinsReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deliveries = documents(s, d)
+      .filter($"doc_id".isNotNull && $"text".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"text", $"source",
+        ($"doc_id" % 3 + lit(20240101L)).cast("string").as("date"),
+        md5($"text").as("text_md5"),
+        explode(when($"doc_id" % 3 === 0,
+            array($"doc_id" % 4, expr("(doc_id div 3) % 4")))
+          .otherwise(array($"doc_id" % 4))).as("batch"))
+    val gated = KeepLast.dedup(deliveries,
+        Seq($"batch", $"source", $"date", $"text_md5"), Seq(-$"doc_id"))
+      .localCheckpoint() // computed once, filtered four times
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_firstwins_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    (0L to 3L).foreach { b =>
+      graft.streaming.CorpusIngest.mergeDocs(
+        s, gated.filter($"batch" === b).drop("batch"), lake, b)
+    }
+    s.read.parquet(lake)
+      .select($"source", $"date".cast("string").as("date"), $"text_md5",
+        $"doc_id", $"ingest_seq")
+      .orderBy($"source", $"date", $"text_md5")
+  }
+
+  val q160Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, CAST(20240101 + doc_id % 3 AS VARCHAR) AS date,
+      |    MD5(text) AS text_md5
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+      |), deliv AS (
+      |  SELECT doc_id, source, date, text_md5,
+      |    UNNEST(CASE WHEN doc_id % 3 = 0
+      |                THEN [doc_id % 4, (doc_id // 3) % 4]
+      |                ELSE [doc_id % 4] END) AS batch
+      |  FROM docs
+      |)
+      |SELECT source, date, text_md5, doc_id, CAST(batch AS BIGINT) AS ingest_seq
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, date, text_md5
+      |                               ORDER BY batch, doc_id) AS rn
+      |  FROM deliv)
+      |WHERE rn = 1
+      |ORDER BY source, date, text_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_first_wins_replay" -> (q160FirstWinsReplay _),
     "q155_heaps_law" -> (q155HeapsLaw _),
     "q103_exact_k_sample" -> (q103ExactKSample _),
     "q71_repetition_signals" -> (q71RepetitionSignals _),
@@ -418,6 +493,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_first_wins_replay" -> q160Sql,
     "q155_heaps_law" -> q155Sql,
     "q103_exact_k_sample" -> q103Sql,
     "q71_repetition_signals" -> q71Sql,

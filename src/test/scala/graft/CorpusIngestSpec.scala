@@ -91,6 +91,45 @@ class CorpusIngestSpec extends SparkSpec {
     assert(lake.select($"doc_id").as[Long].head() == 1L)
   }
 
+  test("q160 replay: final lake equals the first-wins window over the simulated batches") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.operators.CorpusOps.q160FirstWinsReplay(spark, sf)
+      .select($"source", $"date", $"text_md5", $"doc_id", $"ingest_seq")
+    // independent recomputation: min delivery batch then min doc_id per key
+    val deliveries = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id".isNotNull && $"text".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"source",
+        ($"doc_id" % 3 + lit(20240101L)).cast("string").as("date"),
+        md5($"text").as("text_md5"),
+        explode(when($"doc_id" % 3 === 0,
+            array($"doc_id" % 4, expr("(doc_id div 3) % 4")))
+          .otherwise(array($"doc_id" % 4))).as("batch"))
+    val expected = graft.operators.KeepLast.dedup(deliveries,
+        Seq($"source", $"date", $"text_md5"), Seq(-$"batch", -$"doc_id"))
+      .select($"source", $"date", $"text_md5", $"doc_id",
+        $"batch".cast("long").as("ingest_seq"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "replayed lake diverges from the first-wins window")
+    // the at-least-once premise: some fingerprint must reach the merge
+    // in two DIFFERENT batches (otherwise first-wins was never exercised)
+    val crossBatch = deliveries.groupBy($"source", $"date", $"text_md5")
+      .agg(countDistinct($"batch").as("nb")).filter($"nb" >= 2).count()
+    assert(crossBatch > 0, "no cross-batch re-delivery — replay exercised nothing")
+    // re-deliveries collapsed: the lake is smaller than the delivery stream
+    assert(got.count() < deliveries.count())
+    // polarity observable: for re-delivered docs the lake carries the
+    // EARLIEST batch's seq; keep-last would carry the latest
+    val flipped = got.join(
+        deliveries.groupBy($"text_md5").agg(
+          min($"batch").as("first_b"), max($"batch").as("last_b")),
+        "text_md5")
+      .filter($"first_b" =!= $"last_b")
+    assert(flipped.count() > 0)
+    assert(flipped.filter($"ingest_seq" =!= $"first_b").count() == 0,
+      "a re-delivered doc carries a non-first ingest_seq — keep-last polarity leak")
+  }
+
   test("state is keyed by text hash, not doc_id: distinct texts all pass") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Doc]
