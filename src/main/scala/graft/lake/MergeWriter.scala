@@ -92,39 +92,53 @@ object MergeWriter {
   /** Merge `batch` (canonical candles + partition cols) into the lake at
     * `path`. `ingestSeq` orders writers: higher seq wins on key collision.
     */
-  def merge(spark: SparkSession, batch: DataFrame, path: String, ingestSeq: Long): DataFrame = {
-    val tagged = batch.withColumn("ingest_seq", lit(ingestSeq))
+  def merge(spark: SparkSession, batch: DataFrame, path: String, ingestSeq: Long): DataFrame =
+    mergeKeyed(spark, batch.withColumn("ingest_seq", lit(ingestSeq)), path,
+      Keys, (Keys :+ "timestamp").map(col), Seq(col("ingest_seq")))
+
+  /** Shared keyed-merge implementation — static-pruned affected-partition
+    * read → unionByName → explicit-order dedup → dynamic overwrite, under
+    * the single-writer lock. Both dedup POLARITIES ride this one shape:
+    * the candle sink passes ascending `ingest_seq` (keep-LAST — a
+    * re-fetch is a correction) and the corpus sink passes its negation
+    * (FIRST-wins — a re-delivered document is interchangeable,
+    * [[graft.streaming.CorpusIngest.mergeDocs]]).
+    *
+    * The affected read is pruned with a STATIC filter on the partition
+    * columns: the touched key set is bounded by the batch's distinct
+    * partition-key combinations — a handful of rows — so it collects to
+    * the driver and becomes an OR-of-equalities the scan prunes at
+    * PLANNING time (directory-level pruning; zero data files outside the
+    * touched partitions are opened). The previous formulation — a
+    * broadcast left-semi join on the partition keys — claimed
+    * "metadata-only pruning" but measured otherwise: dynamic partition
+    * pruning does not reliably fire for it, and the merge read the
+    * ENTIRE lake per batch (ScaleRehearsalSpec's 10× rehearsal: 212k
+    * records read against a 200k-row lake for a 1k-row batch). At 100 TB
+    * that is a lake scan per micro-batch — the exact failure the "cost
+    * scales with batch size" contract forbids.
+    *
+    * Contract: `keys` columns in `tagged` are STRING-typed (both callers
+    * derive them with date_format/lit), and `tagged` already carries the
+    * ordering column(s).
+    */
+  private[graft] def mergeKeyed(spark: SparkSession, tagged: DataFrame, path: String,
+                                keys: Seq[String], dedupKeys: Seq[org.apache.spark.sql.Column],
+                                order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     // Scheme-aware existence check: java.io.File is silently false for
     // hdfs:///s3a:// paths, which would blind-overwrite a remote lake.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLock(fs, path) {
-    val lakeExists = fs.exists(hPath)
     val combined =
-      if (!lakeExists) tagged
+      if (!fs.exists(hPath)) tagged
       else {
         val existing = spark.read.parquet(path)
-        // Prune the read to partitions the batch actually touches with a
-        // STATIC filter on the partition columns: the touched key set is
-        // bounded by the batch's distinct (symbol, interval, data_type,
-        // exchange, date) combinations — a handful of rows — so it
-        // collects to the driver and becomes an OR-of-equalities the
-        // scan prunes at PLANNING time (directory-level pruning, zero
-        // data files outside the touched partitions are opened).
-        //
-        // The previous formulation — a broadcast left-semi join on the
-        // partition keys — claimed "metadata-only pruning" but measured
-        // otherwise: dynamic partition pruning does not reliably fire
-        // for it, and the merge read the ENTIRE lake per batch
-        // (ScaleRehearsalSpec's 10× rehearsal: 212k records read
-        // against a 200k-row lake for a 1k-row batch). At 100 TB that
-        // is a lake scan per micro-batch — the exact failure the
-        // "cost scales with batch size" contract forbids.
-        val touched = tagged.select(Keys.map(col): _*).distinct().collect()
+        val touched = tagged.select(keys.map(col): _*).distinct().collect()
         if (touched.isEmpty) tagged
         else {
           val cond = touched.map { r =>
-            Keys.zipWithIndex.map { case (k, i) => col(k) === lit(r.getString(i)) }
+            keys.zipWithIndex.map { case (k, i) => col(k) === lit(r.getString(i)) }
               .reduce(_ && _)
           }.reduce(_ || _)
           val affected = existing.filter(cond)
@@ -136,17 +150,14 @@ object MergeWriter {
           affected.unionByName(tagged)
         }
       }
-    val deduped = KeepLast.dedup(
-      combined,
-      (Keys :+ "timestamp").map(col),
-      Seq(col("ingest_seq")))
+    val deduped = KeepLast.dedup(combined, dedupKeys, order)
     // Per-write option, NOT session conf: a session-global mutation here
     // would leak dynamic-overwrite semantics to every concurrent writer
     // sharing the session.
     deduped.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(Keys: _*)
+      .partitionBy(keys: _*)
       .parquet(path)
     deduped
     }

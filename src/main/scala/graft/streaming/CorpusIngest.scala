@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.KeepLast
 
 /** Streaming corpus ingest — the training-data pipeline's live front
   * door: documents arrive as a stream, exact duplicates are dropped in
@@ -79,37 +78,21 @@ object CorpusIngest {
   }
 
   /** Idempotent first-wins merge of a cleaned batch into the document
-    * lake: read only the touched (source, date) partitions (broadcast
-    * semi join = metadata-only partition pruning), union, keep the
-    * LOWEST ingest_seq per (partition, text_md5), dynamic-overwrite the
-    * touched partitions. Cost scales with batch size, never lake size
-    * (the [[graft.lake.MergeWriter]] shape; polarity flipped because a
-    * re-delivered document is interchangeable, not a correction).
+    * lake: the shared [[graft.lake.MergeWriter.mergeKeyed]] shape —
+    * statically-pruned affected-partition read (cost scales with batch
+    * size, never lake size), unionByName, keyed dedup, dynamic
+    * overwrite, all under the single-writer lock — with the dedup
+    * polarity flipped: greatest of −ingest_seq = smallest seq = FIRST
+    * writer wins per (source, date, text_md5), because a re-delivered
+    * document is interchangeable, not a correction. (This path
+    * previously carried its own broadcast-semi-join pruning — the
+    * formulation the round-9 rehearsal measured as a de-facto full lake
+    * scan per micro-batch; delegating makes the doc lake inherit the
+    * measured static-pruned read AND the writer-lock contract.)
     */
   def mergeDocs(spark: SparkSession, batch: DataFrame, path: String,
-                ingestSeq: Long): DataFrame = {
-    val tagged = batch.withColumn("ingest_seq", lit(ingestSeq))
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val combined =
-      if (!fs.exists(hPath)) tagged
-      else {
-        val existing = spark.read.parquet(path)
-        val touched = tagged.select(Keys.map(col): _*).distinct()
-        val affected = existing.join(broadcast(touched), Keys, "left_semi")
-          .localCheckpoint() // lineage must not reference the overwrite target
-        affected.unionByName(tagged)
-      }
-    // greatest of -seq = smallest seq = first writer
-    val deduped = KeepLast.dedup(
-      combined,
-      (Keys :+ "text_md5").map(col),
-      Seq(col("ingest_seq") * -1))
-    deduped.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(Keys: _*)
-      .parquet(path)
-    deduped
-  }
+                ingestSeq: Long): DataFrame =
+    graft.lake.MergeWriter.mergeKeyed(spark,
+      batch.withColumn("ingest_seq", lit(ingestSeq)), path,
+      Keys, (Keys :+ "text_md5").map(col), Seq(col("ingest_seq") * -1))
 }

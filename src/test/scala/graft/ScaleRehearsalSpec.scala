@@ -434,6 +434,48 @@ class ScaleRehearsalSpec extends SparkSpec {
     assertLinear("q152_decontamination", s, b, ratioCeiling = 16L)
   }
 
+  test("doc-lake first-wins merge reads scale with the batch, not the lake (10x)", SlowTag) {
+    // mergeDocs delegates to MergeWriter.mergeKeyed, so the candle
+    // merge's measured static-pruned-read contract must hold for the
+    // corpus lake too (it previously carried its own broadcast-semi-join
+    // pruning — the formulation the round-9 rehearsal measured as a
+    // de-facto full lake scan). 40-source and 400-source lakes take the
+    // same 2-source batch; file-scan records must not grow with the lake.
+    import graft.streaming.CorpusIngest
+    val docsPerSource = 5000L
+    def mkLake(nSources: Long): String = {
+      val lake = java.nio.file.Files.createTempDirectory(s"docmerge_$nSources").toString + "/lake"
+      val df = spark.range(nSources * docsPerSource).select(
+        $"id".as("doc_id"),
+        concat(lit("doc body number "), $"id".cast("string")).as("text"),
+        concat(lit("src"), floor($"id" / docsPerSource).cast("string")).as("source"),
+        lit("20240101").as("date"))
+        .withColumn("text_md5", md5($"text"))
+      CorpusIngest.mergeDocs(spark, df, lake, 0L)
+      lake
+    }
+    def batch = spark.range(1000).select(
+        ($"id" + 10000000L).as("doc_id"),
+        concat(lit("doc body number "), ($"id" % 500).cast("string")).as("text"),
+        concat(lit("src"), ($"id" % 2).cast("string")).as("source"),
+        lit("20240101").as("date"))
+      .withColumn("text_md5", md5($"text"))
+    val lakeS = mkLake(40L)
+    val lakeB = mkLake(400L)
+    val readS = inputRecords { CorpusIngest.mergeDocs(spark, batch, lakeS, 1L) }
+    val readB = inputRecords { CorpusIngest.mergeDocs(spark, batch, lakeB, 1L) }
+    assert(readS <= 4 * (2 * docsPerSource + 1000L),
+      s"small-lake doc merge read $readS records — affected-partition pruning failed")
+    assert(readB <= readS + 2 * docsPerSource,
+      s"doc merge read grew with LAKE size ($readS → $readB records for a 10× lake)")
+    // first-wins held under the merge: every batch text in src0
+    // collides with a seq-0 lake row (texts 0–499 ⊂ src0's 0–4999) and
+    // must lose; src1's batch texts are genuinely new and land as seq 1
+    val lakeDf = spark.read.parquet(lakeB)
+    assert(lakeDf.filter($"source" === "src0" && $"ingest_seq" === 1L).count() == 0L)
+    assert(lakeDf.filter($"source" === "src1" && $"ingest_seq" === 1L).count() == 250L)
+  }
+
   test("bucketed join shuffle volume is scale-independent (exchange-free SMJ, measured)", SlowTag) {
     val small = factsDir(150000L)
     val big = factsDir(1500000L)
