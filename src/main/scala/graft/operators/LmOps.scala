@@ -950,6 +950,99 @@ object LmOps {
       |  (sumc * 1000) // n_tokens < 1500 AND n_tokens >= 10 AS flag_repetitive
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q161 — PMI collocation mining: the top-25 adjacent token pairs by
+    * pointwise-mutual-information LIFT, p(w1 w2) / (p(w1)·p(w2)) —
+    * THE classic phrase-detection statistic (Church & Hanks 1990;
+    * word2vec's phrase pass uses exactly this score). q106 ranks pairs
+    * by raw frequency — which surfaces "of the"; lift normalizes by
+    * both margins so it surfaces pairs that co-occur far above chance
+    * (named entities, technical terms — the vocabulary a tokenizer or
+    * phrase-mining pass should treat as units). Minimum support
+    * pair_cnt ≥ 5 (the standard collocation guard: lift of a hapax
+    * pair is noise).
+    *
+    * Exactness: lift_milli = ⌊c12·N·1000 / (c1·c2)⌋ in DECIMAL(38,0)
+    * (Spark `div` ≡ DuckDB HUGEINT `//` on non-negatives — the q77
+    * idiom). Domain bound: c12·N·1000 ≤ N²·10³ < 10³⁸ holds to
+    * N ≈ 3·10¹⁷ tokens — two orders past a 100 TB corpus. p(w1 w2)
+    * uses the unigram total N as its denominator (the standard
+    * bigrams≈tokens approximation; exact per-engine either way since
+    * both compute the same expression).
+    *
+    * Scale shape: unigram AND bigram keys leave the scan through ONE
+    * exploded relation — tokens never contain whitespace (split on
+    * \s+) and pairs always do, so the gram string itself routes each
+    * count to its level after a single map-side-combining hash agg
+    * (q106's per-doc window pass is avoided entirely: pairs form
+    * per-row via zip_with against the shifted self, the q73 O(n)
+    * idiom). Everything downstream — the margin joins, the support
+    * filter, the top-25 — runs on the vocab-bounded gram relation
+    * (natural-language vocab is bounded regardless of corpus bytes,
+    * the q156 argument), and the cut leaves through
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def pmiCollocations(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val grams = docs0
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select(TextOps.tokens($"text").as("t"))
+      .select(explode(concat($"t", expr(
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |         slice(t, 2, greatest(size(t) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+      // vocab-bounded; feeds the unigram margins, the total, and the
+      // bigram relation — one corpus scan total
+      .localCheckpoint()
+    val uni = grams.filter(instr($"gram", " ") === 0)
+      .select($"gram".as("tok"), $"cnt")
+    val tot = uni.agg(sum($"cnt").cast("decimal(38,0)").as("n"))
+    val big = grams.filter(instr($"gram", " ") > 0 && $"cnt" >= 5)
+      .select(substring_index($"gram", " ", 1).as("w1"),
+        substring_index($"gram", " ", -1).as("w2"),
+        $"cnt".as("pair_cnt"))
+    big
+      .join(uni.select($"tok".as("w1"), $"cnt".as("cnt_1")), Seq("w1"))
+      .join(uni.select($"tok".as("w2"), $"cnt".as("cnt_2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_milli", expr(
+        """(cast(pair_cnt as decimal(38,0)) * n * 1000)
+          |  div (cast(cnt_1 as decimal(38,0)) * cast(cnt_2 as decimal(38,0)))""".stripMargin))
+      .select($"w1", $"w2", $"pair_cnt", $"cnt_1", $"cnt_2", $"lift_milli")
+      .orderBy($"lift_milli".desc, $"w1", $"w2")
+      .limit(25)
+  }
+
+  def q161PmiCollocations(s: SparkSession, d: String): DataFrame =
+    pmiCollocations(documents(s, d))
+
+  val q161Sql: String =
+    """WITH toks AS (
+      |  SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), grams AS (
+      |  SELECT UNNEST(LIST_CONCAT(t,
+      |    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+      |      i -> t[i] || ' ' || t[i+1]))) AS gram
+      |  FROM toks
+      |), g AS (
+      |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram
+      |), uni AS (
+      |  SELECT gram AS tok, cnt FROM g WHERE NOT CONTAINS(gram, ' ')
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM uni
+      |), big AS (
+      |  SELECT SPLIT_PART(gram, ' ', 1) AS w1, SPLIT_PART(gram, ' ', 2) AS w2,
+      |    cnt AS pair_cnt
+      |  FROM g WHERE CONTAINS(gram, ' ') AND cnt >= 5
+      |)
+      |SELECT b.w1, b.w2, b.pair_cnt, u1.cnt AS cnt_1, u2.cnt AS cnt_2,
+      |  CAST((CAST(b.pair_cnt AS HUGEINT) * n * 1000)
+      |    // (CAST(u1.cnt AS HUGEINT) * CAST(u2.cnt AS HUGEINT)) AS BIGINT)
+      |    AS lift_milli
+      |FROM big b JOIN uni u1 ON u1.tok = b.w1 JOIN uni u2 ON u2.tok = b.w2, tot
+      |ORDER BY lift_milli DESC, w1, w2 LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_unigram_surprisal" -> (q104UnigramSurprisal _),
     "q105_dup_shingle_frac" -> (q105DupShingleFraction _),
@@ -963,6 +1056,7 @@ object LmOps {
     "q133_bpe_encode" -> (q133BpeEncode _),
     "q137_bigram_surprisal" -> (q137BigramSurprisal _),
     "q138_doc_entropy" -> (q138DocEntropy _),
+    "q161_pmi_collocations" -> (q161PmiCollocations _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -978,5 +1072,6 @@ object LmOps {
     "q133_bpe_encode" -> q133Sql,
     "q137_bigram_surprisal" -> q137Sql,
     "q138_doc_entropy" -> q138Sql,
+    "q161_pmi_collocations" -> q161Sql,
   )
 }

@@ -902,6 +902,101 @@ object VectorOps {
       |FROM am a JOIN norms tn ON tn.vec_id = a.train_id
       |ORDER BY max_cos DESC, a.train_id LIMIT 20""".stripMargin
 
+  /** q162 — grid-density clustering (the DBSCAN/STING family): the
+    * density-based member of the clustering surface, next to q55's
+    * k-means (which forces every point into a sphere-ish cell and has
+    * no noise concept). Points hash to fixed-resolution grid cells on
+    * the two leading dimensions (cell = ⌊10·v⌋, one correctly-rounded
+    * float→double→×10→floor chain per coordinate, identical IEEE in
+    * both engines); a cell is CORE when its occupancy is strictly
+    * above the corpus mean (cnt·n_cells > total in DECIMAL(38,0) —
+    * a data-derived threshold that stays meaningful at any scale
+    * factor, where a fixed minPts degenerates); connected core cells
+    * (8-neighborhood) form clusters via the large-star/small-star CC
+    * primitive; points in non-core cells are NOISE (cluster −1) —
+    * the cell-granular DBSCAN approximation the grid literature uses
+    * at scale (point-level ε-neighborhoods are the quadratic stage
+    * this blocking exists to avoid).
+    *
+    * Scale shape: ONE corpus pass builds the cell histogram (map-side
+    * partial agg — the exchange carries grid-bounded cells, never
+    * points); core selection, adjacency, and CC all run on the
+    * grid-bounded cell relation (≤9 edges per core cell via
+    * neighbor-key explode + equi semi join — no theta self-join); the
+    * label-back is a broadcast map-side join, so the corpus is never
+    * shuffled except by the output ORDER BY. Cell-key encoding
+    * (cx+512)·1024+(cy+512) is collision-free for |coord| < 512,
+    * i.e. any |v| < 51 — embeddings are unit-scale.
+    */
+  def q162GridDensityClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = embeddings(s, d).filter($"vec_id".isNotNull)
+      .select($"vec_id",
+        floor(element_at($"embedding", 1).cast("double") * 10).cast("long").as("cx"),
+        floor(element_at($"embedding", 2).cast("double") * 10).cast("long").as("cy"))
+    val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // grid-bounded; feeds core, totals, and label-back
+    val tot = cells.agg(sum($"cnt").cast("decimal(38,0)").as("total"),
+      count(lit(1)).cast("decimal(38,0)").as("ncells"))
+    val core = cells.crossJoin(broadcast(tot))
+      .filter(expr("cast(cnt as decimal(38,0)) * ncells > total"))
+      .select($"cx", $"cy", (($"cx" + 512) * 1024 + $"cy" + 512).as("ck"))
+      .localCheckpoint() // both CC input and the cell-label join reuse it
+    val nbrs = core.select($"ck", explode(expr(
+      """flatten(transform(sequence(-1, 1),
+        |  dx -> transform(sequence(-1, 1),
+        |    dy -> (cx + dx + 512L) * 1024L + cy + dy + 512L)))""".stripMargin)).as("nk"))
+      .filter($"ck" =!= $"nk")
+    val edges = nbrs.join(core.select($"ck".as("nk")), Seq("nk"), "left_semi")
+    val lbl = ConnectedComponents.labels(s, edges, "ck", "nk")
+    val cellLbl = cells
+      .join(core, Seq("cx", "cy"), "left")
+      .join(lbl.select($"node".as("ck"), $"component"), Seq("ck"), "left")
+      .select($"cx", $"cy",
+        when($"ck".isNull, lit(-1L))
+          .otherwise(coalesce($"component", $"ck")).as("cluster_id"))
+    pts.join(broadcast(cellLbl), Seq("cx", "cy"))
+      .select($"vec_id", $"cx", $"cy", $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  /** Same grid, core rule, and 8-neighborhood closure; the recursive CTE
+    * is q59's transitive-closure idiom on the core-cell adjacency (self
+    * edges from the a=b join row make every core cell its own closure
+    * seed, so isolated core cells label as singletons — the Spark side's
+    * coalesce-to-own-key).
+    */
+  val q162Sql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT vec_id,
+      |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT) AS cx,
+      |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10) AS BIGINT) AS cy
+      |  FROM embeddings WHERE vec_id IS NOT NULL
+      |), cells AS (
+      |  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY cx, cy
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS total,
+      |    CAST(COUNT(*) AS HUGEINT) AS ncells FROM cells
+      |), core AS (
+      |  SELECT cx, cy, (cx + 512) * 1024 + cy + 512 AS ck
+      |  FROM cells, tot WHERE CAST(cnt AS HUGEINT) * ncells > total
+      |), edges AS (
+      |  SELECT a.ck AS u, b.ck AS v FROM core a JOIN core b
+      |    ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+      |), r(u, v) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+      |), lbl AS (
+      |  SELECT u AS ck, MIN(v) AS cluster_id FROM r GROUP BY u
+      |)
+      |SELECT p.vec_id, p.cx, p.cy,
+      |  CAST(CASE WHEN c.ck IS NULL THEN -1
+      |            ELSE COALESCE(l.cluster_id, c.ck) END AS BIGINT) AS cluster_id
+      |FROM pts p LEFT JOIN core c ON c.cx = p.cx AND c.cy = p.cy
+      |LEFT JOIN lbl l ON l.ck = c.ck
+      |ORDER BY p.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -914,6 +1009,7 @@ object VectorOps {
     "q127_pca_power" -> (q127PcaPower _),
     "q143_matryoshka_audit" -> (q143MatryoshkaAudit _),
     "q152_semantic_decontamination" -> (q152SemanticDecontamination _),
+    "q162_grid_density_clusters" -> (q162GridDensityClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -928,5 +1024,6 @@ object VectorOps {
     "q127_pca_power" -> q127Sql,
     "q143_matryoshka_audit" -> q143Sql,
     "q152_semantic_decontamination" -> q152Sql,
+    "q162_grid_density_clusters" -> q162Sql,
   )
 }

@@ -351,4 +351,25 @@ class LmOpsSpec extends SparkSpec {
     val out = graft.operators.LmOps.q124BpeTrain(spark, dir).collect()
     assert(out.isEmpty, s"expected 0 merges on a pair-free corpus, got ${out.length}")
   }
+
+  test("q161 PMI lift: planted collocation tops the list, support cut, exact values") {
+    // N = 60 tokens; counts: new 6, york 6, of 20, the 20, rare 4, pair 4.
+    // "new york" co-occurs exclusively (c12 = 6) → lift 6·60·1000/36 = 10000;
+    // "of"/"the" are near-independent fillers; "rare pair" (c12 = 4) falls
+    // under the support-5 cut; "york new" (c12 = 4) likewise.
+    val corpus = docs(
+      1L -> "new york new york new york",
+      2L -> "new york new york new york",
+      3L -> ("of the " * 10).trim,
+      4L -> ("of of the the " * 5).trim,
+      5L -> "rare pair rare pair rare pair rare pair")
+    val got = LmOps.pmiCollocations(corpus)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("new", "york", 6L, 6L, 6L, 10000L),
+      ("of", "the", 15L, 20L, 20L, 2250L),
+      ("the", "of", 13L, 20L, 20L, 1950L),
+      ("of", "of", 5L, 20L, 20L, 750L),
+      ("the", "the", 5L, 20L, 20L, 750L)), s"got $got")
+  }
 }

@@ -106,4 +106,30 @@ class VectorDedupSpec extends SparkSpec {
     assert(got.length == 20)
     assert(got.forall(r => r._1 % 97 != 0 && r._3 % 97 == 0))
   }
+
+  test("q162 grid-density: adjacent dense cells merge, isolated dense cell is its own cluster, sparse cells are noise") {
+    // 13 occupied cells, 70 points, mean occupancy 70/13 ≈ 5.4 → core
+    // needs cnt ≥ 6. Cells (0,0) and (0,1) are dense (20 each) and
+    // 8-adjacent → ONE cluster labeled by the smaller cell key; cell
+    // (-4,-4) is dense but isolated → its own singleton-cell cluster;
+    // ten 1-point cells → noise (−1).
+    val dir = java.nio.file.Files.createTempDirectory("griddb").toString
+    def pt(id: Long, x: Float, y: Float) =
+      (id, Array(x, y) ++ Array.fill(6)(0f), 0)
+    val rows =
+      (0L until 20L).map(i => pt(i, 0.05f, 0.05f)) ++        // cell (0,0)
+      (20L until 40L).map(i => pt(i, 0.05f, 0.15f)) ++       // cell (0,1)
+      (40L until 60L).map(i => pt(i, -0.35f, -0.35f)) ++     // cell (-4,-4)
+      (0 until 10).map(k => pt(60L + k, 2.0f + k, 2.0f + k)) // 10 noise cells
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.q162GridDensityClusters(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    def key(cx: Long, cy: Long): Long = (cx + 512) * 1024 + cy + 512
+    assert((0L until 40L).forall(got(_) == key(0, 0)),
+      "adjacent dense cells must merge under the smaller cell key")
+    assert((40L until 60L).forall(got(_) == key(-4, -4)),
+      "isolated dense cell must form its own cluster")
+    assert((60L until 70L).forall(got(_) == -1L), "sparse cells must be noise")
+  }
 }
