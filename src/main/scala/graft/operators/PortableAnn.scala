@@ -431,11 +431,158 @@ object PortableAnn {
       |  l0.lab <> l2.lab AS changed
       |FROM l0 JOIN l2 USING (vec_id) ORDER BY l0.vec_id""".stripMargin
 
+  /** q163 — ANN index-quality audit: recall@10 and MRR of the SRP
+    * bucket index against exact brute-force ground truth, per eval
+    * query (vec_id % 97 — the q152 eval-set convention). q143 answers
+    * "can retrieval run on truncated vectors?"; this answers the
+    * sibling serving decision "can retrieval run on the LSH index?" —
+    * measured, not assumed. Per eval: the in-bucket candidate count,
+    * the overlap between the index's top-10 and the exact top-10, and
+    * mrr_milli = ⌊1000/rank⌋ of the exact top-1 inside the index's
+    * list (0 when the index misses it entirely). A production
+    * pipeline runs exactly this gate before swapping brute force for
+    * the index; the output is all-integer, so the hash check is
+    * arithmetic-free.
+    *
+    * Scale shape: the eval side is benchmark-sized and BROADCASTS into
+    * the brute arm (one corpus pass scoring |evals| codegen'd fxp_dot
+    * products per row — the audit's inherent baseline cost; at 100 TB
+    * you run it on a corpus sample, the operator shape is unchanged).
+    * The index arm reuses q121's pure-map bucket pipeline (zero
+    * shuffles to bucket, per-bucket candidate cap bounds the pair
+    * stage). Everything after candidate scoring runs on |evals|·O(k)
+    * relations. Both arms share one fixed-point cosine chain, so
+    * cross-arm rank comparisons are exact.
+    */
+  def q163AnnRecallAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s) // fxp_dot
+    val evalsBase = embeddings(s, d).filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .withColumn("qn2", call_function("fxp_dot", $"qe", $"qe").cast("double") / 1e10)
+    val corpus = embeddings(s, d).filter($"vec_id" % 97 =!= 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      .withColumn("cn2", call_function("fxp_dot", $"ce", $"ce").cast("double") / 1e10)
+    val exact = corpus.crossJoin(broadcast(evalsBase))
+      .withColumn("cos",
+        (call_function("fxp_dot", $"qe", $"ce").cast("double") / 1e10)
+          / (sqrt($"qn2") * sqrt($"cn2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")))
+      .filter($"rk" <= 10)
+      .select($"qid", $"cid", $"rk")
+      .localCheckpoint() // |evals|·10 rows; feeds overlap + MRR branches
+    val annPairs = scoredBucketPairs(s, d)
+      .filter($"qid" % 97 === 0 && $"cid" % 97 =!= 0)
+      .select($"qid", $"cid", $"cos")
+      .localCheckpoint() // bucket-capped; feeds count + top-10 branches
+    val nCand = annPairs.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    val annTop = annPairs
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")))
+      .filter($"ark" <= 10)
+      .select($"qid", $"cid", $"ark")
+    val overlap = exact.join(annTop, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("overlap_at_10"))
+    val mrr = exact.filter($"rk" === 1)
+      .join(annTop, Seq("qid", "cid"), "left")
+      .select($"qid", coalesce(expr("1000 div ark"), lit(0L)).as("mrr_milli"))
+    evalsBase.select($"qid".as("eval_id"))
+      .join(nCand.withColumnRenamed("qid", "eval_id"), Seq("eval_id"), "left")
+      .join(overlap.withColumnRenamed("qid", "eval_id"), Seq("eval_id"), "left")
+      .join(mrr.withColumnRenamed("qid", "eval_id"), Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"overlap_at_10", lit(0L)).as("overlap_at_10"),
+        coalesce($"mrr_milli", lit(0L)).as("mrr_milli"))
+      .orderBy($"eval_id")
+  }
+
+  /** q121's bucket/cap CTEs + a brute-force arm; both arms share the
+    * fixed-point cosine chain, so ranks agree with the Spark side
+    * bit-for-bit.
+    */
+  val q163Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), planes AS (
+      |  SELECT id // 64 AS j, id % 64 AS pos,
+      |    CAST(CAST(CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS REAL) AS DOUBLE) AS p
+      |  FROM (SELECT UNNEST(RANGE(512)) AS id)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.j, SUM(CAST(FLOOR(e.v * pl.p * 1e10) AS BIGINT)) AS dj
+      |  FROM e JOIN planes pl ON e.pos = pl.pos
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dj >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS n2
+      |  FROM e GROUP BY 1
+      |), capped AS (
+      |  SELECT vec_id, bucket FROM buckets
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) <= 64
+      |), xdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM e a JOIN e b ON b.pos = a.pos
+      |  WHERE a.vec_id % 97 = 0 AND b.vec_id % 97 <> 0
+      |  GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT d.qid, d.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY d.qid
+      |      ORDER BY d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) DESC, d.cid) AS rk
+      |  FROM xdots d
+      |  JOIN norms qn ON d.qid = qn.vec_id
+      |  JOIN norms cn ON d.cid = cn.vec_id
+      |  QUALIFY rk <= 10
+      |), apairs AS (
+      |  SELECT ca.vec_id AS qid, cb.vec_id AS cid,
+      |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot
+      |  FROM capped ca
+      |  JOIN capped cb ON ca.bucket = cb.bucket AND ca.vec_id <> cb.vec_id
+      |  JOIN e a ON a.vec_id = ca.vec_id
+      |  JOIN e b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+      |  WHERE ca.vec_id % 97 = 0 AND cb.vec_id % 97 <> 0
+      |  GROUP BY 1, 2
+      |), ncand AS (
+      |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM apairs GROUP BY 1
+      |), anntop AS (
+      |  SELECT d.qid, d.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY d.qid
+      |      ORDER BY d.dot / (SQRT(qn.n2) * SQRT(cn.n2)) DESC, d.cid) AS ark
+      |  FROM apairs d
+      |  JOIN norms qn ON d.qid = qn.vec_id
+      |  JOIN norms cn ON d.cid = cn.vec_id
+      |  QUALIFY ark <= 10
+      |), ov AS (
+      |  SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS overlap_at_10
+      |  FROM exact x JOIN anntop a ON a.qid = x.qid AND a.cid = x.cid
+      |  GROUP BY 1
+      |), mr AS (
+      |  SELECT x.qid, CAST(COALESCE(1000 // a.ark, 0) AS BIGINT) AS mrr_milli
+      |  FROM exact x LEFT JOIN anntop a ON a.qid = x.qid AND a.cid = x.cid
+      |  WHERE x.rk = 1
+      |)
+      |SELECT ev.vec_id AS eval_id,
+      |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+      |  CAST(COALESCE(o.overlap_at_10, 0) AS BIGINT) AS overlap_at_10,
+      |  CAST(COALESCE(m.mrr_milli, 0) AS BIGINT) AS mrr_milli
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0) ev
+      |LEFT JOIN ncand n ON n.qid = ev.vec_id
+      |LEFT JOIN ov o ON o.qid = ev.vec_id
+      |LEFT JOIN mr m ON m.qid = ev.vec_id
+      |ORDER BY eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_ann_portable" -> (q80AnnPortable _),
     "q121_knn_graph" -> (q121KnnGraph _),
     "q126_hard_negatives" -> (q126HardNegatives _),
     "q132_label_prop" -> (q132LabelProp _),
+    "q163_ann_recall_audit" -> (q163AnnRecallAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +590,6 @@ object PortableAnn {
     "q121_knn_graph" -> q121Sql,
     "q126_hard_negatives" -> q126Sql,
     "q132_label_prop" -> q132Sql,
+    "q163_ann_recall_audit" -> q163Sql,
   )
 }

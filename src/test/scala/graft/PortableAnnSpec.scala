@@ -110,4 +110,22 @@ class PortableAnnSpec extends SparkSpec {
       assert(bucket == want, s"bucket mismatch for $qid: got $bucket want $want")
     }
   }
+
+  test("q163 ann recall audit: identical corpus twin of an eval scores MRR 1000 and counts in the overlap") {
+    val dir = java.nio.file.Files.createTempDirectory("pra").toString
+    // eval 0 (0 % 97 == 0) has an identical corpus twin (id 1): same
+    // projections → same bucket, exact cosine 1 → exact top-1; the
+    // index must therefore retrieve it at rank 1 → mrr_milli = 1000
+    val rows = Seq((0L, 0L, vec(1)), (1L, 0L, vec(1))) ++
+      (2 to 40).map(i => (i + 200L, 0L, vec(i)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = PortableAnn.q163AnnRecallAudit(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("eval_id")).toSeq == Seq(0L), out.mkString(","))
+    val e0 = out.head
+    assert(e0.getAs[Long]("mrr_milli") == 1000L, e0.toString)
+    assert(e0.getAs[Long]("overlap_at_10") >= 1L, e0.toString)
+    assert(e0.getAs[Long]("n_cand") >= 1L, e0.toString)
+    assert(e0.getAs[Long]("overlap_at_10") <= 10L)
+  }
 }
