@@ -210,47 +210,59 @@ object Fuzzy {
     * computed pairwise.
     *
     * Blocking: q157's deterministic df ≤ 50 shingle buckets
-    * (undirected a < b). Verification joins the per-doc term-frequency
-    * relation twice on (doc, token) — pair×|doc| rows, bounded by the
-    * df-capped candidate count — then one partial+final Σmin agg.
-    * Integer wj_milli (`div` ≡ `//` on non-negatives) keeps the
-    * τ = 0.6 threshold engine-exact.
+    * (undirected a < b), then the PPJoin length filter — J_w ≥ τ forces
+    * Σmin/Σmax ≥ τ and Σmin ≤ min(tot), Σmax ≥ max(tot), so any
+    * qualifying pair has min(tot)·1000 ≥ 600·max(tot); the filter is
+    * provably redundant for the RESULT (the oracle needn't mirror it)
+    * but prunes ~35 % of candidates before they carry any payload.
+    *
+    * Verification: the token multiset is born in the scan as ONE
+    * [[graft.functions.TokenTfEnc]] array per doc (pure-map kernel —
+    * 44-bit token-hash key, 20-bit tf, run-length encoded, sorted) and
+    * each surviving pair scores via ONE codegen'd
+    * [[graft.functions.SortedTfMinSum]] merge walk. The original
+    * relational verify — pair ⋈ tf ⋈ tf on (doc, token) + a Σmin
+    * aggregate — exploded to Σ_pairs |tokens(doc_a)| rows (74.6 M at
+    * sf0.1, measured 17.8 s; this shape runs in the dedup tier's normal
+    * band). Hashed-key Σmin equals string-token Σmin by the per-DOC
+    * collision argument in TokenTfEnc's doc (bounded by doc length, not
+    * corpus size), so the unchanged string-relational oracle still
+    * hash-matches. Integer wj_milli (`div` ≡ `//` on non-negatives)
+    * keeps the τ = 0.6 threshold engine-exact.
     */
   def q158WeightedJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
     val docs = documents(s, d).filter($"doc_id".isNotNull)
+    // per-doc payload — blocking shingles, tf-encoded multiset, total
+    // mass — all born in ONE corpus scan, checkpointed once
     val perDoc = docs
-      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .select($"doc_id",
+        call_function("shingle_hashes", $"text", lit(3)).as("hs"),
+        call_function("token_tf_enc", $"text").as("tfe"))
       .filter($"hs".isNotNull && size($"hs") >= 5)
+      .withColumn("tot", aggregate($"tfe", lit(0L),
+        (acc, e) => acc + e.bitwiseAND(lit(graft.functions.TokenTfEnc.TfMask))))
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
     val buckets = perDoc.select($"doc_id", explode($"hs").as("h"))
       .groupBy($"h")
       .agg(call_function("collect_capped", $"doc_id", lit(50)).as("ids"))
       .filter(size($"ids").between(2, 50))
+    val tots = perDoc.select($"doc_id", $"tot")
     val cand = buckets
       .select(explode($"ids").as("doc_a"), $"ids")
       .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
       .distinct()
+      .join(tots.select($"doc_id".as("doc_a"), $"tot".as("tot_a")), Seq("doc_a"))
+      .join(tots.select($"doc_id".as("doc_b"), $"tot".as("tot_b")), Seq("doc_b"))
+      .filter(least($"tot_a", $"tot_b") * 1000 >= greatest($"tot_a", $"tot_b") * 600)
       .localCheckpoint()
-    // term-frequency relation: feeds both verify sides and the totals —
-    // checkpoint so the tokenize+agg scan runs once
-    val tf = docs
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-      .filter($"tok" =!= "")
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val tot = tf.groupBy($"doc_id").agg(sum($"tf").as("tot"))
-    val inter = cand
-      .join(tf.select($"doc_id".as("doc_a"), $"tok", $"tf".as("tf_a")), Seq("doc_a"))
-      .join(tf.select($"doc_id".as("doc_b"), $"tok", $"tf".as("tf_b")),
-        Seq("doc_b", "tok"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(sum(least($"tf_a", $"tf_b")).as("inter_mass"))
-    inter
-      .join(tot.select($"doc_id".as("doc_a"), $"tot".as("tot_a")), Seq("doc_a"))
-      .join(tot.select($"doc_id".as("doc_b"), $"tot".as("tot_b")), Seq("doc_b"))
+    cand
+      .join(perDoc.select($"doc_id".as("doc_a"), $"tfe".as("tfe_a")), Seq("doc_a"))
+      .join(perDoc.select($"doc_id".as("doc_b"), $"tfe".as("tfe_b")), Seq("doc_b"))
+      .withColumn("inter_mass", call_function("sorted_tf_minsum", $"tfe_a", $"tfe_b"))
       .withColumn("union_mass", $"tot_a" + $"tot_b" - $"inter_mass")
       .withColumn("wj_milli", expr("(inter_mass * 1000) div union_mass"))
       .filter($"wj_milli" >= 600)

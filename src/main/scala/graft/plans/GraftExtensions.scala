@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, OrderedShingleHashes, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SrpBucket, TokenHashes, WinnowFps}
+import graft.functions.{BloomContains, CollectCapped, CosineSim, FxpDot, MinHashSig, OrderedShingleHashes, PolyShingleHashes, ShingleHashes, SimHashSig, SortedIntersectCount, SortedTfMinSum, SrpBucket, TokenHashes, TokenTfEnc, WinnowFps}
 
 /** SparkSessionExtensions wiring for graft's custom Catalyst surface
   * (currently one codegen'd expression; the injection point generalizes
@@ -150,12 +150,24 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       SortedIntersectCount(children.head, children(1)): Expression)
 
+  private val tokenTfEncDescriptor = (
+    new FunctionIdentifier("token_tf_enc"),
+    new ExpressionInfo(classOf[TokenTfEnc].getName, "token_tf_enc"),
+    (children: Seq[Expression]) => TokenTfEnc(children.head): Expression)
+
+  private val sortedTfMinSumDescriptor = (
+    new FunctionIdentifier("sorted_tf_minsum"),
+    new ExpressionInfo(classOf[SortedTfMinSum].getName, "sorted_tf_minsum"),
+    (children: Seq[Expression]) =>
+      SortedTfMinSum(children.head, children(1)): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
       orderedShingleHashesDescriptor,
       tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
-      winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor)
+      winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor,
+      tokenTfEncDescriptor, sortedTfMinSumDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
