@@ -54,21 +54,29 @@ object Relational2 {
     * streaming session windows (§2.9): gap flag via lag, session id via
     * running sum — two window passes over one shuffle by user.
     */
-  def q18Sessionize(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Per-user sessions under the 30-minute gap rule — q18's body, shared
+    * with q164's interval-overlap join. One shuffle by user; both window
+    * passes and the rollup ride the same (user) partitioning.
+    */
+  private[operators] def sessions(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gapMs = 30L * 60 * 1000000
-    val flagged = events(s, d)
+    val gapUs = 30L * 60 * 1000000
+    val flagged = ev
       .withColumn("ts_us", unix_micros($"ts"))
       .withColumn("new_sess",
-        when(($"ts_us" - lag($"ts_us", 1).over(byUser)) > gapMs || lag($"ts_us", 1).over(byUser).isNull, 1L)
+        when(($"ts_us" - lag($"ts_us", 1).over(byUser)) > gapUs || lag($"ts_us", 1).over(byUser).isNull, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum($"new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     flagged.groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
         min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
-      .orderBy($"user_id", $"session_id")
+  }
+
+  def q18Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessions(events(s, d)).orderBy($"user_id", $"session_id")
   }
 
   val q18Sql: String =
@@ -87,6 +95,73 @@ object Relational2 {
       |    FROM events))
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q164 — interval-OVERLAP join: cross-user pairs of sessions that
+    * overlap in time (co-activity detection), with the exact overlap
+    * length. The interval×interval member of the range-join family:
+    * q60 joins POINTS to intervals (bucketed range join), q23 joins
+    * points to the latest preceding point (as-of); two interval SETS
+    * overlapping each other is the third shape (think concurrent
+    * sessions, meeting conflicts, position-vs-outage windows), and it
+    * is invisible to both — a session pair can overlap with neither
+    * side containing the other's start... actually any overlap shares
+    * max(starts); the point is no equi key exists.
+    *
+    * Scale shape: each session explodes to its covered HOUR buckets
+    * (sessions are gap-bounded, so per-session fan-out is small); the
+    * candidate join is EQUI on the bucket key (shuffle keyed by hour —
+    * never the quadratic all-pairs theta join the oracle runs), the
+    * exact overlap predicate is the join residual, and each
+    * qualifying pair is emitted exactly ONCE — in the bucket of
+    * max(starts), the overlap's first hour, which both sides provably
+    * cover — so no distinct pass is needed (the standard interval-join
+    * dedup trick). The session relation localCheckpoints once; both
+    * join branches carve from it.
+    */
+  def q164SessionOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val se = sessions(events(s, d))
+      .select($"user_id", $"session_id", $"start_us", $"end_us",
+        explode(expr("sequence(start_us div 3600000000L, end_us div 3600000000L)")).as("b"))
+      .localCheckpoint()
+    val a = se.select($"b", $"user_id".as("user_a"), $"session_id".as("session_a"),
+      $"start_us".as("sa"), $"end_us".as("ea"))
+    val bb = se.select($"b", $"user_id".as("user_b"), $"session_id".as("session_b"),
+      $"start_us".as("sb"), $"end_us".as("eb"))
+    a.join(bb, Seq("b"))
+      .filter($"user_a" < $"user_b" && $"sa" <= $"eb" && $"sb" <= $"ea" &&
+        $"b" === expr("greatest(sa, sb) div 3600000000L"))
+      .select($"user_a", $"session_a", $"user_b", $"session_b",
+        (least($"ea", $"eb") - greatest($"sa", $"sb")).as("overlap_us"))
+      .orderBy($"user_a", $"session_a", $"user_b", $"session_b")
+  }
+
+  /** The oracle runs the brute inequality theta join over the same
+    * session CTE — candidate-set-free ground truth for the bucketed
+    * equi-join + first-shared-hour dedup.
+    */
+  val q164Sql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |  FROM (
+      |    SELECT user_id, ts_us,
+      |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+      |        CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                  > 30 * 60 * 1000000
+      |             OR LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM events))
+      |  GROUP BY user_id, session_id
+      |)
+      |SELECT a.user_id AS user_a, a.session_id AS session_a,
+      |  b.user_id AS user_b, b.session_id AS session_b,
+      |  LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us) AS overlap_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      |ORDER BY user_a, session_a, user_b, session_b""".stripMargin
 
   /** Running revenue total per customer (cumulative window sum). Exact
     * decimal accumulation + FLOOR-at-2-decimals output: cumulative double
@@ -317,6 +392,7 @@ object Relational2 {
     "q16_cube" -> (q16Cube _),
     "q17_pivot" -> (q17Pivot _),
     "q18_sessionize" -> (q18Sessionize _),
+    "q164_session_overlap_join" -> (q164SessionOverlapJoin _),
     "q19_running_total" -> (q19RunningTotal _),
     "q26_window_ranks" -> (q26WindowRanks _),
     "q27_scalar_pack" -> (q27ScalarPack _),
@@ -329,6 +405,7 @@ object Relational2 {
     "q16_cube" -> q16Sql,
     "q17_pivot" -> q17Sql,
     "q18_sessionize" -> q18Sql,
+    "q164_session_overlap_join" -> q164Sql,
     "q19_running_total" -> q19Sql,
     "q26_window_ranks" -> q26Sql,
     "q27_scalar_pack" -> q27Sql,

@@ -296,4 +296,26 @@ class OperatorsSpec extends SparkSpec {
     assert(g(0).getAs[Double]("low") == ref.getDouble(1))
     assert(g(0).getAs[Long]("n") == ref.getLong(2))
   }
+
+  test("q164 session-overlap join: exact overlap, emit-once across shared hours, non-overlap absent") {
+    // user 1: one 2-hour session (events every 20 min); user 2: one
+    // session min 30–90 inside it — the overlap spans an hour-bucket
+    // boundary (two shared buckets), so the first-shared-hour dedup
+    // must emit the pair exactly once with overlap_us = 60 min;
+    // user 3 is hours away and must be absent.
+    val base = 1700000000000000L // µs, aligned off-hour is fine
+    def ev(id: Long, user: Long, offMin: Long) =
+      (id, new Timestamp((base + offMin * 60000000L) / 1000L), user, "click", 1.0, "{}")
+    val events = ((0L to 120L by 20L).zipWithIndex.map { case (m, i) => ev(i.toLong, 1L, m) } ++
+      Seq(ev(100L, 2L, 30L), ev(101L, 2L, 55L), ev(102L, 2L, 80L), ev(103L, 2L, 90L)) ++
+      Seq(ev(200L, 3L, 3000L), ev(201L, 3L, 3010L)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ovlp").toString
+    events.write.parquet(s"$dir/events.parquet")
+    val out = Relational2.q164SessionOverlapJoin(spark, dir).collect()
+    assert(out.length == 1, s"expected exactly one pair, got ${out.mkString("; ")}")
+    val r = out.head
+    assert(r.getAs[Long]("user_a") == 1L && r.getAs[Long]("user_b") == 2L)
+    assert(r.getAs[Long]("overlap_us") == 60L * 60000000L, r.toString)
+  }
 }
