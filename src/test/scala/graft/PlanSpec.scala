@@ -84,7 +84,10 @@ class PlanSpec extends SparkSpec {
       ("q134", TextOps.q134AllPairsJoin(spark, sf), 0),
       // containment join: verify joins + candidate pairing all ride the
       // perDoc/bucket checkpoints — a parquet scan is a corpus rescan
-      ("q157", Fuzzy.q157ContainmentJoin(spark, sf), 0))
+      ("q157", Fuzzy.q157ContainmentJoin(spark, sf), 0),
+      // weighted Jaccard: blocking, the length filter, and BOTH
+      // tf-payload verify joins carve from the one checkpointed perDoc
+      ("q158", Fuzzy.q158WeightedJaccard(spark, sf), 0))
     cases.foreach { case (name, df, want) =>
       df.collect()
       val p = df.queryExecution.executedPlan match {
