@@ -136,6 +136,31 @@ class ScaleRehearsalSpec extends SparkSpec {
     }
   }
 
+  test("q158 weighted-Jaccard shuffles grow ~linearly from sf0.1 doc volume to 10x", SlowTag) {
+    // docsDir plants identical-but-one-word triples: every group of 3
+    // yields exactly 3 pairs at wj = 29/31 ≈ 935 ‰ and shares no
+    // blocking shingle across groups, so the TRUE pair count grows
+    // linearly — the regime where a quadratic candidate or verify
+    // stage is falsifiable. The tf-encoded merge-walk verify carries
+    // one array payload per candidate side; shuffle records must track
+    // candidates (linear), never corpus².
+    val small = docsDir(5000L)
+    val big = docsDir(50000L)
+    var nPairs = 0L
+    val s = shuffleStats {
+      graft.operators.Fuzzy.q158WeightedJaccard(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats {
+      nPairs = graft.operators.Fuzzy.q158WeightedJaccard(spark, big).count()
+    }
+    assertLinear("q158_weighted_jaccard", s, b, ratioCeiling = 20L)
+    // exact pair accounting at 10×: 3 per full triple, C(n mod 3, 2)
+    // for the boundary group
+    val expect = 3L * (50000L / 3) + (if (50000L % 3 == 2) 1L else 0L)
+    assert(nPairs == expect, s"expected $expect weighted-Jaccard pairs, got $nPairs")
+  }
+
   test("winnow-CC dedup clusters shuffle grows ~linearly from sf0.1 doc volume to 10x", SlowTag) {
     val small = docsDir(5000L)
     val big = docsDir(50000L)
