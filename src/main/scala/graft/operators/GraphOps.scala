@@ -296,6 +296,68 @@ object GraphOps {
       |  JOIN part p ON p.p_partkey = t.u
       |ORDER BY t.n_tri DESC, p.p_partkey LIMIT 20""".stripMargin
 
+  /** q165 — frequent 3-itemset mining (A-Priori, Agrawal & Srikant
+    * VLDB'94): the top-20 part TRIPLES co-purchased in ≥ 2 distinct
+    * orders — market-basket analysis one order above q108's pair
+    * stage, and the canonical demonstration of the A-Priori bound at
+    * scale: a triple's support is at most any sub-pair's support, so
+    * triples whose sub-pairs aren't all frequent are pruned BEFORE the
+    * support shuffle, provably without changing the result (the q158
+    * length-filter discipline — the oracle runs the brute count and
+    * the hash check proves the pruning free).
+    *
+    * Scale shape: baskets are order-bounded (single-digit parts), so
+    * the C(k,3) generator is linear in orders and runs as three
+    * stacked codegen'd Generates (q108's lesson: nested
+    * transform/flatten lambdas evaluate interpreted); the frequent-
+    * pair relation is A-Priori-bounded (~3.5 k rows at sf0.1) and
+    * BROADCASTS into three semi joins that cut the generator output
+    * before its one (triple) support exchange; the top-20 leaves via
+    * TakeOrderedAndProject under a total order.
+    */
+  def q165FrequentTriples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey")
+    val baskets = li.groupBy($"ok").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .localCheckpoint() // feeds the pair pass and the triple generator
+    val pairs = baskets
+      .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("psup"))
+      .filter($"psup" >= 2)
+      .select($"x", $"y")
+      .localCheckpoint() // A-Priori-bounded; broadcast into 3 semi joins
+    val triples = baskets
+      .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
+      .select($"x", posexplode(slice($"ps", $"i" + lit(2), size($"ps"))).as(Seq("j", "y")),
+        $"i", $"ps")
+      .select($"x", $"y",
+        explode(slice($"ps", $"i" + $"j" + lit(3), size($"ps"))).as("z"))
+    triples
+      .join(broadcast(pairs), Seq("x", "y"), "left_semi")
+      .join(broadcast(pairs.select($"x", $"y".as("z"))), Seq("x", "z"), "left_semi")
+      .join(broadcast(pairs.select($"x".as("y"), $"y".as("z"))), Seq("y", "z"), "left_semi")
+      .groupBy($"x", $"y", $"z").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"support".desc, $"x", $"y", $"z")
+      .limit(20)
+  }
+
+  /** Brute triple count — no pruning, so the hash match PROVES the
+    * A-Priori semi joins drop only sub-support triples.
+    */
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), t AS (
+      |  SELECT a.p AS x, b.p AS y, c.p AS z
+      |  FROM e a JOIN e b ON b.ok = a.ok AND b.p > a.p
+      |  JOIN e c ON c.ok = a.ok AND c.p > b.p
+      |)
+      |SELECT x, y, z, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM t GROUP BY x, y, z HAVING COUNT(*) >= 2
+      |ORDER BY support DESC, x, y, z LIMIT 20""".stripMargin
+
   /** q136 — k-core PEELING, three fixed rounds: iteratively discard
     * nodes whose degree falls below k, where k = HALF the mean degree
     * (⌊|E|/|V|⌋ div 2 on the doubled edge relation — data-derived and
@@ -483,6 +545,7 @@ object GraphOps {
     "q108_triangle_count" -> (q108TriangleCount _),
     "q136_kcore_peel" -> (q136KCorePeel _),
     "q142_incremental_cc" -> (q142IncrementalCc _),
+    "q165_frequent_triples" -> (q165FrequentTriples _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +554,6 @@ object GraphOps {
     "q108_triangle_count" -> q108Sql,
     "q136_kcore_peel" -> q136Sql,
     "q142_incremental_cc" -> q142Sql,
+    "q165_frequent_triples" -> q165Sql,
   )
 }

@@ -91,6 +91,20 @@ class PercentileAuditSpec extends SparkSpec {
     assert(got.toSeq == (1L to 4L).map(p => (p, 3L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("q165 frequent triples: planted co-purchase triple counted exactly; sub-support triples absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p165").toString
+    // orders 1,2,3 hold {1,2,3} → triple (1,2,3) support 3; order 4
+    // holds {1,2,4} → every triple containing 4 is support-1 and must
+    // be pruned (its sub-pairs (1,4)/(2,4) are also sub-support, so
+    // the A-Priori semi joins cut it before the count — same answer)
+    val rows = (for (ok <- Seq(1L, 2L, 3L); p <- 1L to 3L) yield (ok, p)) ++
+      Seq((4L, 1L), (4L, 2L), (4L, 4L))
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.GraphOps.q165FrequentTriples(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L)), s"got $got")
+  }
+
   test("q136 k-core: pendants peel, the dense bipartite core survives with exact degrees") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p136").toString
     // K5,5 between customers 1..5 and suppliers 1..5 (one order per
