@@ -136,6 +136,38 @@ class ScaleRehearsalSpec extends SparkSpec {
     }
   }
 
+  test("q164 interval-overlap join shuffles grow ~linearly with users (constant concurrency)", SlowTag) {
+    // Each user runs one 40-min session (5 events, 10 min apart),
+    // staggered 30 min after the previous user's: every user overlaps
+    // exactly the next one by 10 min, so TRUE pairs = n−1 and per-hour
+    // concurrency is CONSTANT as n grows — the regime where the
+    // bucketed plan's linear claim is falsifiable (a theta/all-pairs
+    // formulation grows n² here; per-bucket candidates stay O(1)).
+    def evDir(nUsers: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ovl_$nUsers").toString
+      spark.range(nUsers * 5).select(
+          $"id".as("event_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            ($"id" % 5) * 600000000L + expr("id div 5") * 1800000000L).as("ts"),
+          expr("id div 5").as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val small = evDir(10000L)
+    val big = evDir(100000L)
+    var nPairs = 0L
+    val s = shuffleStats {
+      graft.operators.Relational2.q164SessionOverlapJoin(spark, small)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val b = shuffleStats {
+      nPairs = graft.operators.Relational2.q164SessionOverlapJoin(spark, big).count()
+    }
+    assertLinear("q164_session_overlap_join", s, b, ratioCeiling = 16L)
+    assert(nPairs == 100000L - 1L, s"expected 99999 staggered overlap pairs, got $nPairs")
+  }
+
   test("q158 weighted-Jaccard shuffles grow ~linearly from sf0.1 doc volume to 10x", SlowTag) {
     // docsDir plants identical-but-one-word triples: every group of 3
     // yields exactly 3 pairs at wj = 29/31 ≈ 935 ‰ and shares no
