@@ -39,6 +39,36 @@ class TokenTfSpec extends SparkSpec {
     assert(onlyKernel.filter(size($"enc") =!= 0).count() == 0)
   }
 
+  test("token_tf_enc tokenizer edges match the relational form (whitespace, casing, empty)") {
+    // the ShingleHashesSpec edge discipline: leading/trailing non-0x20
+    // whitespace, mixed case folding, repeats, and the empty string
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "\ta b\n"), (4L, "A A a"), (5L, "x"),
+      (6L, " spaced  out "), (7L, "ab\fc\rd"), (8L, "ZZZ zzz Zzz"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+      call_function("token_tf_enc", $"text").as("enc"))
+    val relational = docs
+      .select($"doc_id", explode(graft.operators.TextOps.tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id",
+        shiftrightunsigned(xxhash64($"tok"), graft.functions.TokenTfEnc.KeyShift).as("key"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(
+        shiftleft($"key", TfBits).bitwiseOR(least($"tf", lit(TfMask))))).as("enc"))
+    val got = kernel.join(relational.withColumnRenamed("enc", "enc_ref"), Seq("doc_id"), "left")
+      .select($"doc_id", $"enc", coalesce($"enc_ref", typedLit(Seq.empty[Long])).as("enc_ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: kernel ${r.getSeq[Long](1)} != relational ${r.getSeq[Long](2)}")
+    }
+    // tf of the case-folded repeat: "A A a" → one key with tf 3
+    val d4 = got.find(_.getLong(0) == 4L).get.getSeq[Long](1)
+    assert(d4.length == 1 && (d4.head & TfMask) == 3L)
+  }
+
   test("sorted_tf_minsum equals the exploded Σmin on random multisets; edges") {
     val rnd = new scala.util.Random(13)
     def enc(m: Map[Long, Long]): Seq[Long] =
