@@ -30,7 +30,8 @@ object SparkEntry {
         "q117_audio_pipeline" -> (Multimodal.q117AudioPipeline _),
         "q119_video_pipeline" -> (Multimodal.q119VideoPipeline _),
         "q146_blob_dedup" -> (Multimodal.q146BlobDedup _),
-        "q147_blob_attr_fingerprint" -> (Multimodal.q147BlobAttrFingerprint _))
+        "q147_blob_attr_fingerprint" -> (Multimodal.q147BlobAttrFingerprint _),
+        "q166_image_resize_plan" -> (Multimodal.q166ImageResizePlan _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,6 +48,7 @@ object SparkEntry {
         "q119_video_pipeline" -> Multimodal.q119Sql,
         "q146_blob_dedup" -> Multimodal.q146Sql,
         "q147_blob_attr_fingerprint" -> Multimodal.q147Sql,
+        "q166_image_resize_plan" -> Multimodal.q166Sql,
         // the LSH pipeline's verified OUTPUT is hash-free, so the oracle
         // checks it end to end (recall-1 banding argument in MinHashLsh);
         // q37/q43 are planted-invariant audits (ground truth + floors)

@@ -251,6 +251,68 @@ object Multimodal {
       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_sampled
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q166 — image RESIZE / letterbox planning: the brief's named
+    * "resize" step as the batch-planning pass a multimodal training
+    * pipeline actually runs before GPU decode — from the REAL decoded
+    * header dimensions (the q51 chunk-walk through the slim (id, blob)
+    * seam), compute the aspect-preserving fit into a 224×224 canvas
+    * (downscale only, exact integer math: out = dim·224 div max(w,h),
+    * clamped ≥ 1; images already inside the canvas pass through),
+    * the letterbox padding totals, the output byte estimate
+    * (out_w·out_h·channels), and the (out_w, out_h) BATCH KEY that
+    * groups same-shape tensors for batched decode. Pure map after the
+    * decode seam — only header attributes shuffle for the final
+    * ORDER BY, pixels never exist. The oracle independently predicts
+    * the full chain from doc attributes (synthesis is injective, the
+    * q51 argument), so decode AND plan arithmetic are both checked.
+    */
+  def q166ImageResizePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = imageBlobs(s, d)
+    imageMeta(blobs, "doc_id", "blob")
+      .select($"doc_id",
+        $"image_meta.width".cast("long").as("width"),
+        $"image_meta.height".cast("long").as("height"),
+        $"image_meta.channels".cast("long").as("channels"))
+      .withColumn("m", greatest($"width", $"height"))
+      .withColumn("out_w",
+        when($"m" <= 224, $"width")
+          .otherwise(greatest(lit(1L), expr("(width * 224) div m"))))
+      .withColumn("out_h",
+        when($"m" <= 224, $"height")
+          .otherwise(greatest(lit(1L), expr("(height * 224) div m"))))
+      .select($"doc_id", $"width", $"height", $"out_w", $"out_h",
+        (lit(224L) - $"out_w").as("pad_x"),
+        (lit(224L) - $"out_h").as("pad_y"),
+        ($"out_w" * $"out_h" * $"channels").as("out_bytes"),
+        ($"out_w" * 1000 + $"out_h").as("batch_key"))
+      .orderBy($"doc_id")
+  }
+
+  val q166Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(1 + n_chars % 1024 AS BIGINT) AS width,
+      |    CAST(1 + (doc_id * 7) % 1024 AS BIGINT) AS height,
+      |    CAST(3 AS BIGINT) AS channels
+      |  FROM documents
+      |), plan AS (
+      |  SELECT *, GREATEST(width, height) AS m FROM dims
+      |), o AS (
+      |  SELECT doc_id, width, height,
+      |    CASE WHEN m <= 224 THEN width
+      |         ELSE GREATEST(1, (width * 224) // m) END AS out_w,
+      |    CASE WHEN m <= 224 THEN height
+      |         ELSE GREATEST(1, (height * 224) // m) END AS out_h,
+      |    channels
+      |  FROM plan
+      |)
+      |SELECT doc_id, width, height, out_w, out_h,
+      |  224 - out_w AS pad_x, 224 - out_h AS pad_y,
+      |  out_w * out_h * channels AS out_bytes,
+      |  out_w * 1000 + out_h AS batch_key
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** Typed metadata a real audio decoder would emit. */
   val AudioMetaSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),

@@ -297,6 +297,26 @@ class OperatorsSpec extends SparkSpec {
     assert(g(0).getAs[Long]("n") == ref.getLong(2))
   }
 
+  test("q166 resize plan: small image passes through, extreme aspect clamps to 1, exact integer fit") {
+    val dir = java.nio.file.Files.createTempDirectory("rsz").toString
+    // width = 1 + n_chars % 1024, height = 1 + (7·doc_id) % 1024:
+    // doc 2/n_chars 99 → 100×15 (inside the canvas, pass-through);
+    // doc 1024/n_chars 1023 → 1024×1 (extreme aspect: out_h would
+    // floor to 0 — must clamp to 1); doc 3/n_chars 447 → 448×22 →
+    // fit 224×(22·224 div 448 = 11)
+    Seq((2L, 99L), (1024L, 1023L), (3L, 447L))
+      .toDF("doc_id", "n_chars")
+      .selectExpr("doc_id", "'t' AS text", "'en' AS lang", "'s' AS source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Multimodal.q166ImageResizePlan(spark, dir)
+      .select($"doc_id", $"out_w", $"out_h", $"pad_x", $"pad_y", $"out_bytes")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, 100L, 15L, 124L, 209L, 4500L),
+      (3L, 224L, 11L, 0L, 213L, 7392L),
+      (1024L, 224L, 1L, 0L, 223L, 672L)), s"got $got")
+  }
+
   test("q164 session-overlap join: exact overlap, emit-once across shared hours, non-overlap absent") {
     // user 1: one 2-hour session (events every 20 min); user 2: one
     // session min 30–90 inside it — the overlap spans an hour-bucket
