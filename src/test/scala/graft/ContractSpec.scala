@@ -46,7 +46,8 @@ class ContractSpec extends SparkSpec {
     assert(direct == Set("q36_minhash_dedup", "q37_simhash_dedup",
       "q43_ann_lsh", "q50_blob_meta", "q51_image_pipeline",
       "q117_audio_pipeline", "q119_video_pipeline",
-      "q146_blob_dedup", "q147_blob_attr_fingerprint"),
+      "q146_blob_dedup", "q147_blob_attr_fingerprint",
+      "q166_image_resize_plan"),
       s"unexpected direct registrations: $direct")
     assert(SparkEntry.queries.size == flat.size + direct.size,
       s"merged registry lost entries: ${SparkEntry.queries.size} vs ${flat.size} + ${direct.size}")
