@@ -125,7 +125,7 @@ object TokenTfEnc {
 }
 
 /** Codegen'd Σ min(tf) over two [[TokenTfEnc]]-encoded arrays: one
-  * O(n+m) merge walk comparing the 44-bit key parts, accumulating the
+  * O(n+m) merge walk comparing the 43-bit key parts, accumulating the
   * smaller tf on a match — the weighted-Jaccard intersection mass
   * without the pair × |doc-tokens| join explosion. The multiset union
   * mass never needs its own walk: Σmax = tot_a + tot_b − Σmin.

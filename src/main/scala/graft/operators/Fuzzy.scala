@@ -218,7 +218,9 @@ object Fuzzy {
     *
     * Verification: the token multiset is born in the scan as ONE
     * [[graft.functions.TokenTfEnc]] array per doc (pure-map kernel —
-    * 44-bit token-hash key, 20-bit tf, run-length encoded, sorted) and
+    * 43-bit token-hash key (KeyShift sacrifices one bit for sign-safe
+    * `sort_array` order — see TokenTfEnc), 20-bit tf, run-length
+    * encoded, sorted) and
     * each surviving pair scores via ONE codegen'd
     * [[graft.functions.SortedTfMinSum]] merge walk. The original
     * relational verify — pair ⋈ tf ⋈ tf on (doc, token) + a Σmin

@@ -930,10 +930,16 @@ object VectorOps {
     */
   def q162GridDensityClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pts = embeddings(s, d).filter($"vec_id".isNotNull)
+    // Malformed-row guard, SYMMETRIC with the oracle (round-10 advice):
+    // a row whose embedding has < 2 elements (ANSI element_at would
+    // throw) or a null leading element (null grid coords would silently
+    // vanish through the inner label-back join while the oracle's LEFT
+    // JOIN kept them as noise) is excluded by BOTH engines up front.
+    val pts = embeddings(s, d).filter($"vec_id".isNotNull && size($"embedding") >= 2)
       .select($"vec_id",
         floor(element_at($"embedding", 1).cast("double") * 10).cast("long").as("cx"),
         floor(element_at($"embedding", 2).cast("double") * 10).cast("long").as("cy"))
+      .filter($"cx".isNotNull && $"cy".isNotNull)
     val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // grid-bounded; feeds core, totals, and label-back
     val tot = cells.agg(sum($"cnt").cast("decimal(38,0)").as("total"),
@@ -967,11 +973,13 @@ object VectorOps {
     * coalesce-to-own-key).
     */
   val q162Sql: String =
-    """WITH RECURSIVE pts AS (
+    """WITH RECURSIVE pts0 AS (
       |  SELECT vec_id,
       |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT) AS cx,
       |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10) AS BIGINT) AS cy
-      |  FROM embeddings WHERE vec_id IS NOT NULL
+      |  FROM embeddings WHERE vec_id IS NOT NULL AND LEN(embedding) >= 2
+      |), pts AS (
+      |  SELECT * FROM pts0 WHERE cx IS NOT NULL AND cy IS NOT NULL
       |), cells AS (
       |  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY cx, cy
       |), tot AS (
