@@ -74,7 +74,11 @@ object Compactor {
         "files_before", "bytes")
     if (frag.isEmpty) return summary
     val touched = summary.select(Keys.map(col): _*)
-    val affected = spark.read.parquet(path)
+    // read through the tracked lake schema (MergeWriter.readLake): with
+    // additive evolution, footer-sampled inference could pick a
+    // pre-evolution file and silently DROP the new column from the
+    // partitions being REWRITTEN — compaction must never change data
+    val affected = MergeWriter.readLake(spark, path)
       .join(broadcast(touched), Keys, "left_semi")
       // cut lineage from the path being overwritten (same constraint as
       // MergeWriter.merge); affected partitions are the fragmented ones

@@ -266,9 +266,13 @@ object Multimodal {
     * the full chain from doc attributes (synthesis is injective, the
     * q51 argument), so decode AND plan arithmetic are both checked.
     */
-  def q166ImageResizePlan(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val blobs = imageBlobs(s, d)
+  /** The q166 pipeline shape over ANY slim (doc_id, blob) relation —
+    * factored so ScaleRehearsalSpec can measure the blob tier's scale
+    * claim (only header attributes shuffle; blob bytes never leave
+    * their scan partitions) on corpora with real large payloads.
+    */
+  def resizePlan(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
     imageMeta(blobs, "doc_id", "blob")
       .select($"doc_id",
         $"image_meta.width".cast("long").as("width"),
@@ -288,6 +292,9 @@ object Multimodal {
         ($"out_w" * 1000 + $"out_h").as("batch_key"))
       .orderBy($"doc_id")
   }
+
+  def q166ImageResizePlan(s: SparkSession, d: String): DataFrame =
+    resizePlan(imageBlobs(s, d))
 
   val q166Sql: String =
     """WITH dims AS (
@@ -643,9 +650,12 @@ object Multimodal {
     * the dedup groups byte-identical blobs and nothing else, and that
     * the synthesis is deterministic.
     */
-  def q146BlobDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    imageBlobs(s, d)
+  /** The q146 pipeline shape over ANY slim (doc_id, blob) relation
+    * (rehearsal seam — see [[resizePlan]]).
+    */
+  def blobDedup(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .where($"doc_id".isNotNull)
       .select($"doc_id",
         octet_length($"blob").cast("long").as("n_bytes"),
@@ -655,6 +665,9 @@ object Multimodal {
       .select($"keeper_doc_id", $"n_bytes", $"n_copies")
       .orderBy($"keeper_doc_id")
   }
+
+  def q146BlobDedup(s: SparkSession, d: String): DataFrame =
+    blobDedup(imageBlobs(s, d))
 
   val q146Sql: String =
     """WITH attrs AS (
@@ -679,9 +692,12 @@ object Multimodal {
     * decode is a per-partition map; only (16-byte digest, 4 small
     * attrs) shuffle.
     */
-  def q147BlobAttrFingerprint(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    imageMeta(imageBlobs(s, d).where($"doc_id".isNotNull), "doc_id", "blob")
+  /** The q147 pipeline shape over ANY slim (doc_id, blob) relation
+    * (rehearsal seam — see [[resizePlan]]).
+    */
+  def blobAttrFingerprint(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    imageMeta(blobs.where($"doc_id".isNotNull), "doc_id", "blob")
       .select($"doc_id", md5($"blob").as("bh"),
         $"image_meta.format".as("format"),
         expr("CAST(image_meta.width AS BIGINT) div 64").as("wb"),
@@ -694,6 +710,9 @@ object Multimodal {
         $"n_members", $"n_exact")
       .orderBy($"rep_doc")
   }
+
+  def q147BlobAttrFingerprint(s: SparkSession, d: String): DataFrame =
+    blobAttrFingerprint(imageBlobs(s, d))
 
   val q147Sql: String =
     """WITH attrs AS (

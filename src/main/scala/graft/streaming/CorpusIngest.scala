@@ -64,7 +64,22 @@ object CorpusIngest {
             checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
             watermarkDelay: String = "1 hour",
-            minQuality: Double = 0.25): StreamingQuery = {
+            minQuality: Double = 0.25): StreamingQuery =
+    start(spark, docs, lakePath, checkpoint, trigger, watermarkDelay,
+      minQuality, _ => ())
+
+  /** Test seam (round-10 verdict item 2): `postBatchHook` runs AFTER the
+    * lake merge but BEFORE foreachBatch returns — i.e. before Spark
+    * commits the epoch to the checkpoint. A hook that throws reproduces
+    * the at-least-once path's ACTUAL failure mode: data landed, offset
+    * uncommitted, so a restart re-delivers the batch with the SAME
+    * batchId and the idempotent merge must absorb it. Production callers
+    * use the 7-arg overload (no-op hook).
+    */
+  private[graft] def start(spark: SparkSession, docs: DataFrame, lakePath: String,
+                           checkpoint: String, trigger: Trigger,
+                           watermarkDelay: String, minQuality: Double,
+                           postBatchHook: Long => Unit): StreamingQuery = {
     import docs.sparkSession.implicits._
     dedupedQualityStream(docs, watermarkDelay, minQuality)
       .withColumn("date", date_format($"event_time", "yyyyMMdd"))
@@ -73,6 +88,7 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { mergeDocs(spark, batch, lakePath, batchId); () }
+        postBatchHook(batchId)
       }
       .start()
   }

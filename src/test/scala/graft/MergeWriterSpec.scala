@@ -86,6 +86,63 @@ class MergeWriterSpec extends SparkSpec {
     assert(path.isDirectory, s"expected hive layout, got ${path.getParent}")
   }
 
+  test("additive evolution: a batch may grow a nullable column; old partitions read back null") {
+    val lake = tmpLake()
+    // month one: plain candles into two dates
+    val b1 = MergeWriter.withPartitionCols(
+      candles((T0, 100.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b1, lake, 1)
+    // month two: the schema grows `vwap`; the batch touches ONLY day2,
+    // so day1's physical files never carry the column (mixed-schema lake)
+    val b2 = MergeWriter.withPartitionCols(candles((T0 + Day, 201.0, "coinbase")), "15m", "spot")
+      .withColumn("vwap", lit(1.25))
+    MergeWriter.merge(spark, b2, lake, 2)
+    val out = MergeWriter.readLake(spark, lake).orderBy("timestamp").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("close") == 100.0 && out(0).isNullAt(out(0).fieldIndex("vwap")),
+      "pre-evolution partition must surface the new column as null")
+    assert(out(1).getAs[Double]("close") == 201.0 && out(1).getAs[Double]("vwap") == 1.25)
+    // the tracked schema advanced
+    assert(MergeWriter.storedSchema(spark, lake).exists(_.fieldNames.contains("vwap")))
+    // and an OLD-shape writer still merges after evolution (its rows
+    // carry null in the evolved column)
+    val b3 = MergeWriter.withPartitionCols(candles((T0 + 2 * Day, 300.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, b3, lake, 3)
+    val day3 = MergeWriter.readLake(spark, lake)
+      .filter(col("date") === "20210103").collect()
+    assert(day3.length == 1 && day3(0).isNullAt(day3(0).fieldIndex("vwap")))
+  }
+
+  test("schema evolution REJECTS a type change loudly") {
+    val lake = tmpLake()
+    val b1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+      .withColumn("vwap", lit(1.25)) // double
+    MergeWriter.merge(spark, b1, lake, 1)
+    val b2 = MergeWriter.withPartitionCols(candles((T0, 101.0, "coinbase")), "15m", "spot")
+      .withColumn("vwap", lit("high")) // string — silent coercion forbidden
+    val e = intercept[IllegalStateException] { MergeWriter.merge(spark, b2, lake, 2) }
+    assert(e.getMessage.contains("TYPE") && e.getMessage.contains("vwap"), e.getMessage)
+    // the failed merge must not have corrupted the lake or its schema
+    val out = MergeWriter.readLake(spark, lake).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("vwap") == 1.25)
+    // and the lock was released by the failed attempt
+    MergeWriter.merge(spark, b1, lake, 3)
+  }
+
+  test("null partition-key values are rejected loudly, not silently dropped") {
+    val lake = tmpLake()
+    val good = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+    MergeWriter.merge(spark, good, lake, 1)
+    // a null exchange would OR-compare to null (never true) and erase
+    // the existing partition's rows from the merge read — fail instead
+    val bad = MergeWriter.withPartitionCols(
+      candles((T0 + 900000, 101.0, "coinbase")), "15m", "spot")
+      .withColumn("exchange", lit(null).cast("string"))
+    val e = intercept[IllegalArgumentException] { MergeWriter.merge(spark, bad, lake, 2) }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(spark.read.parquet(lake).count() == 1)
+  }
+
   test("single-writer lock: a concurrent second merge fails loud, not silently-lost rows") {
     val lake = tmpLake()
     val b = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")

@@ -533,6 +533,100 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(lakeDf.filter($"source" === "src1" && $"ingest_seq" === 1L).count() == 250L)
   }
 
+  // ───────────────────────── multimodal / blob tier ─────────────────────────
+  // Round-10 verdict item 4: the blob tier's claim ("only digests and
+  // header attributes shuffle; blob bytes never leave their scan
+  // partitions" — Multimodal.scala) was PlanSpec-argued but never
+  // task-metric-measured. Here the q146/q147/q166 pipeline SHAPES run
+  // over corpora with REAL large payloads (header-valid PNG/JPEG bytes
+  // + incompressible random padding, so a leaked blob cannot hide
+  // behind shuffle compression) at 1 KiB and 10 KiB per blob — same
+  // row count, 10× the blob VOLUME. If blobs stay partition-local,
+  // shuffle bytes are attribute-sized and FLAT across the two corpora;
+  // a blob-carrying exchange would grow them ~10×.
+
+  /** Total shuffle-read bytes across every task inside `body` (shuffle
+    * metrics come from the shuffle reader itself — unlike the
+    * FileSystem-statistics-based input BYTES metric, which undercounts
+    * positioned parquet reads in local mode).
+    */
+  private def shuffleBytes(body: => Unit): Long = {
+    val shuf = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && e.taskMetrics.shuffleReadMetrics != null)
+          shuf.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(1500) /* drain the async listener bus */ }
+    finally spark.sparkContext.removeSparkListener(listener)
+    shuf.get()
+  }
+
+  /** On-disk bytes under `dir` — filesystem truth for corpus volume. */
+  private def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+
+  /** `nDocs` header-valid image blobs of exactly `blobBytes` bytes:
+    * a real PNG/JPEG header (dims derived from doc_id, the q51 scheme)
+    * followed by LCG-random padding — incompressible, so shuffle/IO
+    * byte metrics measure true payload movement.
+    */
+  private def blobDir(nDocs: Long, blobBytes: Int): String = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory(s"scaleblob_$blobBytes").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    spark.range(nDocs).toDF("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val header =
+          if (id % 2 == 0)
+            graft.operators.Multimodal.syntheticPng((1 + id % 1024).toInt, (1 + id * 7 % 1024).toInt)
+          else
+            graft.operators.Multimodal.syntheticJpeg((1 + id % 1024).toInt, (1 + id * 7 % 1024).toInt)
+        val pad = new Array[Byte](blobBytes - header.length)
+        new java.util.Random(id * 2654435761L + blobBytes).nextBytes(pad)
+        Row(id, header ++ pad)
+      }
+    }(Encoders.row(schema)).write.mode("overwrite").parquet(s"$dir/blobs.parquet")
+    dir
+  }
+
+  test("blob tier: q146/q147/q166 shapes shuffle attributes only — flat bytes at 10x blob volume", SlowTag) {
+    import org.apache.spark.sql.DataFrame
+    val nDocs = 20000L
+    val small = blobDir(nDocs, 1024)
+    val big = blobDir(nDocs, 10240)
+    def blobs(dir: String): DataFrame = spark.read.parquet(s"$dir/blobs.parquet")
+    // the corpora genuinely differ ~10× in payload (incompressible
+    // padding ⇒ on-disk ≈ in-memory) — filesystem truth, not metrics
+    assert(dirBytes(big) >= 5 * dirBytes(small),
+      s"big corpus is ${dirBytes(big)} bytes vs ${dirBytes(small)} — blob volume not scaled")
+    for ((name, fn) <- Seq[(String, DataFrame => DataFrame)](
+        ("q146_blob_dedup", graft.operators.Multimodal.blobDedup _),
+        ("q147_attr_fingerprint", graft.operators.Multimodal.blobAttrFingerprint _),
+        ("q166_resize_plan", graft.operators.Multimodal.resizePlan _))) {
+      val sShuf = shuffleBytes {
+        fn(blobs(small)).write.format("noop").mode("overwrite").save()
+      }
+      var rows = 0L
+      val bShuf = shuffleBytes { rows = fn(blobs(big)).count() }
+      assert(rows > 0L, s"$name produced no rows on the synthetic blob corpus")
+      // the load-bearing bound: shuffle bytes must NOT track blob
+      // volume. 2× + 2 MiB absorbs sampling/AQE jitter on the
+      // attribute-sized exchanges; a blob-carrying exchange lands ~10×.
+      assert(bShuf <= 2 * sShuf + (2L << 20),
+        s"$name shuffled $bShuf bytes at 10× blob volume vs $sShuf — " +
+          "blob bytes leaked off their scan partitions")
+    }
+  }
+
   test("bucketed join shuffle volume is scale-independent (exchange-free SMJ, measured)", SlowTag) {
     val small = factsDir(150000L)
     val big = factsDir(1500000L)
