@@ -53,9 +53,11 @@ object MergeWriter {
     * The lock releases in a finally; a crash between create and release
     * leaves a stale lock that must be removed by an operator (or
     * [[breakLock]]) — fail-stop beats silently-lost rows. (On S3-class
-    * stores without atomic create the lock is advisory; a real
-    * deployment there should front the lake with a table format that
-    * has a commit protocol.)
+    * stores without atomic create the lock is advisory; those
+    * deployments should set `spark.graft.lake.commit=manifest` to use
+    * [[ManifestLake]]'s immutable-txn + atomic-manifest-create commit,
+    * where a torn merge is invisible to readers and the race shrinks
+    * to one conditional metadata PUT.)
     */
   private def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                 path: String)(body: => A): A = {
@@ -166,7 +168,8 @@ object MergeWriter {
     * footer-inference fallback when no sidecar exists yet.
     */
   def readLake(spark: SparkSession, path: String): DataFrame =
-    storedSchema(spark, path) match {
+    if (ManifestLake.isManifestLake(spark, path)) ManifestLake.read(spark, path)
+    else storedSchema(spark, path) match {
       case Some(sc) => spark.read.schema(sc).parquet(path)
       case None     => spark.read.parquet(path)
     }
@@ -217,6 +220,13 @@ object MergeWriter {
   private[graft] def mergeKeyed(spark: SparkSession, tagged: DataFrame, path: String,
                                 keys: Seq[String], dedupKeys: Seq[org.apache.spark.sql.Column],
                                 order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    // Object-store deployments opt into the manifest-pointer commit
+    // (`spark.graft.lake.commit=manifest`); an existing manifest lake
+    // self-describes by layout and must ALWAYS go through the protocol —
+    // a dynamic-overwrite write into it would bypass commit visibility.
+    if (ManifestLake.isManifestLake(spark, path) ||
+        spark.conf.getOption("spark.graft.lake.commit").contains("manifest"))
+      return ManifestLake.mergeKeyed(spark, tagged, path, keys, dedupKeys, order)
     // Scheme-aware existence check: java.io.File is silently false for
     // hdfs:///s3a:// paths, which would blind-overwrite a remote lake.
     val hPath = new org.apache.hadoop.fs.Path(path)

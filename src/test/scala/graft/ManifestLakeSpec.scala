@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.{ManifestLake, MergeWriter}
+import graft.model.Candle
+
+/** Manifest-pointer commit protocol (round-10 verdict item 5): data
+  * files immutable, visibility = one atomic manifest create — a torn
+  * merge must be INVISIBLE to readers, a commit race must fail loud,
+  * and the merged state must equal the lock path's semantics.
+  */
+class ManifestLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candles(rows: (Long, Double, String)*): DataFrame =
+    rows.map { case (tsMs, close, exch) =>
+      Candle(new Timestamp(tsMs), 1.0, 2.0, 0.5, close, 10.0, "BTC-USDT", exch)
+    }.toDF()
+
+  private val T0 = 1609459200000L // 2021-01-01
+  private val Day = 86400000L
+
+  private def tmpLake(): String =
+    Files.createTempDirectory("graft_mlake").toString + "/lake"
+
+  /** Run `body` with manifest commits enabled (conf is what NEW lakes
+    * key off; existing manifest lakes self-describe by layout).
+    */
+  private def withManifestMode[A](body: => A): A = {
+    spark.conf.set("spark.graft.lake.commit", "manifest")
+    try body finally spark.conf.unset("spark.graft.lake.commit")
+  }
+
+  test("merge semantics match the lock path: keep-last per key, idempotent, partition-isolated") {
+    withManifestMode {
+      val lake = tmpLake()
+      val b1 = MergeWriter.withPartitionCols(
+        candles((T0, 100.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b1, lake, 1)
+      // overlapping correction + an untouched sibling partition
+      val b2 = MergeWriter.withPartitionCols(candles((T0, 999.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b2, lake, 2)
+      val out = MergeWriter.readLake(spark, lake).orderBy("timestamp").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Double]("close") == 999.0, "last writer must win")
+      assert(out(1).getAs[Double]("close") == 200.0, "untouched partition intact")
+      // idempotence: re-delivering b2 changes nothing
+      MergeWriter.merge(spark, b2, lake, 3)
+      val again = MergeWriter.readLake(spark, lake).orderBy("timestamp")
+        .drop("ingest_seq").collect().toSeq
+      assert(again.map(_.getAs[Double]("close")) == Seq(999.0, 200.0))
+    }
+  }
+
+  test("a torn merge (crash between data write and manifest commit) is invisible to readers") {
+    withManifestMode {
+      val lake = tmpLake()
+      val b1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b1, lake, 1)
+      val before = MergeWriter.readLake(spark, lake).drop("ingest_seq").collect().toSeq
+      // crash in the torn window
+      ManifestLake.beforeCommitHook = () => {
+        ManifestLake.beforeCommitHook = () => ()
+        throw new IllegalStateException("injected crash before manifest commit")
+      }
+      val b2 = MergeWriter.withPartitionCols(
+        candles((T0, 555.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
+      val e = intercept[IllegalStateException] { MergeWriter.merge(spark, b2, lake, 2) }
+      assert(e.getMessage.contains("injected"), e.getMessage)
+      // the torn txn's files exist on disk…
+      assert(new java.io.File(s"$lake/data/txn-2").exists(),
+        "test premise: the torn write must have landed data files")
+      // …but a reader sees EXACTLY the pre-merge state
+      assert(MergeWriter.readLake(spark, lake).drop("ingest_seq").collect().toSeq == before)
+      // the retry converges (reclaiming the orphaned txn dir)
+      MergeWriter.merge(spark, b2, lake, 2)
+      val out = MergeWriter.readLake(spark, lake).orderBy("timestamp").collect()
+      assert(out.map(_.getAs[Double]("close")).toSeq == Seq(555.0, 200.0))
+    }
+  }
+
+  test("unreferenced data files are invisible: a stray txn directory never reaches readers") {
+    withManifestMode {
+      val lake = tmpLake()
+      val b1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b1, lake, 1)
+      // an abandoned writer's orphan: full partition layout, never committed
+      candles((T0 + Day, 666.0, "coinbase")).toDF()
+        .withColumn("ingest_seq", lit(9L))
+        .write.parquet(s"$lake/data/txn-999/symbol=BTC-USDT/interval=15m/" +
+          "data_type=spot/exchange=coinbase/date=20210102")
+      val out = MergeWriter.readLake(spark, lake).collect()
+      assert(out.length == 1 && out(0).getAs[Double]("close") == 100.0,
+        "uncommitted files leaked into a read")
+    }
+  }
+
+  test("commit race: the losing writer fails loud with nothing corrupted") {
+    withManifestMode {
+      val lake = tmpLake()
+      val b1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b1, lake, 1)
+      // a TRUE race: the competitor lands m2 AFTER this merge resolved
+      // the current version (v=1) but before its own commit
+      ManifestLake.beforeCommitHook = () => {
+        ManifestLake.beforeCommitHook = () => ()
+        val fs = new org.apache.hadoop.fs.Path(lake)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val race = fs.create(new org.apache.hadoop.fs.Path(s"$lake/_manifest/m2.txt"), false)
+        race.write(("symbol=BTC-USDT/interval=15m/data_type=spot/exchange=coinbase/" +
+          "date=20210101\t1\n").getBytes("UTF-8"))
+        race.close()
+      }
+      val b2 = MergeWriter.withPartitionCols(candles((T0, 555.0, "coinbase")), "15m", "spot")
+      val e = intercept[IllegalStateException] { MergeWriter.merge(spark, b2, lake, 2) }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      // the loser's data write must not have disturbed the committed state
+      val out = MergeWriter.readLake(spark, lake).collect()
+      assert(out.length == 1 && out(0).getAs[Double]("close") == 100.0)
+    }
+  }
+
+  test("vacuum reclaims superseded files; the committed state is untouched") {
+    withManifestMode {
+      val lake = tmpLake()
+      val b1 = MergeWriter.withPartitionCols(
+        candles((T0, 100.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b1, lake, 1)
+      // remap day1 twice (txn-2, txn-3) and leave an orphan txn
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 101.0, "coinbase")), "15m", "spot"), lake, 2)
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 102.0, "coinbase")), "15m", "spot"), lake, 3)
+      candles((T0, 7.0, "coinbase")).toDF().withColumn("ingest_seq", lit(9L))
+        .write.parquet(s"$lake/data/txn-50/symbol=BTC-USDT/interval=15m/" +
+          "data_type=spot/exchange=coinbase/date=20210101")
+      val before = MergeWriter.readLake(spark, lake).orderBy("timestamp")
+        .collect().map(_.getAs[Double]("close")).toSeq
+      assert(before == Seq(102.0, 200.0))
+      val removed = ManifestLake.vacuum(spark, lake)
+      assert(removed > 0, "vacuum must reclaim the superseded day1 copies + orphan txn")
+      // orphan and superseded dirs gone, committed state identical
+      assert(!new java.io.File(s"$lake/data/txn-50").exists())
+      val after = MergeWriter.readLake(spark, lake).orderBy("timestamp")
+        .collect().map(_.getAs[Double]("close")).toSeq
+      assert(after == before)
+    }
+  }
+
+  test("additive schema evolution flows through manifest txns (unionByName across versions)") {
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      // month two grows vwap, touching only day2 — day1's txn never has it
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0 + Day, 200.0, "coinbase")), "15m", "spot")
+          .withColumn("vwap", lit(1.25)), lake, 2)
+      val out = MergeWriter.readLake(spark, lake).orderBy("timestamp").collect()
+      assert(out.length == 2)
+      assert(out(0).isNullAt(out(0).fieldIndex("vwap")))
+      assert(out(1).getAs[Double]("vwap") == 1.25)
+    }
+  }
+
+  test("partition values that need path escaping are rejected loudly") {
+    withManifestMode {
+      val lake = tmpLake()
+      val bad = MergeWriter.withPartitionCols(candles((T0, 100.0, "coin base")), "15m", "spot")
+      val e = intercept[IllegalArgumentException] { MergeWriter.merge(spark, bad, lake, 1) }
+      assert(e.getMessage.contains("escaping"), e.getMessage)
+    }
+  }
+}
