@@ -297,29 +297,43 @@ object GraphOps {
       |ORDER BY t.n_tri DESC, p.p_partkey LIMIT 20""".stripMargin
 
   /** q165 — frequent 3-itemset mining (A-Priori, Agrawal & Srikant
-    * VLDB'94): the top-20 part TRIPLES co-purchased in ≥ 2 distinct
-    * orders — market-basket analysis one order above q108's pair
+    * VLDB'94): the top-20 part TRIPLES bought by ≥ 2 distinct
+    * CUSTOMERS — market-basket analysis one order above q108's pair
     * stage, and the canonical demonstration of the A-Priori bound at
     * scale: a triple's support is at most any sub-pair's support, so
-    * triples whose sub-pairs aren't all frequent are pruned BEFORE the
-    * support shuffle, provably without changing the result (the q158
-    * length-filter discipline — the oracle runs the brute count and
-    * the hash check proves the pruning free).
+    * candidates whose sub-pairs aren't all frequent are pruned BEFORE
+    * the support shuffle, provably without changing the result (the
+    * q158 length-filter discipline — the oracle runs the brute count
+    * and the hash check proves the pruning free).
     *
-    * Scale shape: baskets are order-bounded (single-digit parts), so
-    * the C(k,3) generator is linear in orders and runs as three
-    * stacked codegen'd Generates (q108's lesson: nested
-    * transform/flatten lambdas evaluate interpreted); the frequent-
-    * pair relation is A-Priori-bounded (~3.5 k rows at sf0.1) and
-    * BROADCASTS into three semi joins that cut the generator output
-    * before its one (triple) support exchange; the top-20 leaves via
-    * TakeOrderedAndProject under a total order.
+    * Baskets are CUSTOMER lifetime part sets (orders ⋈ lineitem —
+    * round-10 verdict item 6: order baskets hold single-digit parts
+    * drawn from a part catalog that scales WITH the corpus, so no
+    * order triple ever repeats at sf ≥ 0.1 and the support filter was
+    * vacuously empty there; customer baskets are ~40 distinct parts at
+    * EVERY scale factor — orders/customer and parts/order are both
+    * scale-invariant — so repeated triples exist at any SF: 150 k at
+    * sf0.01, 16 k at sf0.1, and both legs now exercise the generator
+    * and the pruning it exists to prove).
+    *
+    * Scale shape: basket size is scale-invariant (~40), so the pair
+    * pass is C(40,2)-per-customer — linear in customers. True A-Priori
+    * CANDIDATE GENERATION, not post-filter: the frequent-pair relation
+    * (support-bounded; 413 k rows at sf0.1) broadcasts into a semi
+    * join on the (x, y) PREFIX before z ever explodes — measured 14×
+    * fewer prefixes at sf0.1 — then into the (x,z)/(y,z) semi joins
+    * that cut survivors before the one (triple) support exchange; all
+    * explodes are stacked codegen'd Generates (q108's lesson: nested
+    * transform/flatten lambdas evaluate interpreted); the top-20
+    * leaves via TakeOrderedAndProject under a total order.
     */
   def q165FrequentTriples(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey")
-    val baskets = li.groupBy($"ok").agg(sort_array(collect_set($"l_partkey")).as("ps"))
-      .localCheckpoint() // feeds the pair pass and the triple generator
+    val ord = orders(s, d).select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+    val baskets = li.join(ord, Seq("ok"))
+      .groupBy($"ck").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .localCheckpoint() // feeds the pair pass and the prefix generator
     val pairs = baskets
       .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
       .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
@@ -327,14 +341,17 @@ object GraphOps {
       .filter($"psup" >= 2)
       .select($"x", $"y")
       .localCheckpoint() // A-Priori-bounded; broadcast into 3 semi joins
-    val triples = baskets
+    val prefixes = baskets
       .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
       .select($"x", posexplode(slice($"ps", $"i" + lit(2), size($"ps"))).as(Seq("j", "y")),
         $"i", $"ps")
+      // prune the (x, y) prefix BEFORE generating z — A-Priori
+      // candidate generation; the explode below runs only on frequent
+      // prefixes
+      .join(broadcast(pairs), Seq("x", "y"), "left_semi")
+    prefixes
       .select($"x", $"y",
         explode(slice($"ps", $"i" + $"j" + lit(3), size($"ps"))).as("z"))
-    triples
-      .join(broadcast(pairs), Seq("x", "y"), "left_semi")
       .join(broadcast(pairs.select($"x", $"y".as("z"))), Seq("x", "z"), "left_semi")
       .join(broadcast(pairs.select($"x".as("y"), $"y".as("z"))), Seq("y", "z"), "left_semi")
       .groupBy($"x", $"y", $"z").agg(count(lit(1)).as("support"))
@@ -344,15 +361,17 @@ object GraphOps {
   }
 
   /** Brute triple count — no pruning, so the hash match PROVES the
-    * A-Priori semi joins drop only sub-support triples.
+    * A-Priori prefix + sub-pair semi joins drop only sub-support
+    * triples.
     */
   val q165Sql: String =
-    """WITH e AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    """WITH b AS (
+      |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |), t AS (
-      |  SELECT a.p AS x, b.p AS y, c.p AS z
-      |  FROM e a JOIN e b ON b.ok = a.ok AND b.p > a.p
-      |  JOIN e c ON c.ok = a.ok AND c.p > b.p
+      |  SELECT a.p AS x, b2.p AS y, c.p AS z
+      |  FROM b a JOIN b b2 ON b2.ck = a.ck AND b2.p > a.p
+      |  JOIN b c ON c.ck = a.ck AND c.p > b2.p
       |)
       |SELECT x, y, z, CAST(COUNT(*) AS BIGINT) AS support
       |FROM t GROUP BY x, y, z HAVING COUNT(*) >= 2

@@ -93,13 +93,18 @@ class PercentileAuditSpec extends SparkSpec {
 
   test("q165 frequent triples: planted co-purchase triple counted exactly; sub-support triples absent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p165").toString
-    // orders 1,2,3 hold {1,2,3} → triple (1,2,3) support 3; order 4
-    // holds {1,2,4} → every triple containing 4 is support-1 and must
-    // be pruned (its sub-pairs (1,4)/(2,4) are also sub-support, so
-    // the A-Priori semi joins cut it before the count — same answer)
-    val rows = (for (ok <- Seq(1L, 2L, 3L); p <- 1L to 3L) yield (ok, p)) ++
-      Seq((4L, 1L), (4L, 2L), (4L, 4L))
+    // customers 1,2,3 hold {1,2,3} (customer 1 across TWO orders — the
+    // basket is the customer's lifetime set, counted once) → triple
+    // (1,2,3) support 3; customer 4 holds {1,2,4} → every triple
+    // containing 4 is support-1 and must be pruned (its sub-pairs
+    // (1,4)/(2,4) are also sub-support, so the A-Priori prefix +
+    // sub-pair semi joins cut it before the count — same answer)
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 3L)) ++ // customer 1: order 1 {1,2}, order 2 {3}
+      (for (ok <- Seq(3L, 4L); p <- 1L to 3L) yield (ok, p)) ++ // customers 2, 3
+      Seq((5L, 1L), (5L, 2L), (5L, 4L)) // customer 4
     rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
     val got = graft.operators.GraphOps.q165FrequentTriples(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 3L, 3L)), s"got $got")
