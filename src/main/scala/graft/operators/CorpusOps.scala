@@ -480,7 +480,118 @@ object CorpusOps {
       |WHERE rn = 1
       |ORDER BY source, date, text_md5""".stripMargin
 
+  /** q167 — batch replay of the streaming incremental near-dup gate
+    * ([[MinHashLsh.incrementalNearDupGate]], wired live in
+    * [[graft.streaming.CorpusIngest.startNearDupGated]]): the corpus
+    * arrives as four micro-batches (batch = doc_id % 4) and each batch
+    * is gated against the maintained survivor state — dropped iff
+    * near-dup (exact 3-shingle Jaccard ≥ 0.5 over banding candidates)
+    * of an earlier-batch SURVIVOR or of a smaller-id doc in its own
+    * batch. Output is every doc's verdict (doc_id, batch, survived).
+    *
+    * This is the q160 discipline applied to the last dedup family with
+    * no streaming form: the oracle simulates the same four-stage gate
+    * relationally (brute pair relation + four unrolled NOT-EXISTS
+    * survivor stages — banding recall is structurally 1 at τ = 0.5,
+    * the q36 argument, and banding is per-doc so the pair relation is
+    * population-independent), which hash-checks both the candidate
+    * recall and the state discipline: a keep-vs-dropped polarity bug
+    * (state accumulating dropped docs, or in-batch rule consulting
+    * survival) flips verdicts on the planted chains and the hash
+    * catches it.
+    *
+    * Scale: state grows with survivors; each batch costs
+    * O(batch × bands + candidates); nothing rescans prior batches —
+    * the four gate calls are genuinely incremental, not a replayed
+    * corpus-wide dedup.
+    */
+  def q167StreamNearDupGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"doc_id".isNotNull)
+      .select($"doc_id", $"text", ($"doc_id" % 4).as("batch"))
+      .localCheckpoint() // one corpus scan feeds the four batch filters
+    var state: Option[GateState] = None
+    val verdicts = (0L to 3L).map { b =>
+      val (flags, delta) = MinHashLsh.incrementalNearDupGate(
+        docs.filter($"batch" === b).select($"doc_id", $"text"), state)
+      state = Some(state match {
+        case None => delta
+        case Some(st) => GateState(
+          st.bands.unionByName(delta.bands).localCheckpoint(),
+          st.docs.unionByName(delta.docs).localCheckpoint())
+      })
+      flags.withColumn("batch", lit(b))
+    }
+    verdicts.reduce(_.unionByName(_))
+      .select($"doc_id", $"batch", $"survived")
+      .orderBy($"doc_id")
+  }
+
+  /** Brute-force relational simulation: the full τ-pair relation (the
+    * q36 oracle's chain), symmetric edges, then the four gate stages
+    * unrolled — stage b's NOT EXISTS clauses are exactly rule (a)
+    * (edge from a PRIOR-STAGE SURVIVOR) and rule (b) (edge from a
+    * smaller-id same-batch doc).
+    */
+  val q167Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id % 4 AS batch,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id IS NOT NULL)
+      |), ex AS (
+      |  SELECT doc_id, UNNEST(sh) AS shingle FROM docs WHERE LEN(sh) > 0
+      |), sz AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+      |), cm AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT da, db FROM cm
+      |  JOIN sz sa ON sa.doc_id = cm.da JOIN sz sb ON sb.doc_id = cm.db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      |), e AS (
+      |  SELECT da AS u, db AS v FROM pairs
+      |  UNION ALL SELECT db AS u, da AS v FROM pairs
+      |), bt AS (
+      |  SELECT doc_id, batch FROM docs
+      |), s0 AS (
+      |  SELECT d.doc_id FROM bt d WHERE d.batch = 0 AND NOT EXISTS (
+      |    SELECT 1 FROM e JOIN bt a ON a.doc_id = e.u
+      |    WHERE e.v = d.doc_id AND a.batch = 0 AND e.u < d.doc_id)
+      |), s1 AS (
+      |  SELECT d.doc_id FROM bt d WHERE d.batch = 1
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN s0 p ON p.doc_id = e.u
+      |                    WHERE e.v = d.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN bt a ON a.doc_id = e.u
+      |                    WHERE e.v = d.doc_id AND a.batch = 1 AND e.u < d.doc_id)
+      |), p1 AS (
+      |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+      |), s2 AS (
+      |  SELECT d.doc_id FROM bt d WHERE d.batch = 2
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN p1 p ON p.doc_id = e.u
+      |                    WHERE e.v = d.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN bt a ON a.doc_id = e.u
+      |                    WHERE e.v = d.doc_id AND a.batch = 2 AND e.u < d.doc_id)
+      |), p2 AS (
+      |  SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM s2
+      |), s3 AS (
+      |  SELECT d.doc_id FROM bt d WHERE d.batch = 3
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN p2 p ON p.doc_id = e.u
+      |                    WHERE e.v = d.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM e JOIN bt a ON a.doc_id = e.u
+      |                    WHERE e.v = d.doc_id AND a.batch = 3 AND e.u < d.doc_id)
+      |), surv AS (
+      |  SELECT doc_id FROM p2 UNION ALL SELECT doc_id FROM s3
+      |)
+      |SELECT d.doc_id, CAST(d.batch AS BIGINT) AS batch,
+      |  d.doc_id IN (SELECT doc_id FROM surv) AS survived
+      |FROM bt d ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_stream_neardup_gate" -> (q167StreamNearDupGate _),
     "q160_first_wins_replay" -> (q160FirstWinsReplay _),
     "q155_heaps_law" -> (q155HeapsLaw _),
     "q103_exact_k_sample" -> (q103ExactKSample _),
@@ -493,6 +604,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_stream_neardup_gate" -> q167Sql,
     "q160_first_wins_replay" -> q160Sql,
     "q155_heaps_law" -> q155Sql,
     "q103_exact_k_sample" -> q103Sql,

@@ -222,7 +222,109 @@ object MinHashLsh {
       |FROM cm JOIN sz sa ON sa.doc_id = cm.doc_a JOIN sz sb ON sb.doc_id = cm.doc_b
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One micro-batch of the INCREMENTAL near-dup gate — the streaming
+    * sibling of the batch dedup tiers (round-10 verdict item 7, q100's
+    * increment discipline made a maintained-state operator): documents
+    * arrive in batches, and a document is DROPPED iff it is a near-dup
+    * (exact shingle Jaccard ≥ `tau` over the candidates banding
+    * surfaces) of
+    *   (a) a SURVIVOR from any earlier batch (probed against the
+    *       maintained band index — a near-dup of a document that was
+    *       itself dropped passes: its canonical survivor is what the
+    *       state holds), or
+    *   (b) ANY smaller-id document in its own batch (the deterministic
+    *       in-flight rule — "a smaller near-dup was already seen this
+    *       batch", no recursion on in-batch survival).
+    *
+    * Banding is PER-DOCUMENT (16×2 minhash bands), so candidate recall
+    * is population-independent — the property that makes the gate's
+    * decisions identical whether the corpus arrives in one batch or
+    * fifty, and lets a batch replay ([[CorpusOps.q167StreamNearDupGate]])
+    * be the oracle row for the streaming mechanism (contrast the
+    * df-capped winnow/shingle blockings, whose bucket membership
+    * depends on the population present). The q36 recall-1 argument
+    * carries over: at 16×2 the miss probability at this corpus's
+    * weakest τ-pair (J ≈ 0.89) is ~10⁻¹¹, so the brute-Jaccard oracle
+    * checks the full pipeline.
+    *
+    * Returns the per-doc verdicts `(doc_id, survived)` for the batch
+    * (shingle-less docs survive — they cannot be candidates) and the
+    * state DELTA (this batch's survivors' bands + shingle sets) for
+    * the caller to persist/accumulate — delta-shaped so a streaming
+    * sink can write it keyed by batchId (idempotent on redelivery).
+    *
+    * Scale: the batch fingerprints in one narrow pass; the index probe
+    * is an equi join on (band, band_sig) — survivor-state-sized on one
+    * side, batch-sized on the other; in-batch candidates ride the
+    * capped-bucket pair shape; verify joins are candidate-bounded.
+    * Nothing rescans the corpus and state grows with SURVIVORS only.
+    */
+  def incrementalNearDupGate(batch: DataFrame, state: Option[GateState],
+                             tau: Double = 0.5): (DataFrame, GateState) = {
+    val s = batch.sparkSession
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val perDoc = batch
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", call_function("shingle_hashes", $"text", lit(3)).as("hs"))
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
+    val withSig = perDoc.filter(size($"hs") > 0)
+    val sigs = withSig.select($"doc_id",
+      call_function("minhash_sig", $"hs", lit(K)).as("sig"))
+    val batchBands = sigs.select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice($"sig", b * RowsPerBand + 1, lit(RowsPerBand))))
+        .as(Seq("band", "band_sig")))
+      .localCheckpoint() // probed twice (in-batch buckets + index probe) and returned as delta
+    // in-batch candidates: the capped band-bucket pair shape
+    val buckets = batchBands.groupBy($"band", $"band_sig")
+      .agg(call_function("collect_capped", $"doc_id", lit(100)).as("ids"))
+      .filter(size($"ids") >= 2)
+    val inCand = pairsFromBuckets(buckets).select($"a", $"b".as("d"))
+    // cross-batch candidates: probe the survivors' band index
+    val cand = state match {
+      case Some(st) =>
+        val cross = batchBands
+          .join(st.bands.select($"band", $"band_sig", $"doc_id".as("a")),
+            Seq("band", "band_sig"))
+          .select($"a", $"doc_id".as("d")).distinct()
+        inCand.unionByName(cross)
+      case None => inCand
+    }
+    // verify: exact distinct-shingle Jaccard over full sets (q36's split)
+    val hsA = state match {
+      case Some(st) => withSig.unionByName(st.docs)
+      case None     => withSig
+    }
+    val dropped = cand
+      .join(hsA.select($"doc_id".as("a"), $"hs".as("hs_a")), Seq("a"))
+      .join(withSig.select($"doc_id".as("d"), $"hs".as("hs_d")), Seq("d"))
+      .withColumn("common", size(array_intersect($"hs_a", $"hs_d")))
+      .filter($"common".cast("double") /
+        (size($"hs_a") + size($"hs_d") - $"common") >= tau)
+      .select($"d".as("doc_id")).distinct()
+    val flags = perDoc.select($"doc_id")
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id", $"__dropped".isNull.as("survived"))
+      .localCheckpoint() // read twice: verdicts + delta filter
+    val surv = flags.filter($"survived").select($"doc_id")
+    val delta = GateState(
+      batchBands.join(surv, Seq("doc_id"), "left_semi"),
+      withSig.join(surv, Seq("doc_id"), "left_semi"))
+    (flags, delta)
+  }
 }
+
+/** Maintained state of the incremental near-dup gate
+  * ([[MinHashLsh.incrementalNearDupGate]]): the survivors' band index
+  * (the probe target — `(band, band_sig, doc_id)`) and their shingle
+  * sets (the verify side). Both are survivor-sized, never
+  * corpus-delivery-sized; a streaming deployment persists them as
+  * per-batch parquet deltas ([[graft.streaming.CorpusIngest]]).
+  */
+final case class GateState(bands: DataFrame, docs: DataFrame)
 
 /** SimHash near-dup detection (Charikar; used at web scale by Manku et
   * al., WWW'07): one 64-bit signature per doc from per-token hash bit

@@ -93,6 +93,66 @@ object CorpusIngest {
       .start()
   }
 
+  /** [[start]] plus the INCREMENTAL NEAR-DUP GATE
+    * ([[graft.operators.MinHashLsh.incrementalNearDupGate]]) between
+    * the exact-dedup/quality stage and the lake sink: each micro-batch
+    * is gated against the maintained survivor state (band index +
+    * shingle sets under `stateDir`), near-dups of earlier survivors or
+    * of smaller-id in-batch docs are dropped, and only gate survivors
+    * merge into the lake. The state is persisted as PER-BATCH parquet
+    * deltas keyed by batchId (`bands/batch=<id>/`, `docs/batch=<id>/`),
+    * so an at-least-once redelivery overwrites its own delta and
+    * re-merges idempotently — the same effectively-exactly-once
+    * contract as the exact tier. Batch semantics are oracle-checked by
+    * the q167 replay ([[graft.operators.CorpusOps.q167StreamNearDupGate]]).
+    *
+    * Scale: state scales with distinct surviving documents (bands are
+    * 16 rows/doc; shingle sets are doc-length-bounded); each batch
+    * probes the index with one equi join — no corpus rescan, no
+    * growth with delivery count.
+    */
+  def startNearDupGated(spark: SparkSession, docs: DataFrame, lakePath: String,
+                        stateDir: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
+                        watermarkDelay: String = "1 hour",
+                        minQuality: Double = 0.25): StreamingQuery = {
+    import docs.sparkSession.implicits._
+    dedupedQualityStream(docs, watermarkDelay, minQuality)
+      .withColumn("date", date_format($"event_time", "yyyyMMdd"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val state = loadGateState(spark, stateDir)
+          val (flags, delta) = graft.operators.MinHashLsh.incrementalNearDupGate(
+            batch.select($"doc_id", $"text"), state)
+          val survivors = batch.join(
+            flags.filter($"survived").select($"doc_id"), Seq("doc_id"), "left_semi")
+          if (!survivors.isEmpty) { mergeDocs(spark, survivors, lakePath, batchId); () }
+          // batchId-keyed delta dirs: a redelivered batch OVERWRITES its
+          // own delta instead of duplicating state
+          delta.bands.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+          delta.docs.write.mode("overwrite").parquet(s"$stateDir/docs/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** Accumulated gate state from the per-batch delta dirs (None before
+    * the first batch). The `batch=` partition column the layout adds is
+    * dropped — state consumers key on content, not delivery epoch.
+    */
+  private[graft] def loadGateState(spark: SparkSession,
+                                   stateDir: String): Option[graft.operators.GateState] = {
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$stateDir/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bandsPath)) None
+    else Some(graft.operators.GateState(
+      spark.read.parquet(s"$stateDir/bands").drop("batch"),
+      spark.read.parquet(s"$stateDir/docs").drop("batch")))
+  }
+
   /** Idempotent first-wins merge of a cleaned batch into the document
     * lake: the shared [[graft.lake.MergeWriter.mergeKeyed]] shape —
     * statically-pruned affected-partition read (cost scales with batch
