@@ -285,7 +285,71 @@ object EventOps {
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** q169 — stream-stream interval join, batch-oracle replayed (the
+    * q160/q167 discipline applied to the join state machine): the
+    * events table is delivered as TWO independent file-source STREAMS
+    * (clicks and purchases), joined per user on an event-time range
+    * (purchase within 6 h after the click) through the REAL
+    * Structured Streaming stream-stream inner join
+    * ([[graft.streaming.StreamJoin.clickToPurchase]]: watermarks both
+    * sides, keyed join state, range residual), run to completion with
+    * AvailableNow into a parquet sink and read back. Nothing in the
+    * replay is late beyond the watermark, so the streaming result must
+    * hash-equal the batch interval join the oracle computes — the same
+    * equivalence theorem the engine's other replay rows pin; the
+    * late-data divergence (state eviction, behind-watermark drops) is
+    * deliberately exercised in StreamJoinSpec instead, where it is the
+    * SPEC, not a bug.
+    *
+    * Scale: both streams shuffle once on user_id into the keyed state
+    * store; per-key state is bounded by rate × (lag + watermark), never
+    * stream length. lag_sec is exact integer µs math on both engines.
+    */
+  def q169StreamJoinReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawSchema = table(s, d, "events").schema
+    def side(tpe: String): DataFrame = {
+      // the file stream source wants a directory; glob-filter the one table
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val tsd = if (rawSchema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+      tsd.filter($"event_type" === tpe && $"user_id".isNotNull &&
+          $"event_id".isNotNull && $"ts".isNotNull)
+        .select($"user_id", $"event_id", $"ts")
+    }
+    val joined = graft.streaming.StreamJoin.clickToPurchase(
+      side("click"), side("purchase"))
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val base = s"$wh/graft_sjoin_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, base)
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out")
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  /** The batch interval join the streaming replay must reproduce. */
+  val q169Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       (EPOCH_US(p.ts) - EPOCH_US(c.ts)) // 1000000 AS lag_sec
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+      |WHERE c.user_id IS NOT NULL AND c.event_id IS NOT NULL AND c.ts IS NOT NULL
+      |  AND p.event_id IS NOT NULL AND p.ts IS NOT NULL
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_stream_join_replay" -> (q169StreamJoinReplay _),
     "q20_keeplast_dedup" -> (q20KeepLastDedup _),
     "q21_gap_detect" -> (q21GapDetect _),
     "q22_resample_ohlc" -> (q22ResampleOhlc _),
@@ -298,6 +362,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_stream_join_replay" -> q169Sql,
     "q20_keeplast_dedup" -> q20Sql,
     "q21_gap_detect" -> q21Sql,
     "q22_resample_ohlc" -> q22Sql,

@@ -301,6 +301,69 @@ object Mixing {
       .orderBy($"doc_id")
   }
 
+  /** q170 — l-diversity audit, the release-gate companion to q151's
+    * k-anonymity (Machanavajjhala et al., ICDE'06): a quasi-identifier
+    * group can be k-anonymous yet still leak when every member shares
+    * the same SENSITIVE value, so each group additionally reports
+    * l = distinct sensitive values and the dominant value's share.
+    * Quasi-identifiers here are what an observer of the event stream
+    * plausibly knows — (event_type, hour-of-day, user-id bucket) — and
+    * the sensitive attribute is the payload metric `props.k`; a group
+    * is at risk when l < 3 or one value exceeds 800 ‰ (the homogeneity
+    * attack surface).
+    *
+    * All-integer math end to end: hour-of-day via exact epoch-µs `div`
+    * (timezone-free), permille via integer div, so the risk thresholds
+    * are engine-exact. Null/malformed payloads are filtered
+    * symmetrically with the oracle (the q162 discipline).
+    *
+    * Scale: two stacked aggregations, both with map-side partial
+    * combine — the corpus-sized shuffle carries only (quasi-id,
+    * sensitive) cells, the second runs on the cell relation (bounded by
+    * group count × distinct sensitive values, never event count).
+    */
+  def q170LDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"ts".isNotNull && $"props".isNotNull)
+      .select($"event_type",
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour_of_day"),
+        expr("user_id div 10").as("user_bucket"),
+        get_json_object($"props", "$.k").cast("long").as("sensitive"))
+      .filter($"sensitive".isNotNull)
+    ev.groupBy($"event_type", $"hour_of_day", $"user_bucket", $"sensitive")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type", $"hour_of_day", $"user_bucket")
+      .agg(sum($"cnt").cast("long").as("k"), count(lit(1)).as("l"),
+        max($"cnt").as("mx"))
+      .withColumn("dom_permille", expr("(mx * 1000) div k"))
+      .withColumn("at_risk", $"l" < 3 || $"dom_permille" > 800)
+      .select($"event_type", $"hour_of_day", $"user_bucket", $"k", $"l",
+        $"dom_permille", $"at_risk")
+      .orderBy($"event_type", $"hour_of_day", $"user_bucket")
+  }
+
+  val q170Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, (EPOCH_US(ts) // 3600000000) % 24 AS hour_of_day,
+      |         user_id // 10 AS user_bucket,
+      |         CAST(props->>'$.k' AS BIGINT) AS sensitive
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND props IS NOT NULL AND (props->>'$.k') IS NOT NULL
+      |), c AS (
+      |  SELECT event_type, hour_of_day, user_bucket, sensitive, COUNT(*) AS cnt
+      |  FROM e GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+      |  CAST(user_bucket AS BIGINT) AS user_bucket,
+      |  CAST(SUM(cnt) AS BIGINT) AS k, COUNT(*) AS l,
+      |  (MAX(cnt) * 1000) // CAST(SUM(cnt) AS BIGINT) AS dom_permille,
+      |  COUNT(*) < 3 OR (MAX(cnt) * 1000) // CAST(SUM(cnt) AS BIGINT) > 800 AS at_risk
+      |FROM c GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val q151Sql: String =
     """WITH d AS (
       |  SELECT doc_id, lang, source, n_chars // 100 AS size_bucket
@@ -559,6 +622,7 @@ object Mixing {
     "q130_token_budget" -> (q130TokenBudget _),
     "q139_curriculum_phases" -> (q139CurriculumPhases _),
     "q151_k_anonymity" -> (q151KAnonymity _),
+    "q170_l_diversity" -> (q170LDiversity _),
     "q153_training_order" -> (q153TrainingOrder _),
   )
 
@@ -571,6 +635,7 @@ object Mixing {
     "q130_token_budget" -> q130Sql,
     "q139_curriculum_phases" -> q139Sql,
     "q151_k_anonymity" -> q151Sql,
+    "q170_l_diversity" -> q170Sql,
     "q153_training_order" -> q153Sql,
   )
 }

@@ -233,6 +233,32 @@ class MixingSpec extends SparkSpec {
     assert(got.tail.forall(r => r._2 == 5L && !r._3), got.mkString("; "))
   }
 
+  test("q170 l-diversity: homogeneous group at risk, diverse safe, dominated at risk despite l ≥ 3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q170").toString
+    val t0 = 1704067200000L // 2024-01-01T00:00Z — hour_of_day 0
+    var id = 0L
+    def ev(userBase: Long, k: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+      (1 to n).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(t0 + i * 1000L), userBase + id % 10, "view",
+          1.0, s"""{"k": $k}""")
+      }
+    // bucket 0: 4 events, all k=7 → l = 1 → homogeneity risk
+    // bucket 1: k ∈ {1,2,3,4} balanced → l = 4, dom 250 ‰ → safe
+    // bucket 2: 9×k5 + k6 + k7 → l = 3 but dom = 9000 div 11 = 818 ‰ → at risk
+    (ev(0, 7, 4) ++
+      ev(10, 1, 1) ++ ev(10, 2, 1) ++ ev(10, 3, 1) ++ ev(10, 4, 1) ++
+      ev(20, 5, 9) ++ ev(20, 6, 1) ++ ev(20, 7, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Mixing.q170LDiversity(spark, dir)
+      .select($"user_bucket", $"k", $"l", $"dom_permille", $"at_risk")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 4L, 1L, 1000L, true), (1L, 4L, 4L, 250L, false),
+      (2L, 11L, 3L, 818L, true)), got.mkString("; "))
+  }
+
   test("q153 training order: per-shard positions are a contiguous 0-based permutation; reruns identical") {
     import spark.implicits._
     val a = graft.operators.Mixing.q153TrainingOrder(spark, sf)
