@@ -96,4 +96,35 @@ object Compactor {
       .parquet(path)
     summary.orderBy(Keys.map(col): _*)
   }
+
+  /** Z-order clustering rewrite: re-lay an (unpartitioned) dataset's
+    * files along the Morton curve of two dimension columns
+    * ([[graft.functions.ZInterleave]]), so every output file's min/max
+    * footer statistics are tight in BOTH dimensions and a predicate on
+    * either prunes files — the layout move behind Delta/Iceberg
+    * Z-ORDER BY, applied here with plain `repartitionByRange` +
+    * in-partition sort (range partitioning samples the z keys, so file
+    * row counts stay balanced regardless of dimension skew).
+    *
+    * `dimX`/`dimY` must be SQL expressions yielding non-negative
+    * BIGINTs ≤ 65535 (normalize first — q171 derives a relative hour
+    * bucket). Cost: one full sort-shuffle of the dataset — a
+    * maintenance rewrite, run at compaction cadence, never per query;
+    * at 100 TB it amortizes exactly like compaction (rewrite once,
+    * every multi-dimensional scan after skips).
+    */
+  def zOrderRewrite(spark: SparkSession, path: String, dimX: String,
+                    dimY: String, nFiles: Int): Unit = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val z = expr(s"z_interleave16(cast(($dimX) as bigint), cast(($dimY) as bigint))")
+    val clustered = spark.read.parquet(path)
+      .withColumn("__z", z)
+      // lineage cut: the write below overwrites the path being read
+      .localCheckpoint()
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    clustered.write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
-/** Dimension-maintenance queries over the lake writers — the CDC /
-  * slowly-changing-dimension family ([[graft.lake.Scd2Writer]]).
+/** Lake-maintenance operator queries: CDC / slowly-changing-dimension
+  * history ([[graft.lake.Scd2Writer]], q168) and physical-layout
+  * economics ([[graft.lake.Compactor.zOrderRewrite]], q171).
   */
 object DimOps {
 
@@ -88,11 +89,109 @@ object DimOps {
       |FROM chg
       |ORDER BY custkey, valid_from, since_order""".stripMargin
 
+  /** q171 — Z-order layout skipping audit: the decision query behind
+    * [[graft.lake.Compactor.zOrderRewrite]] (would re-clustering the
+    * events lake on the Morton curve of (user, hour) actually pay?).
+    * Events map to the two normalized dimensions (user_id; hour bucket
+    * relative to the corpus minimum — both ≤ 2¹⁶ here, the
+    * [[graft.functions.ZInterleave]] normalization contract), and two
+    * candidate file layouts are simulated arithmetically: `time` =
+    * 4-hour slabs (what a time-sorted ingest naturally writes) and
+    * `zorder` = 1024-wide Morton-key ranges. For the data-derived 10 %
+    * query box ([0, max_user div 10] × [0, span div 10]) each layout
+    * reports how many files footer min/max statistics would FAIL to
+    * prune and how many rows those surviving files hold — time-sorted
+    * files span every user (umin = 0, nothing user-prunes), Morton
+    * files are tight in both dims, and the rows-scanned gap between the
+    * two rows of output IS the audit's answer. File-level ground truth
+    * for the real writer lives in CompactorSpec (input_file_name spans
+    * after an actual zOrderRewrite).
+    *
+    * Scale: one events pass computes dims + both file keys (the bounds
+    * are a 1-row broadcast); per-layout stats are partial-combine
+    * aggregates on file ids — file-count-sized, never row-sized; the
+    * final roll-up is per-layout single-row. All bit/div math, engine-
+    * exact against the oracle's arithmetic expansion of the interleave.
+    */
+  def q171ZorderSkipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull && $"ts".isNotNull)
+      .select($"user_id".as("u"), expr("unix_micros(ts) div 3600000000L").as("hb"))
+    val bounds = ev.agg(min($"hb").as("hb0"), max($"hb").as("hb1"),
+      max($"u").as("u1"))
+    val keyed = ev.crossJoin(broadcast(bounds))
+      .select($"u", ($"hb" - $"hb0").as("h"),
+        expr("u1 div 10").as("uhi"), expr("(hb1 - hb0) div 10").as("hhi"))
+      .withColumn("zf", expr("z_interleave16(u, h) div 1024"))
+      .withColumn("tf", expr("h div 4"))
+      .localCheckpoint() // one scan feeds both layout roll-ups
+    def layout(name: String, fid: org.apache.spark.sql.Column): DataFrame =
+      keyed.groupBy(fid.as("fid"))
+        .agg(count(lit(1)).as("n"), min($"u").as("umin"), min($"h").as("hmin"),
+          max($"uhi").as("uhi"), max($"hhi").as("hhi"))
+        // the box starts at 0, so a file survives pruning iff both its
+        // mins sit at or below the box's upper corner
+        .withColumn("hit", ($"umin" <= $"uhi" && $"hmin" <= $"hhi").cast("long"))
+        .agg(count(lit(1)).as("n_files"), sum($"hit").as("files_hit"),
+          sum(expr("hit * n")).as("rows_in_hit_files"), sum($"n").as("total_rows"))
+        .select(lit(name).as("layout"), $"n_files", $"files_hit".cast("long"),
+          $"rows_in_hit_files".cast("long"), $"total_rows".cast("long"))
+        .toDF("layout", "n_files", "files_hit", "rows_in_hit_files", "total_rows")
+    layout("time", $"tf").unionByName(layout("zorder", $"zf"))
+      .orderBy($"layout")
+  }
+
+  /** The same two simulated layouts, with the Morton interleave expanded
+    * arithmetically (bit b of u → 2b, bit b of h → 2b+1).
+    */
+  val q171Sql: String = {
+    val z = (0 until 16).map(b =>
+      s"((((u >> $b) & 1) << ${2 * b}) | (((h >> $b) & 1) << ${2 * b + 1}))")
+      .mkString(" | ")
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, EPOCH_US(ts) // 3600000000 AS hb
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+       |), b AS (
+       |  SELECT MIN(hb) AS hb0, MAX(hb) AS hb1, MAX(u) AS u1 FROM ev
+       |), keyed AS (
+       |  SELECT u, hb - hb0 AS h, u1 // 10 AS uhi, (hb1 - hb0) // 10 AS hhi,
+       |         ($z) // 1024 AS zf, (hb - hb0) // 4 AS tf
+       |  FROM (SELECT u, hb, hb0, hb1, u1, hb - hb0 AS h FROM ev, b) t
+       |), zfiles AS (
+       |  SELECT zf AS fid, COUNT(*) AS n, MIN(u) AS umin, MIN(h) AS hmin,
+       |         MAX(uhi) AS uhi, MAX(hhi) AS hhi
+       |  FROM keyed GROUP BY 1
+       |), tfiles AS (
+       |  SELECT tf AS fid, COUNT(*) AS n, MIN(u) AS umin, MIN(h) AS hmin,
+       |         MAX(uhi) AS uhi, MAX(hhi) AS hhi
+       |  FROM keyed GROUP BY 1
+       |), s AS (
+       |  SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+       |    CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |    CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi THEN n ELSE 0 END) AS BIGINT) AS rows_in_hit_files,
+       |    CAST(SUM(n) AS BIGINT) AS total_rows
+       |  FROM zfiles
+       |  UNION ALL
+       |  SELECT 'time', COUNT(*),
+       |    CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi THEN n ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(n) AS BIGINT)
+       |  FROM tfiles
+       |)
+       |SELECT layout, n_files, files_hit, rows_in_hit_files, total_rows
+       |FROM s ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q168_scd2_replay" -> (q168Scd2Replay _)
+    "q168_scd2_replay" -> (q168Scd2Replay _),
+    "q171_zorder_skipping" -> (q171ZorderSkipping _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q168_scd2_replay" -> q168Sql
+    "q168_scd2_replay" -> q168Sql,
+    "q171_zorder_skipping" -> q171Sql
   )
 }

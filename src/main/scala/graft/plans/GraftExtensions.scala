@@ -161,13 +161,19 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       SortedTfMinSum(children.head, children(1)): Expression)
 
+  private val zInterleaveDescriptor = (
+    new FunctionIdentifier("z_interleave16"),
+    new ExpressionInfo(classOf[graft.functions.ZInterleave].getName, "z_interleave16"),
+    (children: Seq[Expression]) =>
+      graft.functions.ZInterleave(children(0), children(1)): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
       orderedShingleHashesDescriptor,
       tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
       winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor,
-      tokenTfEncDescriptor, sortedTfMinSumDescriptor)
+      tokenTfEncDescriptor, sortedTfMinSumDescriptor, zInterleaveDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

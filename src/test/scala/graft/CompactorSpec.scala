@@ -84,6 +84,36 @@ class CompactorSpec extends SparkSpec {
     assert(fileCounts(lake) == Map("20210101/coinbase" -> 1, "20210102/coinbase" -> 1))
   }
 
+  test("zOrderRewrite: real files get tight min/max in BOTH dims; a user predicate prunes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    // 64×64 dimension grid, written the way a time-ordered ingest lands:
+    // sorted by h → every file spans the FULL user range
+    val grid = (0 until 64).flatMap(u => (0 until 64).map(h => (u.toLong, h.toLong)))
+    grid.toDF("u", "h").repartitionByRange(16, $"h").sortWithinPartitions($"h")
+      .write.parquet(dir)
+    def fileSpans() = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"u").as("umin"), max($"u").as("umax"), count(lit(1)).as("n"))
+      .collect()
+    val before = fileSpans()
+    assert(before.forall(r => r.getAs[Long]("umin") == 0L &&
+      r.getAs[Long]("umax") == 63L),
+      "time-sorted files must span all users — nothing user-prunes")
+    graft.lake.Compactor.zOrderRewrite(spark, dir, "u", "h", 16)
+    val after = fileSpans()
+    // same data, same file count target
+    assert(after.map(_.getAs[Long]("n")).sum == 4096L)
+    val data = spark.read.parquet(dir).as[(Long, Long)].collect().sorted
+    assert(data.toSeq == grid.sorted.toSeq, "rewrite must not change data")
+    // footer stats now prune: only files whose u-span reaches [0, 7]
+    // survive a u <= 7 predicate — a contiguous z range covers a bounded
+    // u-box, so most files' umin exceeds the predicate
+    val hit = after.count(_.getAs[Long]("umin") <= 7L)
+    assert(hit < after.length / 2,
+      s"expected most of ${after.length} z-files to user-prune, $hit hit")
+  }
+
   test("compacting a compacted (or absent) lake is a no-op") {
     val lake = tmpLake()
     assert(Compactor.compact(spark, lake).isEmpty)
