@@ -348,7 +348,139 @@ object EventOps {
       |  AND p.event_id IS NOT NULL AND p.ts IS NOT NULL
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q172 — NATIVE streaming session windows, batch-oracle replayed:
+    * q18 sessionizes with a batch window chain; this runs the same
+    * 30-minute-gap sessions through Structured Streaming's
+    * `session_window` aggregate — the stateful operator that MERGES
+    * per-key session state as events arrive (two separate windows fuse
+    * when a bridging event lands; pinned cross-batch in
+    * SessionWindowSpec) — over the events table as a file-source
+    * stream, AvailableNow, append mode, parquet sink, read back.
+    *
+    * Determinism contract (what makes a streaming run hash-checkable):
+    * watermark delay 0 ⇒ final watermark = max event time, and append
+    * mode emits exactly the sessions whose window END (last event +
+    * gap; windows MERGE on touch, so an event at EXACTLY gap
+    * distance still extends the session — the same ≤-gap island rule
+    * as batch q18, pinned in SessionWindowSpec) lands at or before
+    * that watermark. The oracle computes the identical island relation
+    * with the strict->-gap split rule and the same flush predicate — so the replay checks merge semantics, boundary
+    * convention, AND the emission rule at once.
+    *
+    * Scale: one shuffle on user_id into the session state store; state
+    * is per OPEN session (bounded by active keys × gap horizon, evicted
+    * at watermark), never stream length.
+    */
+  def q172SessionWindowReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawSchema = table(s, d, "events").schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val tsd = if (rawSchema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+    val sess = graft.streaming.SessionWindows.userSessions(tsd)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val base = s"$wh/graft_swin_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, base)
+    val q = sess.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out")
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out").orderBy($"user_id", $"start_us")
+  }
+
+  /** The same sessions relationally: strict->-gap split islands, end =
+    * last + gap, flushed iff end ≤ the final watermark (= global max ts).
+    */
+  val q172Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, EPOCH_US(ts) AS ts_us FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), m AS (
+      |  SELECT MAX(ts_us) AS wm FROM e
+      |), flg AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM (SELECT user_id, ts_us,
+      |          LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      |        FROM e)
+      |), sid AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flg
+      |), sess AS (
+      |  SELECT user_id, MIN(ts_us) AS start_us,
+      |         MAX(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
+      |  FROM sid GROUP BY user_id, sid
+      |)
+      |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+      |FROM sess, m WHERE end_us <= wm
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** q173 — retention cohort matrix, the product-analytics staple the
+    * event surface lacked: users cohort by their first active day, and
+    * each (cohort_day, day_offset ≤ 13) cell reports how many cohort
+    * members were active again offset days later, as an exact permille
+    * of cohort size. Day indexing is exact epoch-µs integer `div`
+    * (timezone-free), so every cell is engine-exact.
+    *
+    * Plan shape: the only corpus-sized work is the one (user, day)
+    * distinct exchange; the result is checkpointed (events scans once)
+    * and everything after — per-user min, the activity×cohort join,
+    * the cell aggregation — runs on the distinct user-day relation,
+    * bounded by users × days, not event count.
+    */
+  def q173RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000L").as("day"))
+      .distinct()
+      .localCheckpoint() // user-day-sized; feeds cohort, sizes, and the join
+    val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val sizes = cohort.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", $"day" - $"cohort_day")
+      .filter($"day_offset" <= 13)
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("rate_permille", expr("(n_active * 1000) div cohort_size"))
+      .select($"cohort_day", $"day_offset", $"n_active", $"cohort_size",
+        $"rate_permille")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q173Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_day
+      |)
+      |SELECT a.cohort_day, a.day_offset, a.n_active,
+      |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      |  (a.n_active * 1000) // CAST(s.cohort_size AS BIGINT) AS rate_permille
+      |FROM (
+      |  SELECT c.cohort_day, act.day - c.cohort_day AS day_offset,
+      |         CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM act JOIN cohort c USING (user_id)
+      |  WHERE act.day - c.cohort_day <= 13
+      |  GROUP BY 1, 2) a
+      |JOIN sizes s USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_retention_cohorts" -> (q173RetentionCohorts _),
+    "q172_session_window_replay" -> (q172SessionWindowReplay _),
     "q169_stream_join_replay" -> (q169StreamJoinReplay _),
     "q20_keeplast_dedup" -> (q20KeepLastDedup _),
     "q21_gap_detect" -> (q21GapDetect _),
@@ -362,6 +494,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_retention_cohorts" -> q173Sql,
+    "q172_session_window_replay" -> q172Sql,
     "q169_stream_join_replay" -> q169Sql,
     "q20_keeplast_dedup" -> q20Sql,
     "q21_gap_detect" -> q21Sql,

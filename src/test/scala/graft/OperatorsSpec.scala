@@ -338,4 +338,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("user_a") == 1L && r.getAs[Long]("user_b") == 2L)
     assert(r.getAs[Long]("overlap_us") == 60L * 60000000L, r.toString)
   }
+
+  test("q173 retention cohorts: hand-computed matrix, permille exact, repeat days collapse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q173").toString
+    val day0 = 1704067200000L // day-aligned
+    def e(id: Long, u: Long, day: Int, extraMs: Long = 0L) =
+      (id, new java.sql.Timestamp(day0 + day * 86400000L + extraMs), u, "view", 1.0, "{}")
+    // u1 cohort d0, active d0 (twice — must collapse), d1, d3;
+    // u2 cohort d0, active d0 only; u3 cohort d2, active d2+d3
+    Seq(e(1, 1, 0), e(2, 1, 0, 5000L), e(3, 1, 1), e(4, 1, 3),
+      e(5, 2, 0), e(6, 3, 2), e(7, 3, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventOps.q173RetentionCohorts(spark, dir)
+      .select($"cohort_day", $"day_offset", $"n_active", $"cohort_size", $"rate_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val d0 = day0 / 86400000L
+    assert(got == Seq(
+      (d0, 0L, 2L, 2L, 1000L), (d0, 1L, 1L, 2L, 500L), (d0, 3L, 1L, 2L, 500L),
+      (d0 + 2, 0L, 1L, 1L, 1000L), (d0 + 2, 1L, 1L, 1L, 1000L)), got.mkString("; "))
+  }
 }
