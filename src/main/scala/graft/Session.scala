@@ -27,6 +27,16 @@ object Session {
       // (unix_micros etc.) apply and semantics match the DuckDB oracle.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checksummed checkpoint manager opens a thread pool
+      // per state-store commit file and blocks the TASK thread up to
+      // 500 ms force-closing it ("Thread pool did not shutdown after
+      // 500 ms" warnings); a stream-stream join (4 store instances ×
+      // 32 partitions × per-batch commits) paid ~15 s/task in pure
+      // close-stalls (q169: 32 s → measured again below 5 s with the
+      // plain manager). Checkpoint-file corruption detection is
+      // defense-in-depth we forgo knowingly; every streaming query here
+      // re-verifies end state against a batch oracle anyway.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.driver.maxResultSize", "4g")
       // bucketed-table queries (q122) write through the session catalog;

@@ -125,7 +125,26 @@ object ManifestLake {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
-    val entries = readManifest(fs, path, currentVersion(fs, path))
+    readAt(spark, path, currentVersion(fs, path))
+  }
+
+  /** Time travel: the lake EXACTLY as of committed manifest version
+    * `version` (1 = first commit). Immutable data files + per-version
+    * manifests make this free — resolving an older manifest opens the
+    * txn directories it referenced, which no later merge ever mutated
+    * (they are only ever superseded, and reclaimed by [[vacuum]], whose
+    * scaladoc carries the snapshot-reader grace-period caveat). This is
+    * the audit/reproducibility primitive every table format exposes:
+    * "which rows did the model see" is answerable after the fact by
+    * version number (q175 proves snapshot ≡ the data delivered by the
+    * first k merges, hash-exactly).
+    */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    val cur = currentVersion(fs, path)
+    require(version >= 1 && version <= cur,
+      s"ManifestLake: version $version not committed at $path (current $cur)")
+    val entries = readManifest(fs, path, version)
     require(entries.nonEmpty, s"ManifestLake: no committed manifest at $path")
     entries.toSeq.sortBy(_._1)
       .map { case (rel, txn) => readPartition(spark, path, rel, txn) }

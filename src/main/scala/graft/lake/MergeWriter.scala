@@ -302,10 +302,20 @@ object MergeWriter {
         }
       }
     val deduped = KeepLast.dedup(combined, dedupKeys, order)
+    // Cluster rows by partition key before the write: without this,
+    // every post-dedup task can emit a file into every touched
+    // partition directory (up to tasks × dirs small files per merge —
+    // q168's four-merge replay produced ~1000, and every later read
+    // pays their footers). One batch-sized shuffle buys one file per
+    // touched partition. Right-sized while per-merge per-partition
+    // volume is modest (the candle/dimension lakes here); a deployment
+    // whose single-partition batches outgrow a task adds a
+    // pmod(hash(dedupKeys), k) split term to re-widen.
+    val clustered = deduped.repartition(keys.map(col): _*)
     // Per-write option, NOT session conf: a session-global mutation here
     // would leak dynamic-overwrite semantics to every concurrent writer
     // sharing the session.
-    deduped.write
+    clustered.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(keys: _*)

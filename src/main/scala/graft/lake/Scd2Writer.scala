@@ -100,14 +100,17 @@ object Scd2Writer {
       // stored current attr seeding the chain for the batch's first event
       .filter(($"prev".isNull && ($"cur_attr".isNull || $"attr" =!= $"cur_attr")) ||
         ($"prev".isNotNull && $"attr" =!= $"prev"))
-    if (changes.isEmpty)
-      return if (fs.exists(hPath)) MergeWriter.readLake(spark, path)
-      else spark.emptyDataFrame
-
     val versioned = changes
       .withColumn("valid_to", lead($"ts", 1).over(w))
       .withColumn("chg_rn", row_number().over(w))
-      .localCheckpoint() // consumed twice: new rows + first-change close
+      // checkpoint BEFORE the emptiness probe: consumed three times (the
+      // probe, new rows, first-change close) — probing the un-materialized
+      // plan would execute the whole join+window chain once just to
+      // answer "any changes?"
+      .localCheckpoint()
+    if (versioned.isEmpty)
+      return if (fs.exists(hPath)) MergeWriter.readLake(spark, path)
+      else spark.emptyDataFrame
     val newRows = versioned.select($"entity_id", $"attr",
       $"ts".as("valid_from"), $"seq".as("since_order"), $"valid_to")
     // close the stored current row of every entity that changed

@@ -185,13 +185,230 @@ object DimOps {
        |FROM s ORDER BY layout""".stripMargin
   }
 
+  /** q174 — incremental materialized-aggregate maintenance (summary-table
+    * upkeep, the warehouse sibling of q168's SCD2 history): a per-
+    * (priority, month) revenue rollup over orders is maintained
+    * INCREMENTALLY as four yearly CDC batches arrive, and the maintained
+    * table's read-back must hash-equal the oracle's one-shot GROUP BY
+    * over all of orders. State is the classic mergeable partial
+    * aggregate — (key, batch_id, partial_count, partial_decimal_sum) —
+    * persisted as batchId-keyed parquet deltas (q167's discipline):
+    * each delivery shuffles ITS BATCH once into per-key partials and
+    * dynamic-overwrites only its own `batch_id=` partition, so a
+    * redelivery replaces its own delta byte-for-byte instead of
+    * double-counting. The replay redelivers batch 1 after all four
+    * batches to prove exactly that inside the hash check
+    * (at-least-once delivery → exactly-once aggregates). The final
+    * merge is algebraic (SUM of partial counts/sums — count and
+    * decimal-sum are commutative monoids), so maintained ≡ recomputed
+    * is an identity, not an approximation.
+    *
+    * Scale: per-delivery cost is O(batch) + a key-count-sized delta
+    * write — the maintained table is never rewritten and history is
+    * never rescanned; the serving read aggregates the delta relation
+    * (keys × batches rows, partial-combine). At 100 TB the delta
+    * relation itself gets compacted by key-range periodically — same
+    * algebra, applied to deltas instead of rows. Sums run through
+    * DECIMAL(38,10) ([[graft.functions.Exact]]) so partials merge
+    * exactly under ANY delivery order or partitioning.
+    */
+  def q174IncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(38, 10)
+    val ev = orders(s, d)
+      .filter($"o_orderpriority".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_totalprice".isNotNull)
+      .select($"o_orderpriority".as("priority"),
+        date_trunc("MONTH", $"o_orderdate").as("mon"),
+        $"o_totalprice", year($"o_orderdate").as("yr"))
+      .localCheckpoint() // one orders scan feeds the batch filters
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val dir = s"$wh/graft_rollup_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, dir)
+    val batches = Seq($"yr" <= 1996, $"yr" === 1997 || $"yr" === 1998,
+      $"yr" === 1999 || $"yr" === 2000, $"yr" >= 2001)
+    def deliver(i: Int): Unit =
+      ev.filter(batches(i)).groupBy($"priority", $"mon")
+        .agg(count(lit(1)).as("part_n"),
+          sum($"o_totalprice".cast(D)).as("part_rev"))
+        .withColumn("batch_id", lit(i))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    batches.indices.foreach(deliver)
+    deliver(1) // redelivery: overwrites its own delta — the idempotence proof
+    s.read.parquet(dir)
+      .groupBy($"priority", $"mon")
+      .agg(sum($"part_n").cast("long").as("n_orders"),
+        (floor(sum($"part_rev") * 10000).cast("double") / 10000.0).as("revenue"))
+      .orderBy($"priority", $"mon")
+  }
+
+  /** One-shot GROUP BY over all of orders — what four delta merges plus
+    * one redelivery must reproduce exactly.
+    */
+  val q174Sql: String =
+    s"""SELECT o_orderpriority AS priority,
+       |       DATE_TRUNC('month', o_orderdate) AS mon,
+       |       COUNT(*) AS n_orders,
+       |       ${graft.functions.Exact.sqlDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+       |  AND o_totalprice IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q175 — snapshot-isolation time travel over the manifest lake
+    * ([[graft.lake.ManifestLake.readAt]]): orders replay as four yearly
+    * batches through the REAL manifest-commit merge (immutable txn
+    * directories + one atomic manifest create per merge), then the
+    * query reads BOTH the v2 snapshot (as of the second commit) and the
+    * current state and aggregates each per order status. The v2 half
+    * must equal the oracle's years ≤ 1998 prefix and the current half
+    * its full-table aggregate — hash-proving the time-travel contract:
+    * a version, once committed, is a stable, byte-identical view no
+    * later merge can perturb ("which rows did the model see" is
+    * answerable after the fact by version number). This is the audit
+    * query the round-10 manifest protocol exists to serve; the
+    * torn-merge/commit-race halves live in ManifestLakeSpec.
+    *
+    * Scale: each merge reads only touched partitions of the previous
+    * version (manifest-resolved, no directory LIST) and writes one new
+    * txn dir; snapshot reads open exactly the referenced directories.
+    * The dual read here costs two manifest resolutions — metadata-sized,
+    * not data-sized.
+    */
+  def q175TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = orders(s, d)
+      .filter($"o_orderstatus".isNotNull && $"o_orderkey".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderstatus".as("status"), $"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("yr"))
+      .localCheckpoint()
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_tt_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    Seq($"yr" <= 1996, $"yr" === 1997 || $"yr" === 1998,
+      $"yr" === 1999 || $"yr" === 2000, $"yr" >= 2001)
+      .foreach { cond =>
+        graft.lake.ManifestLake.mergeKeyed(s, ev.filter(cond).drop("yr"), lake,
+          keys = Seq("status"), dedupKeys = Seq($"o_orderkey"),
+          order = Seq($"o_orderkey"))
+      }
+    def snap(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"status")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Exact.dsum($"o_totalprice").as("revenue"))
+        .select(lit(tag).as("snapshot"), $"status", $"n_orders", $"revenue")
+    snap(graft.lake.ManifestLake.readAt(s, lake, 2L), "v2")
+      .unionByName(snap(graft.lake.ManifestLake.read(s, lake), "current"))
+      .orderBy($"snapshot", $"status")
+  }
+
+  /** v2 ≡ the first two batches' prefix (years ≤ 1998); current ≡ all. */
+  val q175Sql: String =
+    s"""WITH ev AS (
+       |  SELECT o_orderstatus AS status, o_totalprice,
+       |         YEAR(o_orderdate) AS yr
+       |  FROM orders
+       |  WHERE o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |)
+       |SELECT 'v2' AS snapshot, status, COUNT(*) AS n_orders,
+       |       ${graft.functions.Exact.sqlDsum("o_totalprice")} AS revenue
+       |FROM ev WHERE yr <= 1998 GROUP BY 2
+       |UNION ALL
+       |SELECT 'current', status, COUNT(*),
+       |       ${graft.functions.Exact.sqlDsum("o_totalprice")}
+       |FROM ev GROUP BY 2
+       |ORDER BY snapshot, status""".stripMargin
+
+  /** q178 — order-independent table checksum (replication / migration
+    * validation): the integrity primitive behind "does the copy equal
+    * the source?" across engines, clusters, or a lake rewrite
+    * ([[graft.lake.Compactor]], the manifest swap, a vendor
+    * migration) — row-order-free, partitioning-free, and computable
+    * INCREMENTALLY per partition then combined, because both digests
+    * are commutative monoids over per-row hashes: SUM mod M and
+    * BIT_XOR. Each lineitem row canonicalizes to a '|'-joined string
+    * of its identifying columns (integers, flags, epoch-µs — no
+    * doubles: float-to-string formatting is engine-specific, the one
+    * thing a CROSS-ENGINE digest must never touch), hashes through the
+    * portable codegen [[graft.functions.PolyHash]] kernel, and
+    * aggregates per l_returnflag segment with a ROLLUP grand total —
+    * matching segment digests localize a mismatch the way a real
+    * migration check bisects.
+    *
+    * Scale: scan → project → partial+final agg; the only exchange
+    * carries (segment, partial digest) — 4 rows per mapper. At 100 TB
+    * each side computes its digest independently (per-partition
+    * partials combine associatively) and ships 4 rows. The SUM runs
+    * through DECIMAL(38,0) (no int64 overflow at any row count);
+    * xor needs nothing.
+    */
+  def q178TableChecksum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_linenumber".isNotNull &&
+        $"l_partkey".isNotNull && $"l_suppkey".isNotNull &&
+        $"l_returnflag".isNotNull && $"l_linestatus".isNotNull &&
+        $"l_shipdate".isNotNull)
+      .select($"l_returnflag",
+        call_function("poly_hash", concat_ws("|",
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_returnflag", $"l_linestatus",
+          expr("unix_micros(l_shipdate)"))).as("h"))
+      .rollup($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(graft.functions.PolyHash.M)).cast("long").as("sum_digest"),
+        expr("bit_xor(h)").as("xor_digest"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("segment"),
+        $"n_rows", $"sum_digest", $"xor_digest")
+      .orderBy($"segment")
+  }
+
+  /** Same canonicalization, same fold, same monoids — the point: any
+    * engine can produce this digest and compare.
+    */
+  val q178Sql: String =
+    """WITH rows_h AS (
+      |  SELECT l_returnflag,
+      |    list_reduce(list_transform(string_split(
+      |      CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |                l_returnflag, l_linestatus, EPOCH_US(l_shipdate)), ''),
+      |      c -> CAST(ord(c) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 9007199254740881) AS h
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |    AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      |    AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+      |    AND l_shipdate IS NOT NULL
+      |)
+      |SELECT COALESCE(l_returnflag, 'ALL') AS segment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(h) % 9007199254740881 AS BIGINT) AS sum_digest,
+      |       BIT_XOR(h) AS xor_digest
+      |FROM rows_h
+      |GROUP BY ROLLUP(l_returnflag)
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_scd2_replay" -> (q168Scd2Replay _),
-    "q171_zorder_skipping" -> (q171ZorderSkipping _)
+    "q171_zorder_skipping" -> (q171ZorderSkipping _),
+    "q174_incremental_rollup" -> (q174IncrementalRollup _),
+    "q175_time_travel" -> (q175TimeTravel _),
+    "q178_table_checksum" -> (q178TableChecksum _)
   )
 
   val oracles: Map[String, String] = Map(
     "q168_scd2_replay" -> q168Sql,
-    "q171_zorder_skipping" -> q171Sql
+    "q171_zorder_skipping" -> q171Sql,
+    "q174_incremental_rollup" -> q174Sql,
+    "q175_time_travel" -> q175Sql,
+    "q178_table_checksum" -> q178Sql
   )
 }

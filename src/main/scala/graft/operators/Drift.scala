@@ -225,15 +225,120 @@ object Drift {
       |  UNION ALL SELECT 'price_nonpositive', price_nonpositive FROM c)
       |ORDER BY constraint_name""".stripMargin
 
+  /** q177 — CUSUM change-point monitor (Page 1954), the SEQUENTIAL
+    * drift detector next to q96/q97's batch two-sample tests: those ask
+    * "do two snapshots differ?", CUSUM asks "at which point did this
+    * series' level shift?" — the alerting primitive a live metric
+    * pipeline runs per series. Per event_type, events order by
+    * (ts, event_id) and the one-sided upward statistic
+    * S_i = max(0, S_{i-1} + dev_i − k) is computed via its prefix-sum
+    * closed form S_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of
+    * dev − k) — which turns the sequential recurrence into two
+    * window functions over ONE per-series sort. Two variants per
+    * series: k = 0 (raw cumulative excursion — grows like √n on pure
+    * noise, so the audit is non-vacuous at every SF) and k = mad (the
+    * classic drift-compensated form that stays near zero on noise and
+    * fires only on sustained shifts; its detection behavior on a real
+    * injected shift is pinned in DriftSpec).
+    *
+    * Determinism: deviations are value − μ in ONE double op (exact in
+    * both engines), then cast to DECIMAL(38,10) — all prefix sums,
+    * mins, and threshold compares run in exact decimal; μ, mad, and
+    * the reported maxima go through [[graft.functions.Exact]]'s
+    * floor-quantized double (no tie cases in either engine).
+    *
+    * Scale: one shuffle partitions by series (event_type here; symbol
+    * at deployment) and sorts within — the q18/q21 window shape; both
+    * CUSUM variants and the alarm filter ride that single sort.
+    * Per-series means/mads are a 5-row broadcast. Nothing is
+    * driver-side; series count scales the partitioning, not the plan.
+    */
+  def q177CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(38, 10)
+    val ev = events(s, d)
+      .filter($"event_type".isNotNull && $"value".isNotNull &&
+        $"ts".isNotNull && $"event_id".isNotNull)
+      .select($"event_type", $"event_id", $"ts", $"value")
+    val mu = ev.groupBy($"event_type").agg(Exact.davg($"value").as("mu"))
+    val dev = ev.join(broadcast(mu), Seq("event_type"))
+      .withColumn("dev", ($"value" - $"mu").cast(D))
+    val mad = dev.groupBy($"event_type")
+      .agg((floor(sum(abs($"dev")) * 10000).cast("double") / 10000.0 /
+        count(lit(1))).as("mad"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast(D)
+    val stat = dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("p", sum($"dev").over(w))
+      .withColumn("pk", sum(($"dev" - $"mad".cast(D)).cast(D)).over(w))
+      .withColumn("s", $"p" - least(min($"p").over(w), zero))
+      .withColumn("sk", $"pk" - least(min($"pk").over(w), zero))
+      .withColumn("alarm", $"s" > ($"mad" * 8).cast(D))
+    stat.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pts"),
+        sum($"alarm".cast("long")).cast("long").as("n_alarms"),
+        min(when($"alarm", $"event_id")).as("first_alarm_event"),
+        (floor(max($"s") * 10000).cast("double") / 10000.0).as("max_stat"),
+        (floor(max($"sk") * 10000).cast("double") / 10000.0).as("max_stat_drift"))
+      .orderBy($"event_type")
+  }
+
+  val q177Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, ts, value FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND ts IS NOT NULL AND event_id IS NOT NULL
+      |), m AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0
+      |      / COUNT(*) AS mu
+      |  FROM ev GROUP BY 1
+      |), dv AS (
+      |  SELECT e.event_type, e.event_id, e.ts,
+      |         CAST(e.value - m.mu AS DECIMAL(38,10)) AS dev
+      |  FROM ev e JOIN m USING (event_type)
+      |), md AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(SUM(ABS(dev)) * 10000) AS DOUBLE) / 10000.0 / COUNT(*) AS mad
+      |  FROM dv GROUP BY 1
+      |), ps AS (
+      |  SELECT d.event_type, d.event_id, d.ts, md.mad,
+      |    SUM(d.dev) OVER w AS p,
+      |    SUM(CAST(d.dev - CAST(md.mad AS DECIMAL(38,10)) AS DECIMAL(38,10))) OVER w AS pk
+      |  FROM dv d JOIN md USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.ts, d.event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), st AS (
+      |  SELECT event_type, event_id, mad,
+      |    p  - LEAST(MIN(p)  OVER w, CAST(0 AS DECIMAL(38,10))) AS s,
+      |    pk - LEAST(MIN(pk) OVER w, CAST(0 AS DECIMAL(38,10))) AS sk
+      |  FROM ps
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), al AS (
+      |  SELECT event_type, event_id, s, sk,
+      |         s > CAST(mad * 8 AS DECIMAL(38,10)) AS alarm
+      |  FROM st
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pts,
+      |  CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |  MIN(CASE WHEN alarm THEN event_id END) AS first_alarm_event,
+      |  CAST(FLOOR(MAX(s)  * 10000) AS DOUBLE) / 10000.0 AS max_stat,
+      |  CAST(FLOOR(MAX(sk) * 10000) AS DOUBLE) / 10000.0 AS max_stat_drift
+      |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_drift_chi2" -> (q96DriftChi2 _),
     "q97_ks_drift" -> (q97KsDrift _),
     "q99_dq_audit" -> (q99DqAudit _),
+    "q177_cusum_changepoint" -> (q177CusumChangepoint _),
   )
 
   val oracles: Map[String, String] = Map(
     "q96_drift_chi2" -> q96Sql,
     "q97_ks_drift" -> q97Sql,
     "q99_dq_audit" -> q99Sql,
+    "q177_cusum_changepoint" -> q177Sql,
   )
 }

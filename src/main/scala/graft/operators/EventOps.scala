@@ -326,12 +326,23 @@ object EventOps {
     val base = s"$wh/graft_sjoin_${graft.lake.AppState.tag(s, d)}_" +
       java.util.UUID.randomUUID().toString.take(8)
     graft.lake.AppState.register(s, base)
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet").option("path", s"$base/out")
-      .start()
-    q.awaitTermination()
+    // 8 state partitions (not the relational 32): a stream-stream join
+    // materializes FOUR store instances per partition, and this replay's
+    // keyspace (1.5 k users) doesn't need 32-way state parallelism —
+    // store open/commit overhead dominated the micro-batch at 32. The
+    // no-data finalize batch is skipped: an INNER join emits every match
+    // in the data batch itself; the extra batch only advances the
+    // watermark to evict state we are about to discard anyway.
+    graft.streaming.StreamJoin.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$base/out")
       .orderBy($"user_id", $"click_id", $"purchase_id")
   }
@@ -478,7 +489,67 @@ object EventOps {
       |JOIN sizes s USING (cohort_day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q176 — Markov next-event transition matrix, the behavioral-model
+    * sibling of q173's retention matrix (and of q137's conditional
+    * bigram surprisal, lifted from tokens to user actions): per user,
+    * events order by (ts, event_id) and every consecutive pair
+    * contributes one (from_type → to_type) transition; the output is
+    * the full transition-count matrix with each row's empirical
+    * probability as an exact integer permille of the from-state total.
+    * Transitions deliberately cross session boundaries (the
+    * gap-agnostic chain is the standard first-order Markov abstraction;
+    * q18's sessionizer owns the gap semantics).
+    *
+    * Scale: one shuffle on user_id feeds the per-user sort-window
+    * (lead) — the same partitioning q18/q21 use; everything after runs
+    * on the transition relation, at most |event_types|² rows. The
+    * from-state totals join is a broadcast of ≤ |event_types| rows.
+    * Integer permille keeps every cell engine-exact.
+    */
+  def q176MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull &&
+        $"event_type".isNotNull && $"event_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .localCheckpoint() // |types|²-sized; feeds totals and the join
+    val totals = tr.groupBy($"from_type")
+      .agg(sum($"n_transitions").cast("long").as("from_total"))
+    tr.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p_permille", expr("(n_transitions * 1000) div from_total"))
+      .select($"from_type", $"to_type", $"n_transitions", $"from_total",
+        $"p_permille")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q176Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+      |), tr AS (
+      |  SELECT event_type AS from_type, to_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+      |  FROM tr GROUP BY 1
+      |)
+      |SELECT t.from_type, t.to_type, t.n_transitions, o.from_total,
+      |       (t.n_transitions * 1000) // o.from_total AS p_permille
+      |FROM tr t JOIN tot o USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_markov_transitions" -> (q176MarkovTransitions _),
     "q173_retention_cohorts" -> (q173RetentionCohorts _),
     "q172_session_window_replay" -> (q172SessionWindowReplay _),
     "q169_stream_join_replay" -> (q169StreamJoinReplay _),
@@ -494,6 +565,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_markov_transitions" -> q176Sql,
     "q173_retention_cohorts" -> q173Sql,
     "q172_session_window_replay" -> q172Sql,
     "q169_stream_join_replay" -> q169Sql,

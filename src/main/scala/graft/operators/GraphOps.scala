@@ -333,6 +333,11 @@ object GraphOps {
     val ord = orders(s, d).select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
     val baskets = li.join(ord, Seq("ok"))
       .groupBy($"ck").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      // explicit N (q79's lesson): AQE coalesces the small basket
+      // relation to ~2 partitions, which would serialize BOTH explode
+      // passes — the C(40,2)/C(40,3)-per-row generates below are the
+      // expensive stages and must fan out over every core
+      .repartition(s.sparkContext.defaultParallelism, $"ck")
       .localCheckpoint() // feeds the pair pass and the prefix generator
     val pairs = baskets
       .select(posexplode($"ps").as(Seq("i", "x")), $"ps")

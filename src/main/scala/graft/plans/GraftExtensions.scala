@@ -167,13 +167,20 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       graft.functions.ZInterleave(children(0), children(1)): Expression)
 
+  private val polyHashDescriptor = (
+    new FunctionIdentifier("poly_hash"),
+    new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "poly_hash"),
+    (children: Seq[Expression]) =>
+      graft.functions.PolyHash(children.head): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
       orderedShingleHashesDescriptor,
       tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
       winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor,
-      tokenTfEncDescriptor, sortedTfMinSumDescriptor, zInterleaveDescriptor)
+      tokenTfEncDescriptor, sortedTfMinSumDescriptor, zInterleaveDescriptor,
+      polyHashDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -27,6 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** Run `body` with session confs temporarily overridden, restoring
+    * prior values (or unsetting) after. For micro-batch replays only:
+    * stateful operators bake `spark.sql.shuffle.partitions` into the
+    * checkpoint at stream START, so a replay against a fresh checkpoint
+    * may legitimately choose a state-partition count sized to its
+    * keyspace instead of inheriting the relational default (32 here).
+    * On a real cluster the deployment sets this once per stream for
+    * the same reason — state-store instance count is a per-stream
+    * capacity decision, not a session-wide one.
+    */
+  def withConfs[T](spark: org.apache.spark.sql.SparkSession,
+                   confs: (String, String)*)(body: => T): T = {
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Inner-join purchase events to the click events they follow within
     * `lagHours`, per user. Both inputs must carry (user_id, event_id,
     * ts); they may be streaming or batch DataFrames — the same plan

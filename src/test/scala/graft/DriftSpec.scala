@@ -61,6 +61,75 @@ class DriftSpec extends SparkSpec {
     assert(out("same_a") == out("same_b"), "identical sources must tie")
   }
 
+  private def eventsFixture(vals: Seq[Double], tpe: String = "x"): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1L, tpe, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q177 CUSUM: constant series has zero statistic and no alarms") {
+    val out = Drift.q177CusumChangepoint(spark, eventsFixture(Seq.fill(40)(7.5)))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_alarms") == 0L)
+    assert(r.isNullAt(r.fieldIndex("first_alarm_event")))
+    assert(r.getAs[Double]("max_stat") == 0.0)
+    assert(r.getAs[Double]("max_stat_drift") == 0.0)
+  }
+
+  test("q177 CUSUM: window closed form equals the sequential max(0, s+dev) fold") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vals = (1 to 60).map(i => ((i * 37) % 13).toDouble / 3.0)
+    val out = Drift.q177CusumChangepoint(spark, eventsFixture(vals)).collect().head
+    // mirror the query's exact arithmetic: davg-quantized mean/mad, then
+    // the textbook sequential recurrence in DECIMAL(·,10)
+    def dsumQ(xs: Seq[JBD]): Double =
+      xs.reduce(_.add(_)).multiply(new JBD(10000))
+        .setScale(0, RoundingMode.FLOOR).doubleValue() / 10000.0
+    val decVals = vals.map(v => new JBD(java.lang.Double.toString(v))
+      .setScale(10, RoundingMode.HALF_UP))
+    val mu = dsumQ(decVals) / vals.length
+    val devs = vals.map(v => new JBD(java.lang.Double.toString(v - mu))
+      .setScale(10, RoundingMode.HALF_UP))
+    val mad = dsumQ(devs.map(_.abs)) / vals.length
+    val madDec = new JBD(java.lang.Double.toString(mad)).setScale(10, RoundingMode.HALF_UP)
+    var s0 = new JBD(0).setScale(10); var sk = new JBD(0).setScale(10)
+    var maxS = s0; var maxSk = sk; var alarms = 0
+    val h = new JBD(java.lang.Double.toString(mad * 8)).setScale(10, RoundingMode.HALF_UP)
+    devs.foreach { d =>
+      s0 = s0.add(d).max(new JBD(0)); sk = sk.add(d.subtract(madDec)).max(new JBD(0))
+      if (s0.compareTo(maxS) > 0) maxS = s0
+      if (sk.compareTo(maxSk) > 0) maxSk = sk
+      if (s0.compareTo(h) > 0) alarms += 1
+    }
+    def q(x: JBD): Double =
+      x.multiply(new JBD(10000)).setScale(0, RoundingMode.FLOOR).doubleValue() / 10000.0
+    assert(out.getAs[Long]("n_alarms") == alarms.toLong)
+    assert(out.getAs[Double]("max_stat") == q(maxS))
+    assert(out.getAs[Double]("max_stat_drift") == q(maxSk))
+  }
+
+  test("q177 CUSUM: drift-compensated statistic fires on a sustained shift, stays near zero on noise") {
+    // a LATE shift (10% of the series), so the global mad stays anchored
+    // by the pre-shift regime — a 50/50 split would inflate k = mad to
+    // the shift magnitude itself and (correctly) suppress the detector
+    val noise = (1 to 180).map(i => (i % 2).toDouble * 2)                // mean 1
+    val shifted = noise ++ (1 to 20).map(i => 100.0 + (i % 2) * 2)       // +100 level
+    val quiet = Drift.q177CusumChangepoint(spark, eventsFixture(noise)).collect().head
+    val loud = Drift.q177CusumChangepoint(spark, eventsFixture(shifted)).collect().head
+    assert(quiet.getAs[Double]("max_stat_drift") <= 2.0,
+      s"noise must not accumulate: $quiet")
+    assert(loud.getAs[Double]("max_stat_drift") > 100.0,
+      s"sustained shift must accumulate: $loud")
+    // the raw alarm first fires only after the change point (event 181+)
+    assert(loud.getAs[Long]("first_alarm_event") > 180L)
+  }
+
   private def ks(df: org.apache.spark.sql.DataFrame): Double = {
     val tot = df.agg(sum($"a").as("na"), sum($"b").as("nb"))
     Drift.cdf2(df).crossJoin(broadcast(tot))

@@ -174,4 +174,40 @@ class ManifestLakeSpec extends SparkSpec {
       assert(e.getMessage.contains("escaping"), e.getMessage)
     }
   }
+
+  test("readAt time travel: a committed version is byte-stable under later merges (q175)") {
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      val v1 = ManifestLake.readAt(spark, lake, 1L)
+        .select("timestamp", "close").as[(Timestamp, Double)].collect().toSet
+      // a later merge REWRITES the same partition (keep-last updates the
+      // T0 row) and adds a day — v1 must not move
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(
+          candles((T0, 150.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot"), lake, 2)
+      val v1Again = ManifestLake.readAt(spark, lake, 1L)
+        .select("timestamp", "close").as[(Timestamp, Double)].collect().toSet
+      assert(v1Again == v1, "v1 snapshot changed after a later merge")
+      assert(v1.map(_._2) == Set(100.0))
+      val v2 = ManifestLake.readAt(spark, lake, 2L)
+        .select($"close").as[Double].collect().toSet
+      assert(v2 == Set(150.0, 200.0), "current version must see the rewrite")
+      // read() is the highest committed version
+      assert(ManifestLake.read(spark, lake).count() == 2)
+    }
+  }
+
+  test("readAt rejects uncommitted versions loudly") {
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      val e = intercept[IllegalArgumentException] { ManifestLake.readAt(spark, lake, 2L) }
+      assert(e.getMessage.contains("not committed"), e.getMessage)
+      val e0 = intercept[IllegalArgumentException] { ManifestLake.readAt(spark, lake, 0L) }
+      assert(e0.getMessage.contains("not committed"), e0.getMessage)
+    }
+  }
 }

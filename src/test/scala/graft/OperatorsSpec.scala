@@ -359,4 +359,68 @@ class OperatorsSpec extends SparkSpec {
       (d0, 0L, 2L, 2L, 1000L), (d0, 1L, 1L, 2L, 500L), (d0, 3L, 1L, 2L, 500L),
       (d0 + 2, 0L, 1L, 1L, 1000L), (d0 + 2, 1L, 1L, 1L, 1000L)), got.mkString("; "))
   }
+
+  test("q176 Markov transitions: hand-computed matrix, per-user chains, permille exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q176").toString
+    val t0 = 1704067200000L
+    def e(id: Long, u: Long, tpe: String) =
+      (id, new java.sql.Timestamp(t0 + id * 1000L), u, tpe, 1.0, "{}")
+    // user 1: A B A B  → A→B, B→A, A→B ; user 2: A A → A→A
+    // matrix: A→A 1/3, A→B 2/3, B→A 1/1 (chains never cross users)
+    Seq(e(1, 1, "A"), e(2, 1, "B"), e(3, 1, "A"), e(4, 1, "B"),
+      e(5, 2, "A"), e(6, 2, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.q176MarkovTransitions(spark, dir)
+      .select($"from_type", $"to_type", $"n_transitions", $"from_total", $"p_permille")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "A", 1L, 3L, 333L), ("A", "B", 2L, 3L, 666L),
+      ("B", "A", 1L, 1L, 1000L)), got.mkString("; "))
+  }
+
+  test("q174 incremental rollup: maintained deltas equal a one-shot recompute (redelivery inside)") {
+    import spark.implicits._
+    val got = DimOps.q174IncrementalRollup(spark, sf)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+    val want = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_totalprice".isNotNull)
+      .groupBy($"o_orderpriority".as("priority"),
+        date_trunc("MONTH", $"o_orderdate").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"priority", $"mon")
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"maintained != recomputed (${got.length} vs ${want.length} rows)")
+  }
+
+  test("q178 digest: order/partitioning-invariant, value-sensitive, kernel == HOF fold") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // kernel parity with the portable HOF fold (and its DuckDB twin)
+    val strs = Seq("", "a", "A|1|x", "order|123|456|R|O|170000000").toDF("s")
+    val mismatch = strs.filter($"s" =!= "") // HOF init differs from list_reduce on ''
+      .select(call_function("poly_hash", $"s").as("k"),
+        PortableMinHash.polyHash($"s").as("h"))
+      .filter($"k" =!= $"h").count()
+    assert(mismatch == 0L)
+    assert(graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0L)
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(call_function("poly_hash",
+          concat_ws("|", $"k", $"v")).as("h"))
+        .agg((sum($"h".cast("decimal(38,0)")) %
+          lit(graft.functions.PolyHash.M)).cast("long"), expr("bit_xor(h)"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rows = (1 to 500).map(i => (i.toLong, s"v$i"))
+    val a = digest(rows.toDF("k", "v"))
+    val b = digest(util.Random.shuffle(rows).toDF("k", "v").repartition(7))
+    assert(a == b, "digest must be order- and partitioning-invariant")
+    val c = digest(rows.updated(250, (251L, "vX")).toDF("k", "v"))
+    assert(a != c, "a single changed row must move the digest")
+  }
 }
