@@ -134,24 +134,36 @@ object Bench {
         Some(r)
       }
     }
-    // Degraded-host verdict, from signals the artifact itself carries:
-    // (a) the calibration probe ran far outside its healthy envelope, or
-    // (b) the deadline guard refused passes (timed_runs < requested) —
-    // either way the totals below are an upper bound on the plan, not a
-    // measurement of it.
-    val degraded = calibS > 1.6 || passes.size < timedRuns
+    // Second calibration probe AFTER the timed passes: the host's
+    // degraded window can OPEN mid-run (round 11 observed calib 0.20 at
+    // start of a run whose tail queries drew multi-second stalls) — a
+    // clean start probe alone under-adjudicates. Either probe elevated
+    // ⇒ the fault mode touched the run.
+    val calibEndS = calibProbe()
+    val calibMax = math.max(calibS, calibEndS)
+    // Degraded-host verdict, from HOST signals only: a refused pass is
+    // no longer one of them — at 170+ registered queries a healthy pass
+    // exceeds deadline/3 by construction, so pass count conflates
+    // registry size with host health (timed_runs stays on the line for
+    // readers). Pass-total dispersion is a host signal: passes are
+    // identical work, so pass_max/pass_min > 1.75 means a storm hit at
+    // least one of them (min-of-K still measures the plan if the FASTER
+    // pass was clean — the calibration probes adjudicate that).
+    val dispersion =
+      if (passTotals.size < 2) 1.0 else passTotals.max / passTotals.min
+    val degraded = calibMax > 1.6 || dispersion > 1.75
     // Round-10 verdict item 1: BENCH_r10.json shipped a min-of-1,
     // calib-0.41 sample as the round's official number — 5.9× the same
     // HEAD's healthy measurement — and nothing in the artifact told a
     // reader to DISREGARD it rather than merely discount it. A min-of-K
     // total is only a measurement of the PLAN when at least one pass ran
-    // in a healthy window; with a single pass taken under elevated
+    // in a healthy window; with a single pass bracketed by elevated
     // calibration there is no healthy sample at all, so the artifact
     // self-disqualifies: authoritative=false means "re-run on a clean
     // window before adjudicating; this number is an upper bound only".
     // Healthy calib envelope is 0.15–0.25 s on this host (rounds 7–10);
     // 0.30 leaves ambient margin without admitting degraded windows.
-    val authoritative = !degraded && !(passes.size == 1 && calibS > 0.30)
+    val authoritative = !degraded && !(passes.size == 1 && calibMax > 0.30)
     val results = SparkEntry.queries.map { case (name, _) =>
       val times = passes.map(_(name))
       // any failed pass marks the query failed (-1); otherwise min over passes
@@ -186,7 +198,7 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val passJson = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibS%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"slowest":$slow,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibS%.2f,"calib_end_s":$calibEndS%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

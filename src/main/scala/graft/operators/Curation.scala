@@ -551,7 +551,89 @@ object Curation {
        |             * (2654435761 % 1000000007) + 17) % 1000000007 % 10 AS b) t
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q180 — classifier CALIBRATION audit (reliability table): the
+    * serving gate for q149's quality classifier, in the q163 spirit
+    * (measure the model before trusting its scores as probabilities).
+    * Every scored doc lands in one of 10 equal-width score bins
+    * (data-derived [min, max] range, exact integer bin math) and each
+    * bin reports its size, mean score, and EMPIRICAL outcome rate
+    * (permille of docs whose lang = 'en' — the stand-in binary target
+    * this corpus carries) — the reliability diagram's rows. A
+    * calibrated scorer shows pos_permille tracking the bin's
+    * normalized score; the hashed-feature linear scorer here measurably
+    * does NOT, which is exactly what the audit exists to reveal before
+    * anyone thresholds on "probability".
+    *
+    * Scale: q149's scoring plan (explode → broadcast-weight join →
+    * per-doc agg) plus one lang join back on doc_id and a 10-group
+    * aggregate; the (min, max) range is a 1-row broadcast. Bin math is
+    * all-integer (q173 discipline) — engine-exact everywhere.
+    */
+  def q180CalibrationAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = q149QualityClassifier(s, d).select($"doc_id", $"score_milli")
+    val lab = documents(s, d)
+      .filter($"doc_id".isNotNull && $"lang".isNotNull)
+      .select($"doc_id", ($"lang" === "en").cast("long").as("pos"))
+    val rng = scored.agg(min($"score_milli").as("mn"), max($"score_milli").as("mx"))
+    scored.join(lab, Seq("doc_id"))
+      .crossJoin(broadcast(rng))
+      .withColumn("bin", expr("(score_milli - mn) * 10 div (mx - mn + 1)"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"score_milli").as("score_sum"),
+        sum($"pos").as("n_pos"))
+      .select($"bin",
+        $"n_docs",
+        expr("score_sum div n_docs").as("mean_score_milli"),
+        expr("n_pos * 1000 div n_docs").as("pos_permille"))
+      .orderBy($"bin")
+  }
+
+  /** q149's scoring CTEs + the lang label + identical integer bin math. */
+  val q180Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND LEN(TRIM(text)) > 0
+      |), g1 AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(toks, t ->
+      |    list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                (a, b) -> (a * 31 + b) % 9007199254740881))) AS hl
+      |  FROM docs
+      |), g2 AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks), 1)), i -> toks[i] || ' ' || toks[i+1]), s ->
+      |    list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                (a, b) -> (a * 31 + b) % 9007199254740881))) AS hl
+      |  FROM docs
+      |), feats AS (
+      |  SELECT doc_id, UNNEST(g1.hl || g2.hl) % 4096 AS bucket
+      |  FROM g1 JOIN g2 USING (doc_id)
+      |), weights AS (
+      |  SELECT i AS bucket, (i * 2654435761) % 1000003 % 2001 AS w
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS i)
+      |), scored AS (
+      |  SELECT doc_id, CAST((SUM(w) * 1000) // COUNT(*) AS BIGINT) AS score_milli
+      |  FROM feats JOIN weights USING (bucket)
+      |  GROUP BY doc_id
+      |), lab AS (
+      |  SELECT s.doc_id, s.score_milli,
+      |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM scored s JOIN documents d USING (doc_id)
+      |  WHERE d.lang IS NOT NULL
+      |), rng AS (
+      |  SELECT MIN(score_milli) AS mn, MAX(score_milli) AS mx FROM scored
+      |)
+      |SELECT (score_milli - mn) * 10 // (mx - mn + 1) AS bin,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(score_milli) // COUNT(*) AS BIGINT) AS mean_score_milli,
+      |       CAST(SUM(pos) * 1000 // COUNT(*) AS BIGINT) AS pos_permille
+      |FROM lab, rng
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_calibration_audit" -> (q180CalibrationAudit _),
     "q154_cluster_safe_split" -> (q154ClusterSafeSplit _),
     "q78_curation_pipeline" -> (q78CurationPipeline _),
     "q83_pii_redact" -> (q83PiiRedact _),
@@ -562,6 +644,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_calibration_audit" -> q180Sql,
     "q154_cluster_safe_split" -> q154Sql,
     "q78_curation_pipeline" -> q78Sql,
     "q83_pii_redact" -> q83Sql,

@@ -396,12 +396,89 @@ object DimOps {
       |GROUP BY ROLLUP(l_returnflag)
       |ORDER BY segment""".stripMargin
 
+  /** q179 — shuffle-key skew audit: the capacity-planning query behind
+    * every salting/AQE-skew-join decision ([[SaltedJoin]] is the
+    * treatment; this is the diagnosis). For each candidate join/agg key
+    * of lineitem it reports the key-count distribution facts a planner
+    * needs: row/key counts, the hottest key and its share, skew as an
+    * exact permille of the uniform expectation (max·keys·1000 div
+    * rows), and the recommended salt factor — ceil(max_rows /
+    * (rows/P)), the number of subtasks the hottest key needs so no
+    * reducer exceeds the uniform share at P-way parallelism (P = 32,
+    * this session's shuffle width). salt_factor 1 = don't salt.
+    *
+    * Deterministic hot-key selection without a second pass: each key's
+    * (count, key) packs into one bigint (count·2^33 + key; both < 2^30
+    * and 2^33 by data bounds checked in the filter) whose MAX is the
+    * lexicographic argmax — ties break to the larger key identically in
+    * both engines, no arg_max struct-ordering quirks (the encoded-long
+    * discipline of q161/token_tf_enc, far below bit 63).
+    *
+    * Scale: one projected scan feeds three partial-combine groupBys
+    * (one per audited key); each second-level aggregate runs on a
+    * key-count-sized relation and ships ONE row. At 100 TB this is the
+    * cheap pre-flight next to the join it plans — and the exact shape a
+    * query optimizer's NDV/heavy-hitter statistics collection runs.
+    */
+  def q179SkewAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
+        $"l_suppkey".isNotNull &&
+        $"l_orderkey" < lit(1L << 33) && $"l_partkey" < lit(1L << 33) &&
+        $"l_suppkey" < lit(1L << 33))
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      .localCheckpoint() // one scan feeds the three per-key audits
+    def audit(keyCol: String): DataFrame =
+      li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt").cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max($"cnt" * lit(1L << 33) + $"k").as("enc"))
+        .select(lit(keyCol).as("key_col"), $"n_rows", $"n_keys",
+          expr("enc div 8589934592").as("max_rows"),
+          ($"enc" % lit(1L << 33)).as("hot_key"))
+        .withColumn("skew_permille",
+          expr("max_rows * n_keys * 1000 div n_rows"))
+        .withColumn("salt_factor",
+          expr("(max_rows * 32 + n_rows - 1) div n_rows"))
+    audit("l_orderkey").unionByName(audit("l_partkey"))
+      .unionByName(audit("l_suppkey"))
+      .orderBy($"key_col")
+  }
+
+  val q179Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |    AND l_suppkey IS NOT NULL
+      |    AND l_orderkey < 8589934592 AND l_partkey < 8589934592
+      |    AND l_suppkey < 8589934592
+      |), a AS (
+      |  SELECT 'l_orderkey' AS key_col, l_orderkey AS k, COUNT(*) AS cnt FROM li GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'l_partkey', l_partkey, COUNT(*) FROM li GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM li GROUP BY 2
+      |), g AS (
+      |  SELECT key_col, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |         MAX(cnt * 8589934592 + k) AS enc
+      |  FROM a GROUP BY 1
+      |)
+      |SELECT key_col, n_rows, n_keys,
+      |       enc // 8589934592 AS max_rows,
+      |       enc % 8589934592 AS hot_key,
+      |       (enc // 8589934592) * n_keys * 1000 // n_rows AS skew_permille,
+      |       ((enc // 8589934592) * 32 + n_rows - 1) // n_rows AS salt_factor
+      |FROM g ORDER BY key_col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_scd2_replay" -> (q168Scd2Replay _),
     "q171_zorder_skipping" -> (q171ZorderSkipping _),
     "q174_incremental_rollup" -> (q174IncrementalRollup _),
     "q175_time_travel" -> (q175TimeTravel _),
-    "q178_table_checksum" -> (q178TableChecksum _)
+    "q178_table_checksum" -> (q178TableChecksum _),
+    "q179_skew_audit" -> (q179SkewAudit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +486,7 @@ object DimOps {
     "q171_zorder_skipping" -> q171Sql,
     "q174_incremental_rollup" -> q174Sql,
     "q175_time_travel" -> q175Sql,
-    "q178_table_checksum" -> q178Sql
+    "q178_table_checksum" -> q178Sql,
+    "q179_skew_audit" -> q179Sql
   )
 }

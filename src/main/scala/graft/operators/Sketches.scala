@@ -316,11 +316,111 @@ object Sketches {
       |FROM t, n GROUP BY tok, n.n HAVING COUNT(*) * 32 > n.n
       |ORDER BY tok""".stripMargin
 
+  /** q181 — sketch-based JOIN-CARDINALITY estimation audit: the query
+    * optimizer's question ("how many join keys do these two relations
+    * share?") answered from two mergeable KMV sketches WITHOUT running
+    * the join, then audited against the exact semi-join count — q116's
+    * single-relation KMV lifted to the two-relation estimate every
+    * cost-based planner and runtime-filter sizing decision rests on
+    * [Bar-Yossef et al. RANDOM'02 §4: the bottom-K of a UNION of
+    * sketches is the union's sketch, and the fraction of its members
+    * present in both sides estimates the Jaccard]. est_common =
+    * J_est × ndv_union_est, all exact integer arithmetic:
+    * j · ((K−1)·P div kth) div K.
+    *
+    * Scale: each side reduces to a distinct-hash relation (partial
+    * combine) — at deployment each side keeps its bottom-K as a
+    * PERSISTED 256-value statistic and the estimate costs a
+    * 512-row merge, no scan at all; here both sketches rebuild from
+    * the tables so the oracle can replay byte-identically. The exact
+    * branch (distinct semi join) exists only because this is an AUDIT
+    * of estimator quality; a planner ships the estimate alone.
+    * Domain < P assumption (affine map bijective) as documented on
+    * q116; below-K guard mirrors q116's exact fallback.
+    */
+  def q181JoinCardEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 256
+    val a = 2654435761L % P
+    val b = 40503L % P
+    def hashed(df: DataFrame, key: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .select((((col(key) % P) * a + b) % P).as("h")).distinct()
+    val ha = hashed(orders(s, d), "o_orderkey")
+    val hb = hashed(lineitem(s, d), "l_orderkey")
+    val union = ha.select($"h", lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(hb.select($"h", lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy($"h").agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val sketch = union.orderBy($"h").limit(K) // TakeOrdered: K rows to driver-side agg
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("kth"),
+        sum($"in_a" * $"in_b").as("j"))
+    val exact = orders(s, d).select($"o_orderkey".as("k")).filter($"k".isNotNull)
+      .join(lineitem(s, d).select($"l_orderkey".as("k")).filter($"k".isNotNull),
+        Seq("k"), "left_semi")
+      .agg(countDistinct($"k").as("exact_common"))
+    val exactU = union.agg(count(lit(1)).as("exact_union"))
+    sketch.crossJoin(exact).crossJoin(exactU)
+      .withColumn("est_union",
+        when($"n_sk" < K, $"exact_union")
+          .otherwise(expr(s"${(K - 1).toLong * P} div kth")))
+      .withColumn("est_common",
+        when($"n_sk" < K, $"exact_common")
+          .otherwise(expr(s"j * est_union div $K")))
+      .select($"exact_common", $"est_common", $"exact_union", $"est_union")
+      .withColumn("err_permille",
+        expr("(abs(est_common - exact_common) * 1000) div exact_common"))
+  }
+
+  val q181Sql: String =
+    """WITH ha AS (
+      |  SELECT DISTINCT ((o_orderkey % 1000000007) * (2654435761 % 1000000007)
+      |    + (40503 % 1000000007)) % 1000000007 AS h
+      |  FROM orders WHERE o_orderkey IS NOT NULL
+      |), hb AS (
+      |  SELECT DISTINCT ((l_orderkey % 1000000007) * (2654435761 % 1000000007)
+      |    + (40503 % 1000000007)) % 1000000007 AS h
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
+      |), u AS (
+      |  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+      |    SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+      |    UNION ALL
+      |    SELECT h, 0, 1 FROM hb)
+      |  GROUP BY h
+      |), bk AS (
+      |  SELECT h, in_a, in_b FROM u ORDER BY h LIMIT 256
+      |), sk AS (
+      |  SELECT COUNT(*) AS n_sk, MAX(h) AS kth,
+      |         CAST(SUM(in_a * in_b) AS BIGINT) AS j
+      |  FROM bk
+      |), ex AS (
+      |  SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS exact_common
+      |  FROM orders o WHERE o.o_orderkey IS NOT NULL
+      |    AND EXISTS (SELECT 1 FROM lineitem l
+      |                WHERE l.l_orderkey = o.o_orderkey)
+      |), exu AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union FROM u
+      |), est AS (
+      |  SELECT exact_common,
+      |    CASE WHEN n_sk < 256 THEN exact_union
+      |         ELSE (CAST(255 AS BIGINT) * 1000000007) // kth END AS est_union,
+      |    exact_union, n_sk, j
+      |  FROM sk, ex, exu
+      |)
+      |SELECT exact_common,
+      |  CASE WHEN n_sk < 256 THEN exact_common
+      |       ELSE j * est_union // 256 END AS est_common,
+      |  exact_union, est_union,
+      |  (ABS(CASE WHEN n_sk < 256 THEN exact_common
+      |            ELSE j * est_union // 256 END - exact_common) * 1000)
+      |    // exact_common AS err_permille
+      |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_countmin_hh" -> (q113CountMin _),
     "q116_kmv_cardinality" -> (q116KmvCardinality _),
     "q129_quantile_sketch" -> (q129QuantileSketch _),
     "q135_misra_gries" -> (q135MisraGries _),
+    "q181_join_card_estimate" -> (q181JoinCardEstimate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,5 +428,6 @@ object Sketches {
     "q116_kmv_cardinality" -> q116Sql,
     "q129_quantile_sketch" -> q129Sql,
     "q135_misra_gries" -> q135Sql,
+    "q181_join_card_estimate" -> q181Sql,
   )
 }

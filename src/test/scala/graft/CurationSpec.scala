@@ -193,4 +193,24 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(rows.toSet == again.toSet)
   }
+
+  test("q180 calibration audit: bins partition the scored docs, edges land in bins 0 and 9") {
+    import spark.implicits._
+    val bins = graft.operators.Curation.q180CalibrationAudit(spark, sf).collect()
+    assert(bins.forall(r => r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9))
+    val scored = graft.operators.Curation.q149QualityClassifier(spark, sf)
+    val lab = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id".isNotNull && $"lang".isNotNull).select($"doc_id")
+    val total = scored.join(lab, Seq("doc_id")).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == total,
+      "bins must partition every scored+labeled doc exactly once")
+    assert(bins.forall(r => r.getAs[Long]("pos_permille") >= 0 &&
+      r.getAs[Long]("pos_permille") <= 1000))
+    // fixed-width binning ⇒ per-bin mean scores strictly ordered by bin
+    val means = bins.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("mean_score_milli"))
+    assert(means.zip(means.tail).forall { case (a, b) => a < b }, means.mkString(","))
+    // min and max scores define the range, so both edge bins are non-empty
+    val present = bins.map(_.getAs[Long]("bin")).toSet
+    assert(present.contains(0L) && present.contains(9L))
+  }
 }

@@ -396,6 +396,29 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q179 skew audit: hand-computed hot key, skew permille, salt factor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q179").toString
+    // l_suppkey: 40 rows of key 7, 60 unique keys → 61 keys, max 40
+    val rows = (1 to 40).map(i => (i.toLong, i.toLong, 7L)) ++
+      (41 to 100).map(i => (i.toLong, i.toLong, 100L + i))
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = DimOps.q179SkewAudit(spark, dir)
+      .filter($"key_col" === "l_suppkey").collect().head
+    assert(got.getAs[Long]("n_rows") == 100L)
+    assert(got.getAs[Long]("n_keys") == 61L)
+    assert(got.getAs[Long]("max_rows") == 40L)
+    assert(got.getAs[Long]("hot_key") == 7L)
+    assert(got.getAs[Long]("skew_permille") == 40L * 61 * 1000 / 100)
+    assert(got.getAs[Long]("salt_factor") == (40L * 32 + 99) / 100) // = 13
+    // uniform column: salt 1, skew ≈ 1000
+    val uni = DimOps.q179SkewAudit(spark, dir)
+      .filter($"key_col" === "l_orderkey").collect().head
+    assert(uni.getAs[Long]("salt_factor") == 1L)
+    assert(uni.getAs[Long]("skew_permille") == 1000L)
+  }
+
   test("q178 digest: order/partitioning-invariant, value-sensitive, kernel == HOF fold") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

@@ -159,4 +159,25 @@ class SketchesSpec extends SparkSpec {
     val again = Sketches.q129QuantileSketch(spark, sf).orderBy($"p").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("q181 join-card estimate: exact fallback below K, sane estimate above (planted overlap)") {
+    import spark.implicits._
+    // SMALL: 100 ∪ 100 keys, |∩| = 50 — union 150 < K=256 → exact branch
+    val d1 = java.nio.file.Files.createTempDirectory("q181a").toString
+    (1L to 100L).toDF("o_orderkey").write.parquet(s"$d1/orders.parquet")
+    (51L to 150L).toDF("l_orderkey").write.parquet(s"$d1/lineitem.parquet")
+    val small = Sketches.q181JoinCardEstimate(spark, d1).collect().head
+    assert(small.getAs[Long]("exact_common") == 50L)
+    assert(small.getAs[Long]("est_common") == 50L, "below-K must be exact")
+    assert(small.getAs[Long]("err_permille") == 0L)
+    // LARGE: 4000 ∪ 4000, |∩| = 2000 (union 6000 ≥ K) — estimate branch;
+    // KMV relative error ~1/√K ≈ 6%; 250‰ is a generous deterministic bound
+    val d2 = java.nio.file.Files.createTempDirectory("q181b").toString
+    (1L to 4000L).toDF("o_orderkey").write.parquet(s"$d2/orders.parquet")
+    (2001L to 6000L).toDF("l_orderkey").write.parquet(s"$d2/lineitem.parquet")
+    val big = Sketches.q181JoinCardEstimate(spark, d2).collect().head
+    assert(big.getAs[Long]("exact_common") == 2000L)
+    assert(big.getAs[Long]("err_permille") <= 250L,
+      s"estimate too far off: $big")
+  }
 }
