@@ -472,13 +472,91 @@ object DimOps {
       |       ((enc // 8589934592) * 32 + n_rows - 1) // n_rows AS salt_factor
       |FROM g ORDER BY key_col""".stripMargin
 
+  /** q182 — CDC apply with DELETE tombstones: the verb the lake's merge
+    * family lacked (K2/q25 upsert keeps-last, q168 keeps history; real
+    * CDC feeds also RETRACT). Orders replay as a change stream over
+    * entity = o_custkey ordered by (o_orderdate, o_orderkey): a
+    * finalized order ('F') is a tombstone retiring the customer row,
+    * anything else upserts the current priority — four yearly batches
+    * through the REAL [[graft.lake.MergeWriter.mergeKeyed]], with the
+    * tombstone persisted AS A ROW (op = 'D') that keep-last lets WIN
+    * over older versions exactly like an upsert; the consumer view
+    * filters op ≠ 'D'. Soft-delete markers + filtered read is how
+    * every log-structured table format implements deletes (a physical
+    * in-place delete would force a full-partition rewrite per batch and
+    * break redelivery idempotence); compaction to reclaim tombstones is
+    * [[graft.lake.ManifestLake.vacuum]]/Compactor territory. The oracle
+    * computes the same final state in one window pass (last event per
+    * entity, dropped if it finalizes) — so the hash check proves
+    * tombstones beat stale upserts ACROSS batch boundaries, not just
+    * inside one merge.
+    *
+    * Scale: identical to K2's posture — each merge shuffles its batch
+    * once and statically prunes the read to touched (op-state, bucket)
+    * partitions; tombstones add one partition branch, never a rewrite.
+    */
+  def q182CdcTombstones(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = orders(s, d)
+      .filter($"o_custkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_orderdate".isNotNull && $"o_orderkey".isNotNull &&
+        $"o_orderpriority".isNotNull)
+      .select($"o_custkey".as("entity_id"),
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("op"),
+        $"o_orderpriority".as("attr"),
+        $"o_orderdate".as("ts"), $"o_orderkey".as("seq"),
+        year($"o_orderdate").as("yr"),
+        pmod(hash($"o_custkey"), lit(16)).cast("string").as("bucket"))
+      .localCheckpoint()
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_cdc_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    Seq($"yr" <= 1996, $"yr" === 1997 || $"yr" === 1998,
+      $"yr" === 1999 || $"yr" === 2000, $"yr" >= 2001)
+      .foreach { cond =>
+        graft.lake.MergeWriter.mergeKeyed(s, ev.filter(cond).drop("yr"), lake,
+          keys = Seq("bucket"), dedupKeys = Seq($"entity_id"),
+          order = Seq($"ts", $"seq"))
+      }
+    graft.lake.MergeWriter.readLake(s, lake)
+      .filter($"op" =!= "D") // the consumer view: tombstones invisible
+      .select($"entity_id".as("custkey"), $"attr".as("priority"),
+        $"ts".as("as_of"), $"seq".as("last_order"))
+      .orderBy($"custkey")
+  }
+
+  /** One-pass final state: last change per entity, dropped if it
+    * finalizes — what four tombstone-aware merges must reproduce.
+    */
+  val q182Sql: String =
+    """WITH ev AS (
+      |  SELECT o_custkey AS custkey,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |         o_orderpriority AS priority, o_orderdate AS ts,
+      |         o_orderkey AS seq
+      |  FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+      |    AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+      |    AND o_orderpriority IS NOT NULL
+      |), last AS (
+      |  SELECT custkey, op, priority, ts, seq,
+      |         ROW_NUMBER() OVER (PARTITION BY custkey
+      |                            ORDER BY ts DESC, seq DESC) AS rn
+      |  FROM ev
+      |)
+      |SELECT custkey, priority, ts AS as_of, seq AS last_order
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_scd2_replay" -> (q168Scd2Replay _),
     "q171_zorder_skipping" -> (q171ZorderSkipping _),
     "q174_incremental_rollup" -> (q174IncrementalRollup _),
     "q175_time_travel" -> (q175TimeTravel _),
     "q178_table_checksum" -> (q178TableChecksum _),
-    "q179_skew_audit" -> (q179SkewAudit _)
+    "q179_skew_audit" -> (q179SkewAudit _),
+    "q182_cdc_tombstones" -> (q182CdcTombstones _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -487,6 +565,7 @@ object DimOps {
     "q174_incremental_rollup" -> q174Sql,
     "q175_time_travel" -> q175Sql,
     "q178_table_checksum" -> q178Sql,
-    "q179_skew_audit" -> q179Sql
+    "q179_skew_audit" -> q179Sql,
+    "q182_cdc_tombstones" -> q182Sql
   )
 }

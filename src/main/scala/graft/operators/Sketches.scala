@@ -415,12 +415,102 @@ object Sketches {
       |    // exact_common AS err_permille
       |FROM est""".stripMargin
 
+  /** q183 — rolling 7-day distinct users from MERGEABLE daily KMV
+    * sketches: the time-windowed face of q181's union property, and the
+    * reason sketches (not exact sets) are what a 100 TB pipeline
+    * persists per partition — the bottom-K of a UNION of daily sketches
+    * IS the window's sketch, so any rolling/calendar window re-derives
+    * from K-value daily statistics without ever rescanning the events
+    * that produced them. Per day: bottom-K (K = 64) of the affine user
+    * hashes; per rolling window d−6..d: merge 7 daily sketches (≤ 7K
+    * rows), re-take bottom-K, estimate (K−1)·P div kth. The exact
+    * rolling distinct (recomputed from the user-day relation) rides
+    * along purely as the AUDIT column — a deployment ships only the
+    * estimate and the 7 sketches.
+    *
+    * Scale: ONE corpus shuffle builds the (day, user-hash) distinct
+    * relation; daily bottom-K is a per-day window over it; everything
+    * rolling runs on the days × K sketch relation (30 × 64 rows here,
+    * 365 × K for a year — driver-trivial at any corpus size). The
+    * estimate-vs-exact error at K = 64 is ~1/√K ≈ 12 % — the audit
+    * shows it per window; below-K windows take the exact branch (q116
+    * discipline).
+    */
+  def q183RollingDistinctSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 64
+    val a = 2654435761L % P
+    val b = 40503L % P
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day").orderBy($"h")
+    val ud = events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        ((($"user_id" % P) * a + b) % P).as("h"))
+      .distinct()
+      .localCheckpoint() // (day, hash)-sized; feeds sketches and the audit
+    val daily = ud.withColumn("rn", row_number().over(w)).filter($"rn" <= K)
+      .select($"day", $"h")
+    val days = ud.select($"day").distinct()
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"d").orderBy($"h")
+    val merged = days.select($"day".as("d"))
+      .join(daily, daily("day").between($"d" - 6, $"d"))
+      .select($"d", $"h").distinct()
+      .withColumn("rn", row_number().over(wd)).filter($"rn" <= K)
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("kth"))
+    val exact = days.select($"day".as("d"))
+      .join(ud, ud("day").between($"d" - 6, $"d"))
+      .groupBy($"d").agg(countDistinct($"h").as("exact_users"))
+    merged.join(exact, Seq("d"))
+      .select($"d".as("day"), $"exact_users",
+        when($"n_sk" < K, $"exact_users")
+          .otherwise(expr(s"${(K - 1).toLong * P} div kth")).as("est_users"))
+      .withColumn("err_permille",
+        expr("(abs(est_users - exact_users) * 1000) div exact_users"))
+      .orderBy($"day")
+  }
+
+  val q183Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS day,
+      |    ((user_id % 1000000007) * (2654435761 % 1000000007)
+      |      + (40503 % 1000000007)) % 1000000007 AS h
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), daily AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+      |    FROM ud)
+      |  WHERE rn <= 64
+      |), days AS (SELECT DISTINCT day AS d FROM ud),
+      |merged AS (
+      |  SELECT d, COUNT(*) AS n_sk, MAX(h) AS kth FROM (
+      |    SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+      |    FROM (SELECT DISTINCT days.d, daily.h
+      |          FROM days JOIN daily ON daily.day BETWEEN days.d - 6 AND days.d))
+      |  WHERE rn <= 64 GROUP BY d
+      |), ex AS (
+      |  SELECT days.d, CAST(COUNT(DISTINCT ud.h) AS BIGINT) AS exact_users
+      |  FROM days JOIN ud ON ud.day BETWEEN days.d - 6 AND days.d
+      |  GROUP BY days.d
+      |)
+      |SELECT m.d AS day, e.exact_users,
+      |  CASE WHEN m.n_sk < 64 THEN e.exact_users
+      |       ELSE (CAST(63 AS BIGINT) * 1000000007) // m.kth END AS est_users,
+      |  (ABS(CASE WHEN m.n_sk < 64 THEN e.exact_users
+      |            ELSE (CAST(63 AS BIGINT) * 1000000007) // m.kth END
+      |       - e.exact_users) * 1000) // e.exact_users AS err_permille
+      |FROM merged m JOIN ex e USING (d)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_countmin_hh" -> (q113CountMin _),
     "q116_kmv_cardinality" -> (q116KmvCardinality _),
     "q129_quantile_sketch" -> (q129QuantileSketch _),
     "q135_misra_gries" -> (q135MisraGries _),
     "q181_join_card_estimate" -> (q181JoinCardEstimate _),
+    "q183_rolling_distinct_sketch" -> (q183RollingDistinctSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -429,5 +519,6 @@ object Sketches {
     "q129_quantile_sketch" -> q129Sql,
     "q135_misra_gries" -> q135Sql,
     "q181_join_card_estimate" -> q181Sql,
+    "q183_rolling_distinct_sketch" -> q183Sql,
   )
 }

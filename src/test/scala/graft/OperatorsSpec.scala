@@ -396,6 +396,28 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q182 CDC tombstones: delete retires across batches, later upsert resurrects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q182").toString
+    def o(key: Long, cust: Long, status: String, year: Int) =
+      (key, cust, status, 1.0,
+        java.sql.Timestamp.valueOf(s"$year-06-01 00:00:00"), "1-URGENT")
+    // cust 1: upsert 1995, DELETE 1997          → absent
+    // cust 2: DELETE 1995, upsert 1999          → present (resurrected)
+    // cust 3: upsert 1995 only                  → present
+    // cust 4: upsert 2001, DELETE 2001 later key → absent (same-batch order)
+    Seq(o(1, 1, "O", 1995), o(2, 1, "F", 1997),
+      o(3, 2, "F", 1995), o(4, 2, "O", 1999),
+      o(5, 3, "O", 1995),
+      o(6, 4, "O", 2001), o(7, 4, "F", 2001))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = DimOps.q182CdcTombstones(spark, dir)
+      .select($"custkey", $"last_order").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 4L), (3L, 5L)), got.mkString("; "))
+  }
+
   test("q179 skew audit: hand-computed hot key, skew permille, salt factor") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q179").toString

@@ -180,4 +180,37 @@ class SketchesSpec extends SparkSpec {
     assert(big.getAs[Long]("err_permille") <= 250L,
       s"estimate too far off: $big")
   }
+
+  test("q183 rolling sketch: below-K windows exact, above-K estimate bounded") {
+    import spark.implicits._
+    val day0us = 1700006400L * 1000000L // day-aligned epoch µs
+    def ev(id: Long, day: Int, user: Long) =
+      (id, new java.sql.Timestamp((day0us + day * 86400000000L) / 1000L + id),
+        user, "view", 1.0, "{}")
+    // days 0..9, day i has users 1..(3i+3) → ≤ 30 distinct < K=64:
+    // every window takes the exact branch, so est == exact per day
+    val small = (0 until 10).flatMap(day =>
+      (1L to (3L * day + 3)).map(u => ev(day * 100L + u, day, u)))
+    val d1 = java.nio.file.Files.createTempDirectory("q183a").toString
+    small.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d1/events.parquet")
+    val rows = Sketches.q183RollingDistinctSketch(spark, d1).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_users") == r.getAs[Long]("exact_users"), r.toString)
+      assert(r.getAs[Long]("err_permille") == 0L)
+    }
+    // exact rolling union: day i window covers days max(0,i-6)..i whose
+    // user sets are nested → exact = 3i+3
+    assert(rows.sortBy(_.getAs[Long]("day")).map(_.getAs[Long]("exact_users")).toSeq ==
+      (0 until 10).map(i => 3L * i + 3))
+    // one 500-user day → estimate branch; KMV err ~1/√64 ≈ 125‰
+    val d2 = java.nio.file.Files.createTempDirectory("q183b").toString
+    (1L to 500L).map(u => ev(u, 0, u))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d2/events.parquet")
+    val big = Sketches.q183RollingDistinctSketch(spark, d2).collect().head
+    assert(big.getAs[Long]("exact_users") == 500L)
+    assert(big.getAs[Long]("err_permille") <= 375L, big.toString)
+  }
 }
