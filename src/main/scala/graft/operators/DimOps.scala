@@ -549,6 +549,64 @@ object DimOps {
       |FROM last WHERE rn = 1 AND op <> 'D'
       |ORDER BY custkey""".stripMargin
 
+  /** q184 — incremental JOIN-view maintenance, completing the IVM
+    * family (aggregate q174, SCD2 history q168, CDC retract q182): a
+    * materialized enrichment view V = orders ⋈ customer is maintained
+    * by appending ΔV = ΔO ⋈ C per insert-only fact batch — the
+    * delta-join identity that holds whenever the joined dimension is
+    * static-or-slowly-changing for the batch window (a dimension delta
+    * would additionally need A ⋈ ΔC; that verb is q168's SCD2 keyed by
+    * the fact's as-of time). Deltas land as batch_id-keyed partitions
+    * (q174's idempotence discipline — the replay redelivers batch 2 to
+    * prove a duplicate delivery replaces, never duplicates) and the
+    * assembled view must hash-equal the oracle's one-shot join.
+    *
+    * Scale: per batch, one broadcast of the dimension (or a
+    * co-partitioned shuffle join at real dim sizes) against ONLY the
+    * batch's facts — the view is never rejoined or rewritten, so
+    * maintaining a year of history costs the same per day as day one.
+    */
+  def q184JoinViewMaintenance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = customer(s, d)
+      .filter($"c_custkey".isNotNull && $"c_mktsegment".isNotNull)
+      .select($"c_custkey", $"c_mktsegment")
+    val ev = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_custkey".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        year($"o_orderdate").as("yr"))
+      .localCheckpoint()
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val dir = s"$wh/graft_jview_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, dir)
+    val batches = Seq($"yr" <= 1996, $"yr" === 1997 || $"yr" === 1998,
+      $"yr" === 1999 || $"yr" === 2000, $"yr" >= 2001)
+    def deliver(i: Int): Unit =
+      ev.filter(batches(i)).drop("yr")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey", "inner")
+        .select($"o_orderkey", $"o_custkey", $"c_mktsegment".as("segment"),
+          $"o_totalprice")
+        .withColumn("batch_id", lit(i))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    batches.indices.foreach(deliver)
+    deliver(2) // redelivery replaces its own delta partition
+    s.read.parquet(dir)
+      .select($"o_orderkey", $"o_custkey", $"segment", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val q184Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment,
+      |       o.o_totalprice
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+      |  AND o.o_totalprice IS NOT NULL AND o.o_orderdate IS NOT NULL
+      |  AND c.c_mktsegment IS NOT NULL
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_scd2_replay" -> (q168Scd2Replay _),
     "q171_zorder_skipping" -> (q171ZorderSkipping _),
@@ -556,7 +614,8 @@ object DimOps {
     "q175_time_travel" -> (q175TimeTravel _),
     "q178_table_checksum" -> (q178TableChecksum _),
     "q179_skew_audit" -> (q179SkewAudit _),
-    "q182_cdc_tombstones" -> (q182CdcTombstones _)
+    "q182_cdc_tombstones" -> (q182CdcTombstones _),
+    "q184_join_view_maintenance" -> (q184JoinViewMaintenance _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +625,7 @@ object DimOps {
     "q175_time_travel" -> q175Sql,
     "q178_table_checksum" -> q178Sql,
     "q179_skew_audit" -> q179Sql,
-    "q182_cdc_tombstones" -> q182Sql
+    "q182_cdc_tombstones" -> q182Sql,
+    "q184_join_view_maintenance" -> q184Sql
   )
 }

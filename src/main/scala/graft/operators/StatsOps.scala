@@ -193,13 +193,67 @@ object StatsOps {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** q185 — rank-based feature normalization (quantile transform): the
+    * ML-preprocessing staple that maps a feature to its empirical CDF
+    * position — robust to outliers and distribution shape, the standard
+    * alternative to z-scoring (q70) when a downstream model wants
+    * uniform marginals. Per event_type series, value → exact integer
+    * permille rank (rank−1)·1000 div (n−1); RANK (not row_number) so
+    * tied raw values map to the SAME normalized value — a correctness
+    * property of the transform, not a tie-break choice, and what keeps
+    * the output engine-exact with no ordering assumptions beyond the
+    * value comparison itself. Output is the audit form: per
+    * (series, decile of the transform) the row count and permille
+    * range — a quantile transform is CORRECT iff deciles hold ~n/10
+    * rows each, which the row counts exhibit and the spec pins.
+    *
+    * Scale: one shuffle partitions by series and sorts by value — the
+    * q18/q26 window shape (the rank rewrite lessons there apply as-is);
+    * the decile audit is a partial-combine agg on (series, decile).
+    */
+  def q185RankNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    val n = Window.partitionBy($"event_type")
+    events(s, d)
+      .filter($"event_type".isNotNull && $"value".isNotNull)
+      .select($"event_type", $"value")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter($"n" > 1)
+      .withColumn("pm", expr("(rnk - 1) * 1000 div (n - 1)"))
+      .groupBy($"event_type", expr("pm div 100").as("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"pm").as("min_pm"), max($"pm").as("max_pm"))
+      .orderBy($"event_type", $"decile")
+  }
+
+  val q185Sql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |         RANK() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |), pm AS (
+      |  SELECT event_type, (rnk - 1) * 1000 // (n - 1) AS pm
+      |  FROM r WHERE n > 1
+      |)
+      |SELECT event_type, pm // 100 AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       MIN(pm) AS min_pm, MAX(pm) AS max_pm
+      |FROM pm GROUP BY 1, 2
+      |ORDER BY event_type, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_corr_stats" -> (q77CorrStats _),
     "q98_percentiles" -> (q98Percentiles _),
+    "q185_rank_normalize" -> (q185RankNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q77_corr_stats" -> q77Sql,
     "q98_percentiles" -> q98Sql,
+    "q185_rank_normalize" -> q185Sql,
   )
 }

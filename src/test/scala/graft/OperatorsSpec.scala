@@ -396,6 +396,52 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q184 join-view maintenance: assembled deltas equal the one-shot join (redelivery inside)") {
+    import spark.implicits._
+    val got = DimOps.q184JoinViewMaintenance(spark, sf)
+      .as[(Long, Long, String, Double)].collect().toSeq
+    val want = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderkey".isNotNull && $"o_custkey".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .join(graft.sources.Tables.customer(spark, sf)
+        .filter($"c_custkey".isNotNull && $"c_mktsegment".isNotNull),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"c_mktsegment", $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"view != one-shot join (${got.length} vs ${want.length})")
+  }
+
+  test("q185 rank normalize: uniform values balance deciles exactly, ties share a permille") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q185").toString
+    // type 'u': values 0..99 (distinct) → each decile EXACTLY 10 rows,
+    // edges 0 and 1000; type 't': 5 copies of one value + 5 larger —
+    // ties rank together (all five at pm 0)
+    val rows = (0 until 100).map(i => (i.toLong, "u", i.toDouble)) ++
+      (0 until 5).map(i => (200L + i, "t", 1.0)) ++
+      (0 until 5).map(i => (300L + i, "t", 2.0 + i))
+    rows.map { case (id, tpe, v) =>
+      (id, new java.sql.Timestamp(1700000000000L + id), 1L, tpe, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = StatsOps.q185RankNormalize(spark, dir).collect()
+    // pm = (rank−1)·1000 div 99 spans [0, 1000] INCLUSIVE (percent_rank
+    // convention): deciles 0–8 hold exactly 10 rows, decile 9 holds 9,
+    // and the series maximum alone lands in bucket 10 (pm = 1000)
+    val u = got.filter(_.getString(0) == "u")
+    assert(u.length == 11, u.mkString("; "))
+    assert(u.map(_.getAs[Long]("n_rows")).sum == 100L)
+    assert(u.filter(_.getAs[Long]("decile") <= 8).forall(_.getAs[Long]("n_rows") == 10L))
+    assert(u.find(_.getAs[Long]("decile") == 10L).get.getAs[Long]("min_pm") == 1000L)
+    assert(u.map(_.getAs[Long]("min_pm")).min == 0L)
+    val t = got.filter(_.getString(0) == "t")
+    // 5 ties at rank 1 → pm 0 → decile 0 holds exactly the 5 tied rows
+    assert(t.find(_.getAs[Long]("decile") == 0L).get.getAs[Long]("n_rows") == 5L)
+    assert(t.find(_.getAs[Long]("decile") == 0L).get.getAs[Long]("max_pm") == 0L)
+  }
+
   test("q182 CDC tombstones: delete retires across batches, later upsert resurrects") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q182").toString

