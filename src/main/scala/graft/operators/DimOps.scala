@@ -607,7 +607,76 @@ object DimOps {
       |  AND c.c_mktsegment IS NOT NULL
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** q186 — right-to-be-forgotten erasure replay ([[graft.lake.Eraser]]):
+    * the data-governance verb q182's tombstones cannot express —
+    * erasure must REMOVE matching rows from HISTORY, not suppress a key
+    * going forward. Events land in a user-bucketed lake, the erasure
+    * list (every user whose FIRST recorded event — by (ts, event_id) —
+    * is an 'error': a bot-flagged-at-entry cohort, ~1/5 of users at
+    * every SF, deterministic and non-vacuous on BOTH sides of the
+    * erase) is applied through the real bucket-pruned anti-join
+    * rewrite, and the post-erasure lake must aggregate exactly like
+    * the oracle's anti-join — proving both halves of the contract at
+    * once: every erased user's FULL history is gone, and no surviving
+    * row was lost. The
+    * partial-rewrite property (untouched partitions byte-identical) and
+    * the fully-erased-bucket directory removal live in EraserSpec on
+    * planted fixtures.
+    *
+    * Scale: erasure cost is O(touched buckets' data), never lake size;
+    * the per-type aggregate afterward is a partial-combine shuffle of
+    * type-count cells. countDistinct(user) keeps its own exchange —
+    * acceptable for the audit output (5 rows × users).
+    */
+  def q186ErasureReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        pmod(hash($"user_id"), lit(16)).cast("string").as("bucket"))
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_erase_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    ev.repartition($"bucket").write.partitionBy("bucket").parquet(lake)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val erase = s.read.parquet(lake)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" === "error")
+      .select($"user_id")
+    graft.lake.Eraser.eraseKeys(s, lake, "user_id", erase)
+    s.read.parquet(lake)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Post-erasure state: all events minus the full history of every
+    * user whose first event (by ts, event_id) is an 'error'.
+    */
+  val q186Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, ts FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND ts IS NOT NULL
+      |), erased AS (
+      |  SELECT user_id FROM (
+      |    SELECT user_id, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS rn
+      |    FROM ev)
+      |  WHERE rn = 1 AND event_type = 'error'
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM ev ANTI JOIN erased USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_erasure_replay" -> (q186ErasureReplay _),
     "q168_scd2_replay" -> (q168Scd2Replay _),
     "q171_zorder_skipping" -> (q171ZorderSkipping _),
     "q174_incremental_rollup" -> (q174IncrementalRollup _),
@@ -619,6 +688,7 @@ object DimOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_erasure_replay" -> q186Sql,
     "q168_scd2_replay" -> q168Sql,
     "q171_zorder_skipping" -> q171Sql,
     "q174_incremental_rollup" -> q174Sql,
