@@ -548,7 +548,80 @@ object EventOps {
       |FROM tr t JOIN tot o USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q187 — session PATH mining: the sequence-analytics staple one
+    * level above q176's first-order transition matrix (which forgets
+    * everything before the previous step) — per 30-minute-gap session
+    * (q18's island rule: a gap STRICTLY over 30 min opens a new
+    * session), the ordered event-type path truncated to its first 8
+    * steps, and the top-20 paths by session count under a total order.
+    * This is the "how do users actually traverse the product" query
+    * behind funnel design; q67's MATCH_RECOGNIZE shape checks a KNOWN
+    * pattern, this mines the unknown ones.
+    *
+    * Determinism: path assembly sorts (ts, event_id) structs inside the
+    * session group — struct sort_array, not collect order; truncation
+    * at 8 is the same inclusive slice in both engines (the DuckDB
+    * list-slice off-by-one from round 10 is exactly the bug class this
+    * pins); top-20 leaves via TakeOrderedAndProject under
+    * (count DESC, path).
+    *
+    * Scale: one user_id window shuffle (q18's), one session-key
+    * partial-combine agg whose payload is the ≤8-step path string, one
+    * path-count agg on the path relation. Session state never exceeds
+    * the session's own events; the path relation is
+    * bounded by distinct paths, not sessions.
+    */
+  def q187SessionPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull &&
+        $"event_type".isNotNull && $"event_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("brk",
+        ($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L).cast("long"))
+      .withColumn("sess", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(sort_array(collect_list(struct($"us", $"event_id", $"event_type")))
+        .as("evs"))
+      .select(concat_ws(">",
+        slice(expr("transform(evs, e -> e.event_type)"), 1, 8)).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(20)
+  }
+
+  val q187Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, EPOCH_US(ts) AS us
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+      |), brk AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |    CASE WHEN us - LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS b
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |    SUM(b) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk
+      |), paths AS (
+      |  SELECT ARRAY_TO_STRING(
+      |           (LIST(event_type ORDER BY us, event_id))[1:8], '>') AS path
+      |  FROM sess GROUP BY user_id, sid
+      |)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_session_paths" -> (q187SessionPaths _),
     "q176_markov_transitions" -> (q176MarkovTransitions _),
     "q173_retention_cohorts" -> (q173RetentionCohorts _),
     "q172_session_window_replay" -> (q172SessionWindowReplay _),
@@ -565,6 +638,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_session_paths" -> q187Sql,
     "q176_markov_transitions" -> q176Sql,
     "q173_retention_cohorts" -> q173Sql,
     "q172_session_window_replay" -> q172Sql,

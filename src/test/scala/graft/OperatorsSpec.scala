@@ -396,6 +396,26 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q187 session paths: gap split, in-session order, 8-step truncation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q187").toString
+    val t0 = 1700000000000L
+    def e(id: Long, u: Long, offsetSec: Long, tpe: String) =
+      (id, new java.sql.Timestamp(t0 + offsetSec * 1000L), u, tpe, 1.0, "{}")
+    // user 1: A,B then a 35-min gap, then C → sessions "A>B" and "C";
+    // a 30-min gap EXACTLY does not split (strict > rule)
+    // user 2: ten events in one session → truncated to first 8
+    val rows = Seq(e(1, 1, 0, "A"), e(2, 1, 60, "B"), e(3, 1, 60 + 35 * 60, "C"),
+      e(4, 1, 60 + 35 * 60 + 1800, "D")) ++ // exactly 30 min later: same session
+      (0 until 10).map(i => e(10 + i, 2, i.toLong, s"T$i"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.q187SessionPaths(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A>B" -> 1L, "C>D" -> 1L,
+      "T0>T1>T2>T3>T4>T5>T6>T7" -> 1L), got.toString)
+  }
+
   test("q184 join-view maintenance: assembled deltas equal the one-shot join (redelivery inside)") {
     import spark.implicits._
     val got = DimOps.q184JoinViewMaintenance(spark, sf)
