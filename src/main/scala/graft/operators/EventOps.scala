@@ -620,7 +620,70 @@ object EventOps {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** q188 — NATIVE streaming exact dedup (`dropDuplicatesWithinWatermark`),
+    * batch-oracle replayed: the last built-in stateful operator the
+    * streaming tier hadn't exercised (q172 `session_window`, q169
+    * stream-stream join, q167/T4 custom state). At-least-once delivery
+    * is SIMULATED structurally — the same events table feeds TWO
+    * unioned file-source streams, so every event arrives exactly twice
+    * — and the keyed dedup state must collapse the pair: the read-back
+    * must hash-equal the batch relation's single copy (without the
+    * operator the sink holds 2× rows, so the hash check is the
+    * dedup's proof, not a formality). Watermark 1 h bounds the state
+    * retention window, the semantic difference from plain
+    * `dropDuplicates`: a duplicate arriving LATER than the watermark
+    * horizon is NOT collapsed (by design — bounded state), which is the
+    * documented divergence class and exactly why q160's merge-based
+    * first-wins exists for lake-durable idempotence.
+    *
+    * Scale: one shuffle on event_id into the dedup state store; state
+    * per in-horizon key, watermark-evicted — rate × horizon, never
+    * stream length. Scoped to 8 state partitions (q169's reasoning).
+    */
+  def q188StreamDedupReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawSchema = table(s, d, "events").schema
+    def side(): DataFrame = {
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val tsd = if (rawSchema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+      tsd.filter($"event_id".isNotNull && $"user_id".isNotNull &&
+          $"ts".isNotNull && $"event_type".isNotNull)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+    }
+    val doubled = side().unionByName(side())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val base = s"$wh/graft_sdedup_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, base)
+    graft.streaming.StreamJoin.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      val q = doubled.drop("ts").writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$base/out")
+      .orderBy($"event_id")
+  }
+
+  /** The single-copy batch relation the doubled delivery must collapse to. */
+  val q188Sql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |  AND ts IS NOT NULL AND event_type IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_stream_dedup_replay" -> (q188StreamDedupReplay _),
     "q187_session_paths" -> (q187SessionPaths _),
     "q176_markov_transitions" -> (q176MarkovTransitions _),
     "q173_retention_cohorts" -> (q173RetentionCohorts _),
@@ -638,6 +701,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_stream_dedup_replay" -> q188Sql,
     "q187_session_paths" -> q187Sql,
     "q176_markov_transitions" -> q176Sql,
     "q173_retention_cohorts" -> q173Sql,

@@ -70,4 +70,41 @@ class StreamJoinSpec extends SparkSpec {
     assert(pairs(dir) == Seq((8L, 91L, 92L, 0L)),
       "a behind-watermark purchase must be dropped, not joined")
   }
+
+  test("dropDuplicatesWithinWatermark collapses in-horizon dups; re-emits after eviction (q188 divergence)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    def pass(): Unit = {
+      val q = in.toDF()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/out")
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: event 1 delivered TWICE in-batch plus once next batch —
+    // all within the horizon, one survivor
+    in.addData(ev(1, 1, 0), ev(1, 1, 0))
+    pass()
+    in.addData(ev(1, 1, 0))
+    pass()
+    // advance the watermark far past event 1's eviction horizon
+    in.addData(ev(2, 9, 10 * 60))
+    pass()
+    // redelivery AFTER eviction with a fresh in-horizon timestamp:
+    // state is gone, the row is emitted AGAIN — the bounded-state
+    // semantic that separates this from lake-durable dedup (q160)
+    in.addData(ev(1, 1, 10 * 60))
+    pass()
+    val out = spark.read.parquet(s"$dir/out")
+      .groupBy($"event_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out(9L) == 1L)
+    assert(out(1L) == 2L,
+      s"expected in-horizon dups collapsed (1) + post-eviction re-emit (1): $out")
+  }
 }
