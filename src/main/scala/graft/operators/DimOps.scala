@@ -675,7 +675,85 @@ object DimOps {
       |FROM ev ANTI JOIN erased USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q189 — fact-to-SCD2 POINT-IN-TIME join: the consumption pattern
+    * q168's versioned dimension exists to serve ("what was this
+    * customer's priority tier WHEN this item shipped", not "what is it
+    * now") — the temporal-correctness staple that separates a
+    * versioned warehouse from a keep-last one, and the validity-
+    * INTERVAL sibling of q23's as-of join (both bounds checked:
+    * valid_from ≤ t < valid_to, open versions unbounded above).
+    * Lineitems route through their order to the customer's priority
+    * version in force at ship time; the output aggregates revenue per
+    * as-of tier — any misattributed version moves a revenue cell, so
+    * the hash check audits the temporal predicate, not just row
+    * counts. The dimension here is derived relationally (q168's oracle
+    * window chain) so the operator under test is the JOIN; consuming
+    * the Scd2Writer LAKE through the same predicate is
+    * Scd2WriterSpec/q168 territory.
+    *
+    * Scale: the dim is entity-versioned (few rows per customer), so
+    * the join is an equi join on custkey with the interval predicate
+    * as an in-bucket residual — no range-bucketing needed (q60's
+    * machinery) until version counts per key explode; facts shuffle
+    * once on custkey, dim partial is version-relation-sized.
+    */
+  def q189TemporalDimJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"custkey").orderBy($"ts", $"seq")
+    val chg = orders(s, d)
+      .filter($"o_custkey".isNotNull && $"o_orderpriority".isNotNull &&
+        $"o_orderdate".isNotNull && $"o_orderkey".isNotNull)
+      .select($"o_custkey".as("custkey"), $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("ts"), $"o_orderkey".as("seq"))
+      .withColumn("prev", lag($"priority", 1).over(w))
+      .filter($"prev".isNull || $"priority" =!= $"prev")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"custkey", $"priority", $"valid_from", $"valid_to")
+    val facts = lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_shipdate".isNotNull &&
+        $"l_extendedprice".isNotNull)
+      .join(orders(s, d).select($"o_orderkey", $"o_custkey"), // routing only
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_shipdate", $"l_extendedprice")
+    facts.join(chg, Seq("custkey"))
+      .filter($"valid_from" <= $"l_shipdate" &&
+        ($"valid_to".isNull || $"l_shipdate" < $"valid_to"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"priority")
+  }
+
+  val q189Sql: String =
+    s"""WITH chg AS (
+       |  SELECT custkey, priority, ts AS valid_from,
+       |         LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to
+       |  FROM (
+       |    SELECT custkey, priority, ts, seq,
+       |           LAG(priority) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev
+       |    FROM (SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       |                 o_orderdate AS ts, o_orderkey AS seq
+       |          FROM orders
+       |          WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+       |            AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL))
+       |  WHERE prev IS NULL OR priority <> prev
+       |), facts AS (
+       |  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_extendedprice
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_orderkey IS NOT NULL AND l.l_shipdate IS NOT NULL
+       |    AND l.l_extendedprice IS NOT NULL
+       |)
+       |SELECT c.priority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |       ${graft.functions.Exact.sqlDsum("f.l_extendedprice")} AS revenue
+       |FROM facts f JOIN chg c ON f.custkey = c.custkey
+       | AND c.valid_from <= f.l_shipdate
+       | AND (c.valid_to IS NULL OR f.l_shipdate < c.valid_to)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_temporal_dim_join" -> (q189TemporalDimJoin _),
     "q186_erasure_replay" -> (q186ErasureReplay _),
     "q168_scd2_replay" -> (q168Scd2Replay _),
     "q171_zorder_skipping" -> (q171ZorderSkipping _),
@@ -688,6 +766,7 @@ object DimOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_temporal_dim_join" -> q189Sql,
     "q186_erasure_replay" -> q186Sql,
     "q168_scd2_replay" -> q168Sql,
     "q171_zorder_skipping" -> q171Sql,

@@ -396,6 +396,28 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q189 temporal dim join: items attribute to the version in force at ship time, boundary to the newer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q189").toString
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 00:00:00")
+    // cust 1: priority A from 1995-01-01, B from 1996-01-01 (order 2)
+    Seq((1L, 1L, "O", 10.0, ts("1995-01-01"), "A"),
+      (2L, 1L, "O", 10.0, ts("1996-01-01"), "B"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // items on order 1: ship inside window A, AT the boundary (→ B,
+    // valid_from ≤ t < valid_to), and after (→ B)
+    Seq((1L, 1, ts("1995-06-01"), 100.0),
+      (1L, 2, ts("1996-01-01"), 10.0),
+      (1L, 3, ts("1997-03-01"), 1.0))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = DimOps.q189TemporalDimJoin(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 1L, 100.0), ("B", 2L, 11.0)), got.mkString("; "))
+  }
+
   test("q187 session paths: gap split, in-session order, 8-step truncation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q187").toString
