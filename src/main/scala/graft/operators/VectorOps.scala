@@ -1005,7 +1005,75 @@ object VectorOps {
       |LEFT JOIN lbl l ON l.ck = c.ck
       |ORDER BY p.vec_id""".stripMargin
 
+  /** q190 — EMBEDDING drift audit: q96/q97 detect distribution shift in
+    * scalars; this is the vector-tier counterpart a training pipeline
+    * runs per source/label slice — "has this slice's embedding mass
+    * moved away from the corpus?" — as the squared cosine between the
+    * slice centroid and the global centroid, in exact integer permille.
+    * Squared cosine, not cosine: cos² = (a·b)² / (|a|²·|b|²) needs no
+    * square root — the one operation whose last-bit behavior differs
+    * across engines — so the whole statistic stays in the xsum
+    * discipline: per-dim means are floor-quantized sums, dots/norms are
+    * floor-quantized sums of single-op products, and the final permille
+    * is one floor over an identically-parenthesized expression.
+    *
+    * Scale: two (label|pos)-keyed partial-combine aggregates over the
+    * exploded corpus (d·|labels| cells), then everything runs on the
+    * centroid relation (|labels|·d rows). The global centroid is a
+    * d-row broadcast. No pairwise anything — linear in corpus size,
+    * constant in label count beyond the cell relation.
+    */
+  def q190EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = embeddings(s, d)
+      .filter($"vec_id".isNotNull && $"label".isNotNull)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"label", $"pos", $"v".cast("double").as("v"))
+      .localCheckpoint() // one explode feeds both centroid aggregates
+    val byLabel = cells.groupBy($"label", $"pos")
+      .agg((xsum($"v") / count(lit(1))).as("a"), count(lit(1)).as("n"))
+    val global = cells.groupBy($"pos")
+      .agg((xsum($"v") / count(lit(1))).as("b"))
+    byLabel.join(broadcast(global), Seq("pos"))
+      .groupBy($"label")
+      .agg(xsum($"a" * $"b").as("dot"), xsum($"a" * $"a").as("na"),
+        xsum($"b" * $"b").as("nb"), (max($"n")).as("n_vecs"))
+      .select($"label", $"n_vecs",
+        floor($"dot" * $"dot" * 1000.0 / ($"na" * $"nb")).cast("long")
+          .as("cos2_permille"))
+      .orderBy($"label")
+  }
+
+  val q190Sql: String =
+    """WITH cells AS (
+      |  SELECT label, pos, CAST(v AS DOUBLE) AS v FROM (
+      |    SELECT label, UNNEST(embedding) AS v,
+      |           UNNEST(RANGE(0, LEN(embedding))) AS pos
+      |    FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL)
+      |), by_label AS (
+      |  SELECT label, pos,
+      |         CAST(SUM(CAST(FLOOR(v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10
+      |           / COUNT(*) AS a,
+      |         COUNT(*) AS n
+      |  FROM cells GROUP BY 1, 2
+      |), gcent AS (
+      |  SELECT pos,
+      |         CAST(SUM(CAST(FLOOR(v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10
+      |           / COUNT(*) AS b
+      |  FROM cells GROUP BY 1
+      |), agg AS (
+      |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(FLOOR(a * b * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS dot,
+      |    CAST(SUM(CAST(FLOOR(a * a * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS na,
+      |    CAST(SUM(CAST(FLOOR(b * b * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS nb
+      |  FROM by_label JOIN gcent USING (pos) GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |       CAST(FLOOR(dot * dot * 1000.0 / (na * nb)) AS BIGINT) AS cos2_permille
+      |FROM agg ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_embedding_drift" -> (q190EmbeddingDrift _),
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
     "q42_nearest_centroid" -> (q42NearestCentroid _),
@@ -1021,6 +1089,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_embedding_drift" -> q190Sql,
     "q40_centroids" -> q40Sql,
     "q41_cosine_topk" -> q41Sql,
     "q42_nearest_centroid" -> q42Sql,

@@ -396,6 +396,25 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q190 embedding drift: aligned label scores ~1000 permille, orthogonal-axis labels ~500") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q190").toString
+    // label 0 on the x axis, label 1 on y, label 2 on the diagonal;
+    // global mean = (2/3, 2/3): cos2(l0)=cos2(l1)=1/2, cos2(l2)=1
+    val rows = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 1.0f), 2), (6L, Array(1.0f, 1.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.q190EmbeddingDrift(spark, dir)
+      .select($"label", $"cos2_permille")
+      .as[(Int, Long)].collect().toMap
+    // floor quantization can shave one permille off the exact rationals
+    assert(got(0) >= 499 && got(0) <= 500, got.toString)
+    assert(got(1) >= 499 && got(1) <= 500, got.toString)
+    assert(got(2) >= 999 && got(2) <= 1000, got.toString)
+  }
+
   test("q189 temporal dim join: items attribute to the version in force at ship time, boundary to the newer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q189").toString
