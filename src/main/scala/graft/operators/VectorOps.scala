@@ -1072,7 +1072,90 @@ object VectorOps {
       |       CAST(FLOOR(dot * dot * 1000.0 / (na * nb)) AS BIGINT) AS cos2_permille
       |FROM agg ORDER BY label""".stripMargin
 
+  /** q191 — k-center greedy CORESET selection (farthest-point
+    * traversal, the 2-approximation of Gonzalez'85; the diversity-
+    * driven data-selection family of Sener & Savarese ICLR'18): pick
+    * the min-id seed, then 7 rounds of "select the vector farthest
+    * from its nearest already-selected center" — the anti-SemDeDup:
+    * q88 REMOVES redundancy, this EXTRACTS the most diverse k as a
+    * training/eval coreset, and each selection's max-min distance is
+    * the coverage-radius curve a data buyer reads. Exactly the q55
+    * trajectory discipline: the per-round argmax is a deterministic
+    * total order (distance DESC, vec_id), distances are xsum-quantized
+    * squared L2 (no square root), and the oracle replays the identical
+    * 8-round trajectory as chained CTEs.
+    *
+    * Scale: k passes, each = one broadcast of ONE center's exploded
+    * row against the corpus, a per-vec partial-combine agg, a
+    * TakeOrdered(1), and a running elementwise LEAST against the
+    * maintained min-distance relation (localCheckpoint'd per round —
+    * the q142 iterative-lineage discipline). Driver sees k ids — the
+    * CC-fingerprint bounded-collect rule. Linear in corpus per round,
+    * k rounds total; at real scale k-center++ sampling replaces the
+    * exact argmax, same skeleton.
+    */
+  def q191KCenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val e = exploded(s, d).filter($"vec_id".isNotNull).localCheckpoint()
+    val seed = e.agg(min($"vec_id")).head.getLong(0)
+    var selected = Vector((0L, seed, 0.0))
+    var minDist: DataFrame = null
+    var curId = seed
+    for (r <- 1 until K) {
+      val c = e.filter($"vec_id" === curId).select($"pos", $"v".as("cv"))
+      val dist = e.join(broadcast(c), Seq("pos"))
+        .groupBy($"vec_id")
+        .agg(xsum(($"v" - $"cv") * ($"v" - $"cv")).as("dd"))
+      minDist =
+        (if (minDist == null) dist.select($"vec_id", $"dd".as("mind"))
+         else minDist.join(dist, Seq("vec_id"))
+           .select($"vec_id", least($"mind", $"dd").as("mind")))
+          .localCheckpoint()
+      val top = minDist.orderBy($"mind".desc, $"vec_id").limit(1).head
+      curId = top.getLong(0)
+      selected :+= ((r.toLong, curId, top.getDouble(1)))
+    }
+    selected.toDF("round", "vec_id", "dist_at_selection")
+      .orderBy($"round")
+  }
+
+  /** The same 8-round trajectory as chained CTEs (one dist/min/select
+    * triple per round), generated from the same loop bounds.
+    */
+  val q191Sql: String = {
+    val xd = "CAST(SUM(CAST(FLOOR(((a.v - b.v) * (a.v - b.v)) * 1e10) AS BIGINT)) AS DOUBLE) / 1e10"
+    val rounds = (1 until 8).map { r =>
+      val src = if (r == 1) "(SELECT id FROM s0)" else s"(SELECT vec_id FROM s${r - 1})"
+      val m =
+        if (r == 1) s"m1 AS (SELECT vec_id, dd AS mind FROM d1)"
+        else s"m$r AS (SELECT m${r - 1}.vec_id, LEAST(m${r - 1}.mind, d$r.dd) AS mind " +
+          s"FROM m${r - 1} JOIN d$r USING (vec_id))"
+      s"""d$r AS (
+         |  SELECT a.vec_id, $xd AS dd
+         |  FROM e a JOIN e b ON a.pos = b.pos AND b.vec_id = $src
+         |  GROUP BY 1
+         |), $m, s$r AS (
+         |  SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until 8)
+      .map(r => s"UNION ALL SELECT $r, vec_id, mind FROM s$r").mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, pos, CAST(v AS DOUBLE) AS v FROM (
+       |    SELECT vec_id, UNNEST(embedding) AS v,
+       |           UNNEST(RANGE(0, LEN(embedding))) AS pos
+       |    FROM embeddings WHERE vec_id IS NOT NULL)
+       |), s0 AS (SELECT MIN(vec_id) AS id FROM e),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS round, (SELECT id FROM s0) AS vec_id,
+       |       0.0 AS dist_at_selection
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kcenter_coreset" -> (q191KCenterCoreset _),
     "q190_embedding_drift" -> (q190EmbeddingDrift _),
     "q40_centroids" -> (q40Centroids _),
     "q41_cosine_topk" -> (q41CosineTopk _),
@@ -1089,6 +1172,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_kcenter_coreset" -> q191Sql,
     "q190_embedding_drift" -> q190Sql,
     "q40_centroids" -> q40Sql,
     "q41_cosine_topk" -> q41Sql,

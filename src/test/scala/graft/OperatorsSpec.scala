@@ -396,6 +396,31 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q191 k-center coreset: seed = min id, radius non-increasing, selections distinct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q191").toString
+    // 12 deterministic 2-d points, far corners present
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.5f, 0.5f)), (3L, Array(10f, 0f)),
+      (4L, Array(10f, 10f)), (5L, Array(0f, 10f)), (6L, Array(5f, 5f)),
+      (7L, Array(2f, 8f)), (8L, Array(8f, 2f)), (9L, Array(1f, 1f)),
+      (10L, Array(9f, 9f)), (11L, Array(4f, 1f)), (12L, Array(6f, 9f)))
+    pts.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.q191KCenterCoreset(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 8)
+    assert(got.head == ((0L, 1L, 0.0)), s"seed must be the min id: ${got.head}")
+    assert(got.map(_._2).distinct.length == 8, "selections must be distinct")
+    // the k-center invariant: each round's max-min distance (coverage
+    // radius) never grows
+    val radii = got.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii.mkString(","))
+    // round 1 is the true farthest point from the seed (corner 10,10)
+    assert(got(1)._2 == 4L && got(1)._3 == 200.0, got(1).toString)
+  }
+
   test("q190 embedding drift: aligned label scores ~1000 permille, orthogonal-axis labels ~500") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q190").toString
