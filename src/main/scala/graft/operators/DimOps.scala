@@ -752,7 +752,114 @@ object DimOps {
        | AND (c.valid_to IS NULL OR f.l_shipdate < c.valid_to)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q192 — anti-entropy REPAIR DIFF: q178 answers "are these replicas
+    * equal?"; this answers the operational follow-up — "which slices do
+    * I re-ship?" — by comparing per-(segment, sub-bucket) digests and
+    * emitting only the divergent cells with both sides' counts: the
+    * Merkle-tree-one-level pattern every eventually-consistent store's
+    * repair runs (compare digests, re-sync only differing ranges —
+    * never row-by-row). The "replica" is derived deterministically
+    * inside the query with the three canonical corruption modes: rows
+    * LOST (the min orderkey's), rows ALTERED (the max orderkey's
+    * suppkey shifted), rows DUPLICATED (the second-smallest orderkey's
+    * repeated) — the diff must localize all three to exactly their
+    * buckets and no others, which the hash check proves cell-by-cell.
+    *
+    * Scale: each side is one scan + one partial-combine digest agg to
+    * (|segments| × 64) cells; the diff joins two cell relations. At
+    * 100 TB each replica computes its cell digests where it lives and
+    * ships only cells — divergence localization without data movement;
+    * deeper Merkle levels are the same query over a finer bucket key.
+    */
+  def q192RepairDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val base = lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_linenumber".isNotNull &&
+        $"l_suppkey".isNotNull && $"l_returnflag".isNotNull)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_returnflag")
+      .localCheckpoint() // one scan feeds A, B, and the key bounds
+    val b = base.agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+    val keyed = base.crossJoin(broadcast(b))
+    // replica B: min-key rows lost, max-key rows altered, and the rows
+    // of the smallest key ABOVE min duplicated
+    val second = keyed.filter($"l_orderkey" > $"lo")
+      .agg(min($"l_orderkey")).head.getLong(0)
+    val altered = keyed.filter($"l_orderkey" =!= $"lo")
+      .select($"l_orderkey", $"l_linenumber",
+        when($"l_orderkey" === $"hi", $"l_suppkey" + 1).otherwise($"l_suppkey")
+          .as("l_suppkey"),
+        $"l_returnflag")
+    val replica = altered.unionByName(
+      altered.filter($"l_orderkey" === second))
+    def cells(df: DataFrame, tag: String): DataFrame =
+      df.select($"l_returnflag", ($"l_orderkey" % 64).as("bucket"),
+        call_function("poly_hash", concat_ws("|",
+          $"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_returnflag"))
+          .as("h"))
+        .groupBy($"l_returnflag", $"bucket")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          (sum($"h".cast("decimal(38,0)")) % lit(graft.functions.PolyHash.M))
+            .cast("long").as(s"dig_$tag"))
+    cells(base.select($"l_orderkey", $"l_linenumber", $"l_suppkey",
+        $"l_returnflag"), "a")
+      .join(cells(replica, "b"), Seq("l_returnflag", "bucket"), "full")
+      .filter(!($"dig_a" <=> $"dig_b"))
+      .select($"l_returnflag".as("segment"), $"bucket",
+        coalesce($"n_a", lit(0L)).as("n_a"), coalesce($"n_b", lit(0L)).as("n_b"))
+      .orderBy($"segment", $"bucket")
+  }
+
+  val q192Sql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |    AND l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL
+      |), bounds AS (
+      |  SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+      |         MIN(CASE WHEN l_orderkey > (SELECT MIN(l_orderkey) FROM base)
+      |                  THEN l_orderkey END) AS second
+      |  FROM base
+      |), altered AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CASE WHEN l_orderkey = (SELECT hi FROM bounds)
+      |              THEN l_suppkey + 1 ELSE l_suppkey END AS l_suppkey,
+      |         l_returnflag
+      |  FROM base WHERE l_orderkey <> (SELECT lo FROM bounds)
+      |), replica AS (
+      |  SELECT * FROM altered
+      |  UNION ALL
+      |  SELECT * FROM altered WHERE l_orderkey = (SELECT second FROM bounds)
+      |), ha AS (
+      |  SELECT l_returnflag, l_orderkey % 64 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_a,
+      |    CAST(SUM(list_reduce(list_transform(string_split(
+      |      CONCAT_WS('|', l_orderkey, l_linenumber, l_suppkey, l_returnflag), ''),
+      |      c -> CAST(ord(c) AS BIGINT)),
+      |      (x, y) -> (x * 31 + y) % 9007199254740881)) % 9007199254740881
+      |      AS BIGINT) AS dig_a
+      |  FROM base GROUP BY 1, 2
+      |), hb AS (
+      |  SELECT l_returnflag, l_orderkey % 64 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    CAST(SUM(list_reduce(list_transform(string_split(
+      |      CONCAT_WS('|', l_orderkey, l_linenumber, l_suppkey, l_returnflag), ''),
+      |      c -> CAST(ord(c) AS BIGINT)),
+      |      (x, y) -> (x * 31 + y) % 9007199254740881)) % 9007199254740881
+      |      AS BIGINT) AS dig_b
+      |  FROM replica GROUP BY 1, 2
+      |)
+      |SELECT COALESCE(ha.l_returnflag, hb.l_returnflag) AS segment,
+      |       COALESCE(ha.bucket, hb.bucket) AS bucket,
+      |       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |FROM ha FULL OUTER JOIN hb
+      |  ON ha.l_returnflag = hb.l_returnflag AND ha.bucket = hb.bucket
+      |WHERE dig_a IS DISTINCT FROM dig_b
+      |ORDER BY segment, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_repair_diff" -> (q192RepairDiff _),
     "q189_temporal_dim_join" -> (q189TemporalDimJoin _),
     "q186_erasure_replay" -> (q186ErasureReplay _),
     "q168_scd2_replay" -> (q168Scd2Replay _),
@@ -766,6 +873,7 @@ object DimOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_repair_diff" -> q192Sql,
     "q189_temporal_dim_join" -> q189Sql,
     "q186_erasure_replay" -> q186Sql,
     "q168_scd2_replay" -> q168Sql,

@@ -396,6 +396,25 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q192 repair diff: flags exactly the corrupted keys' buckets, catches equal-count content change") {
+    import spark.implicits._
+    val flagged = DimOps.q192RepairDiff(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter($"l_orderkey".isNotNull)
+    val lo = li.agg(min($"l_orderkey")).head.getLong(0)
+    val hi = li.agg(max($"l_orderkey")).head.getLong(0)
+    val second = li.filter($"l_orderkey" > lo).agg(min($"l_orderkey")).head.getLong(0)
+    val expectBuckets = Set(lo % 64, second % 64, hi % 64)
+    assert(flagged.nonEmpty)
+    assert(flagged.map(_.getAs[Long]("bucket")).toSet == expectBuckets,
+      s"must localize to the corrupted keys' buckets: ${flagged.mkString("; ")}")
+    // the altered-rows bucket diverges with EQUAL counts — the case a
+    // count-only comparison is blind to
+    val hiRows = flagged.filter(_.getAs[Long]("bucket") == hi % 64)
+    assert(hiRows.nonEmpty && hiRows.forall(r =>
+      r.getAs[Long]("n_a") == r.getAs[Long]("n_b")), hiRows.mkString("; "))
+  }
+
   test("q191 k-center coreset: seed = min id, radius non-increasing, selections distinct") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q191").toString
