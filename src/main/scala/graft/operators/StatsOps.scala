@@ -245,15 +245,84 @@ object StatsOps {
       |FROM pm GROUP BY 1, 2
       |ORDER BY event_type, decile""".stripMargin
 
+  /** q193 — WEIGHTED median (lower weighted median: the first value, in
+    * value order, whose cumulative weight reaches half the total): the
+    * class-imbalance-aware center every sampling/pricing pipeline wants
+    * when rows carry multiplicities — here the quantity-weighted median
+    * extended price per return flag ("the price level at which half the
+    * UNITS ship", not half the line items — the two diverge whenever
+    * price correlates with lot size, which the audit shows). q29/q98
+    * own the unweighted quantile surface; weights change the algorithm
+    * (cumulative-weight threshold, not rank), so this is its own
+    * operator. Quantities are integral by data contract (cast-to-long
+    * exactness checked by the hash itself), so the threshold compare
+    * 2·cumw ≥ totw is all-integer; ties in price break by
+    * (orderkey, linenumber) identically in both engines.
+    *
+    * Scale: one shuffle partitions by flag and sorts by value — the
+    * q26 rank-window shape; cumulative and total weights ride the same
+    * sort, the qualifying-row pick is one more window over it.
+    */
+  def q193WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val li = lineitem(s, d)
+      .filter($"l_returnflag".isNotNull && $"l_extendedprice".isNotNull &&
+        $"l_quantity".isNotNull && $"l_orderkey".isNotNull &&
+        $"l_linenumber".isNotNull)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_quantity".cast("long").as("wt"))
+    li.withColumn("cumw",
+        sum($"wt").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("totw",
+        sum($"wt").over(Window.partitionBy($"l_returnflag")))
+      .filter($"cumw" * 2 >= $"totw")
+      .withColumn("rn", row_number().over(ord))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"l_extendedprice".as("weighted_median_price"),
+        $"totw".as("total_units"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q193Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |         CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND l_quantity IS NOT NULL AND l_orderkey IS NOT NULL
+      |    AND l_linenumber IS NOT NULL
+      |), cw AS (
+      |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |    SUM(wt) OVER (PARTITION BY l_returnflag
+      |                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM li
+      |), q AS (
+      |  SELECT l_returnflag, l_extendedprice, totw,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      |  FROM cw WHERE cumw * 2 >= totw
+      |)
+      |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+      |       CAST(totw AS BIGINT) AS total_units
+      |FROM q WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_corr_stats" -> (q77CorrStats _),
     "q98_percentiles" -> (q98Percentiles _),
     "q185_rank_normalize" -> (q185RankNormalize _),
+    "q193_weighted_median" -> (q193WeightedMedian _),
   )
 
   val oracles: Map[String, String] = Map(
     "q77_corr_stats" -> q77Sql,
     "q98_percentiles" -> q98Sql,
     "q185_rank_normalize" -> q185Sql,
+    "q193_weighted_median" -> q193Sql,
   )
 }

@@ -396,6 +396,34 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q193 weighted median: heavy weights pull the median past the unweighted one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q193").toString
+    // prices 1,2,3 with unit weights 1,1,10: unweighted median 2,
+    // weighted median 3 (cumw 1,2,12 vs half-total 6)
+    Seq((1L, 1, 1.0, 1.0, "A"), (2L, 1, 2.0, 1.0, "A"), (3L, 1, 3.0, 10.0, "A"))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = StatsOps.q193WeightedMedian(spark, dir)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 3.0, 12L)), got.mkString("; "))
+  }
+
+  test("q194 table stats: one-scan profile matches direct aggregates") {
+    import spark.implicits._
+    val prof = DimOps.q194TableStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 5)
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(prof("o_orderstatus").getAs[Long]("ndv") == 3L)
+    assert(prof("o_orderstatus").getAs[String]("min_val") == "F")
+    assert(prof("o_orderkey").getAs[Long]("ndv") == o.count())
+    assert(prof.values.forall(_.getAs[Long]("n_nulls") == 0L))
+    assert(prof("o_custkey").getAs[String]("max_val").toLong ==
+      o.agg(max($"o_custkey")).head.getLong(0))
+  }
+
   test("q192 repair diff: flags exactly the corrupted keys' buckets, catches equal-count content change") {
     import spark.implicits._
     val flagged = DimOps.q192RepairDiff(spark, sf).collect()
