@@ -328,11 +328,88 @@ object Drift {
       |  CAST(FLOOR(MAX(sk) * 10000) AS DOUBLE) / 10000.0 AS max_stat_drift
       |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q195 — SEASONALITY-strength audit (variance explained by the
+    * hour-of-day profile): the decomposition-side time-series monitor
+    * next to q177's change-point and q109/q110's smoothing/memory —
+    * "does this metric have a daily rhythm worth modeling?" answered as
+    * an exact permille: 1 − SSE(residual vs hourly means) /
+    * SSE(vs global mean), the R² of the seasonal-naive model. A metric
+    * with no rhythm scores ≈ 0 (this corpus's uniform values do — the
+    * audit says so exactly); a strongly diurnal one scores near 1000,
+    * which DriftSpec plants. Hour-of-day by integer µs arithmetic
+    * (timezone-free, q170's discipline); means davg-quantized; both
+    * SSEs are xsum-style floor-quantized sums of single-op squares —
+    * the whole statistic engine-exact with no square root anywhere.
+    *
+    * Scale: one corpus pass feeds two tiny broadcast aggregates (5
+    * global + 120 hourly cells) and one final partial-combine agg; the
+    * corpus shuffles zero times (aggregates partial-combine, joins are
+    * broadcasts).
+    */
+  def q195SeasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+      .select($"event_type", $"value",
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"))
+      .localCheckpoint() // one scan feeds three aggregates
+    val mu = ev.groupBy($"event_type").agg(Exact.davg($"value").as("mu"))
+    val muH = ev.groupBy($"event_type", $"hod")
+      .agg(Exact.davg($"value").as("mu_h"))
+    ev.join(broadcast(mu), Seq("event_type"))
+      .join(broadcast(muH), Seq("event_type", "hod"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(($"value" - $"mu") * ($"value" - $"mu") * 1e6))
+          .cast("double") / 1e6).as("sse_total"),
+        (sum(floor(($"value" - $"mu_h") * ($"value" - $"mu_h") * 1e6))
+          .cast("double") / 1e6).as("sse_resid"))
+      .select($"event_type", $"n",
+        floor($"sse_total" * 10000).cast("long").as("sse_total_q"),
+        floor($"sse_resid" * 10000).cast("long").as("sse_resid_q"),
+        floor(($"sse_total" - $"sse_resid") * 1000.0 / $"sse_total")
+          .cast("long").as("strength_permille"))
+      .orderBy($"event_type")
+  }
+
+  val q195Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |         (EPOCH_US(ts) // 3600000000) % 24 AS hod
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      |), m AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0
+      |      / COUNT(*) AS mu
+      |  FROM ev GROUP BY 1
+      |), mh AS (
+      |  SELECT event_type, hod,
+      |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS DOUBLE) / 10000.0
+      |      / COUNT(*) AS mu_h
+      |  FROM ev GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR((e.value - m.mu) * (e.value - m.mu) * 1e6) AS BIGINT))
+      |         AS DOUBLE) / 1e6 AS sse_total,
+      |    CAST(SUM(CAST(FLOOR((e.value - mh.mu_h) * (e.value - mh.mu_h) * 1e6) AS BIGINT))
+      |         AS DOUBLE) / 1e6 AS sse_resid
+      |  FROM ev e JOIN m USING (event_type) JOIN mh USING (event_type, hod)
+      |  GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  CAST(FLOOR(sse_total * 10000) AS BIGINT) AS sse_total_q,
+      |  CAST(FLOOR(sse_resid * 10000) AS BIGINT) AS sse_resid_q,
+      |  CAST(FLOOR((sse_total - sse_resid) * 1000.0 / sse_total) AS BIGINT)
+      |    AS strength_permille
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_drift_chi2" -> (q96DriftChi2 _),
     "q97_ks_drift" -> (q97KsDrift _),
     "q99_dq_audit" -> (q99DqAudit _),
     "q177_cusum_changepoint" -> (q177CusumChangepoint _),
+    "q195_seasonality_strength" -> (q195SeasonalityStrength _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +417,6 @@ object Drift {
     "q97_ks_drift" -> q97Sql,
     "q99_dq_audit" -> q99Sql,
     "q177_cusum_changepoint" -> q177Sql,
+    "q195_seasonality_strength" -> q195Sql,
   )
 }

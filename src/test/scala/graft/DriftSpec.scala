@@ -130,6 +130,29 @@ class DriftSpec extends SparkSpec {
     assert(loud.getAs[Long]("first_alarm_event") > 180L)
   }
 
+  test("q195 seasonality strength: perfect diurnal signal scores 1000, constant noise ~0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_season").toString
+    val dayUs = 86400000000L
+    // type 'd': value IS the hour of day (3 full days) → hourly means
+    // explain everything; type 'f': a pure linear TREND over 6 days —
+    // hour-of-day explains almost none of a trend's variance (any
+    // value that repeats with a 24 h period would be seasonal by
+    // construction, the trap the first version of this fixture fell in)
+    val rows = (0 until 72).map { i =>
+      (i.toLong + 1, new java.sql.Timestamp((i.toLong * 3600000000L + 1000L) / 1000L),
+        1L, "d", (i % 24).toDouble, "{}")
+    } ++ (0 until 144).map { i =>
+      (200L + i, new java.sql.Timestamp((i.toLong * 3600000000L + 1000L) / 1000L),
+        1L, "f", i.toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Drift.q195SeasonalityStrength(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("strength_permille")).toMap
+    assert(got("d") == 1000L, got.toString)
+    assert(got("f") <= 100L, got.toString)
+  }
+
   private def ks(df: org.apache.spark.sql.DataFrame): Double = {
     val tot = df.agg(sum($"a").as("na"), sum($"b").as("nb"))
     Drift.cdf2(df).crossJoin(broadcast(tot))
