@@ -682,7 +682,76 @@ object EventOps {
       |  AND ts IS NOT NULL AND event_type IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** q196 — LAST-TOUCH attribution: every purchase credits the
+    * latest click by the same user at or before it, but only within a
+    * 6-hour lookback (marketing's standard attribution window) — the
+    * business query q23's as-of join exists to serve, composed here as
+    * as-of (≤, latest, tie-broken) + window residual (credit expires),
+    * then rolled up to the report: per click-hour-of-day, attributed
+    * purchases, matched purchase count, and total attributed value.
+    * Unattributed purchases (no click within 6 h) roll into the
+    * 'organic' row — attribution reports must account for EVERY
+    * conversion or the channel shares lie; the oracle's correlated
+    * window computes the same latest-click relation independently.
+    *
+    * Scale: [[AsOfJoin.join]]'s single (key, time)-sorted merge pass —
+    * one shuffle on user_id, no range explosion; the residual and
+    * roll-up run on the purchase relation. The same query at candle
+    * scale is the q23 trade-quote shape.
+    */
+  def q196LastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull &&
+        $"event_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_id", $"event_type", $"ts", $"value")
+      .localCheckpoint() // one scan feeds both sides
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"),
+        $"value")
+    AsOfJoin.join(purchases, clicks, "user_id", "user_id", "p_ts", "c_ts",
+        payload = Seq("click_id", "c_ts"), tieBreak = "click_id")
+      .withColumn("attributed",
+        $"asof_c_ts".isNotNull &&
+          expr("unix_micros(p_ts) - unix_micros(asof_c_ts) <= 21600000000L"))
+      .withColumn("bucket",
+        when($"attributed",
+          expr("(unix_micros(asof_c_ts) div 3600000000L) % 24").cast("string"))
+          .otherwise("organic"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Exact.dsum($"value").as("attributed_value"))
+      .orderBy($"bucket")
+  }
+
+  val q196Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, ts, value FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_id IS NOT NULL AND value IS NOT NULL
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+       |  FROM ev WHERE event_type = 'purchase'
+       |), lastc AS (
+       |  SELECT p.purchase_id, p.p_ts, p.value,
+       |    (SELECT c.ts FROM ev c
+       |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |       AND c.ts <= p.p_ts
+       |     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS c_ts
+       |  FROM p
+       |)
+       |SELECT CASE WHEN c_ts IS NOT NULL
+       |              AND EPOCH_US(p_ts) - EPOCH_US(c_ts) <= 21600000000
+       |            THEN CAST((EPOCH_US(c_ts) // 3600000000) % 24 AS VARCHAR)
+       |            ELSE 'organic' END AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |       ${graft.functions.Exact.sqlDsum("value")} AS attributed_value
+       |FROM lastc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_last_touch_attribution" -> (q196LastTouchAttribution _),
     "q188_stream_dedup_replay" -> (q188StreamDedupReplay _),
     "q187_session_paths" -> (q187SessionPaths _),
     "q176_markov_transitions" -> (q176MarkovTransitions _),
@@ -701,6 +770,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_last_touch_attribution" -> q196Sql,
     "q188_stream_dedup_replay" -> q188Sql,
     "q187_session_paths" -> q187Sql,
     "q176_markov_transitions" -> q176Sql,

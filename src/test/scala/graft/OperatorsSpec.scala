@@ -396,6 +396,27 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q196 last-touch attribution: latest in-window click credited, stale and clickless organic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q196").toString
+    val h = 3600000000L // 1h in µs
+    def e(id: Long, u: Long, tpe: String, tUs: Long, v: Double) =
+      (id, new java.sql.Timestamp(tUs / 1000L), u, tpe, v, "{}")
+    val t0 = 1700006400L * 1000000L // hod 0
+    val rows = Seq(
+      e(1, 1, "click", t0 + 2 * h, 0), // hod 2
+      e(2, 1, "click", t0 + 3 * h, 0), // hod 3 — the LATEST before purchase
+      e(3, 1, "purchase", t0 + 4 * h, 10.0), // → credited to hod 3
+      e(4, 2, "click", t0 + 1 * h, 0),
+      e(5, 2, "purchase", t0 + 9 * h, 7.0), // 8h after click → organic
+      e(6, 3, "purchase", t0 + 5 * h, 5.0)) // no click at all → organic
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.q196LastTouchAttribution(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("3", 1L, 10.0), ("organic", 2L, 12.0)), got.mkString("; "))
+  }
+
   test("q193 weighted median: heavy weights pull the median past the unweighted one") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q193").toString
