@@ -312,11 +312,96 @@ object StatsOps {
       |FROM q WHERE rn = 1
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q197 — revenue CONCENTRATION audit (Pareto/Lorenz bands): what
+    * share of revenue the top 1 % / top 10 % of customers carry — the
+    * whale-dependence diagnostic behind every "80/20" claim, and for a
+    * data pipeline the duplicate of q87's domain-cap question asked of
+    * VALUE instead of volume. Customers rank by exact total revenue
+    * (dsum — per-customer revenue is a quantized double, so the DESC
+    * order is engine-identical; custkey tie-break); band cutoffs are
+    * integer ceilings of n/100 and n/10; band revenue re-sums the
+    * quantized per-customer values through DECIMAL so the permille
+    * share is exact.
+    *
+    * Scale: one orders aggregate to the customer relation, one global
+    * sort-rank over customers (q26's distributed-rank rewrites apply
+    * when the entity count demands them), band roll-up on 3 cells.
+    */
+  def q197RevenueConcentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = orders(s, d)
+      .filter($"o_custkey".isNotNull && $"o_totalprice".isNotNull)
+      .select($"o_custkey", $"o_totalprice")
+      .localCheckpoint() // one scan feeds rank, band roll-up, and total
+    val rev = base.groupBy($"o_custkey")
+      .agg(graft.functions.Exact.dsum($"o_totalprice").as("rev"))
+    // customer relation is entity-sized (15 k at sf0.1) - the global
+    // rank is a BoundedWindow in house style (warning-free constant key)
+    val w = BoundedWindow.ordered($"o_custkey", $"rev".desc, $"o_custkey")
+    val banded = rev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(BoundedWindow.all($"o_custkey")))
+      .withColumn("band",
+        when($"rn" * 100 <= $"n" + 99, "a_top1pct")
+          .when($"rn" * 10 <= $"n" + 9, "b_top10pct")
+          .otherwise("c_rest"))
+      .select($"o_custkey", $"band")
+    // band revenue re-derives from ORDER rows, not by re-summing the
+    // quantized per-customer doubles - a second decimal pass over
+    // already-floored doubles is exactly the down-scale-cast divergence
+    // Exact.scala documents (caught by the hash in this query's first
+    // formulation); the per-customer rev exists ONLY to rank
+    val total = base.agg(graft.functions.Exact.dsum($"o_totalprice").as("t"))
+    base.join(banded, Seq("o_custkey"))
+      .groupBy($"band")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        graft.functions.Exact.dsum($"o_totalprice").as("band_revenue"))
+      .crossJoin(broadcast(total))
+      .select($"band", $"n_customers", $"band_revenue",
+        floor($"band_revenue" * 1000.0 / $"t").cast("long")
+          .as("share_permille"))
+      .orderBy($"band")
+  }
+
+  val q197Sql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_totalprice FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      |), rev AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 10000) AS DOUBLE)
+      |      / 10000.0 AS rev
+      |  FROM base GROUP BY 1
+      |), banded AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN rn * 100 <= n + 99 THEN 'a_top1pct'
+      |         WHEN rn * 10 <= n + 9 THEN 'b_top10pct'
+      |         ELSE 'c_rest' END AS band
+      |  FROM (SELECT o_custkey,
+      |          ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+      |          COUNT(*) OVER () AS n
+      |        FROM rev)
+      |), tot AS (
+      |  SELECT CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 10000) AS DOUBLE)
+      |      / 10000.0 AS t
+      |  FROM base
+      |)
+      |SELECT band, CAST(COUNT(DISTINCT b.o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(FLOOR(SUM(CAST(b.o_totalprice AS DECIMAL(38,10))) * 10000) AS DOUBLE)
+      |    / 10000.0 AS band_revenue,
+      |  CAST(FLOOR(
+      |    CAST(FLOOR(SUM(CAST(b.o_totalprice AS DECIMAL(38,10))) * 10000) AS DOUBLE)
+      |      / 10000.0 * 1000.0 / MAX(t)) AS BIGINT) AS share_permille
+      |FROM base b JOIN banded USING (o_custkey), tot
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_corr_stats" -> (q77CorrStats _),
     "q98_percentiles" -> (q98Percentiles _),
     "q185_rank_normalize" -> (q185RankNormalize _),
     "q193_weighted_median" -> (q193WeightedMedian _),
+    "q197_revenue_concentration" -> (q197RevenueConcentration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +409,6 @@ object StatsOps {
     "q98_percentiles" -> q98Sql,
     "q185_rank_normalize" -> q185Sql,
     "q193_weighted_median" -> q193Sql,
+    "q197_revenue_concentration" -> q197Sql,
   )
 }

@@ -396,6 +396,24 @@ class OperatorsSpec extends SparkSpec {
       s"maintained != recomputed (${got.length} vs ${want.length} rows)")
   }
 
+  test("q197 revenue concentration: whale lands alone in the 1% band with the right share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q197").toString
+    val t = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // 100 customers: one whale (1000.0), 99 minnows (10.0 each)
+    val rows = (1L to 100L).map(c =>
+      (c, c, "O", if (c == 1L) 1000.0 else 10.0, t, "1-URGENT"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = StatsOps.q197RevenueConcentration(spark, dir)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // total 1990: whale 1000 → 502‰; next 9 minnows 90 → 45‰; rest 900 → 452‰
+    assert(got == Seq(("a_top1pct", 1L, 1000.0, 502L),
+      ("b_top10pct", 9L, 90.0, 45L),
+      ("c_rest", 90L, 900.0, 452L)), got.mkString("; "))
+  }
+
   test("q196 last-touch attribution: latest in-window click credited, stale and clickless organic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q196").toString
