@@ -63,6 +63,15 @@ object Compactor {
   def compact(spark: SparkSession, path: String, maxFiles: Int = 1,
               maxRecordsPerFile: Long = 5000000L): DataFrame = {
     import spark.implicits._
+    // A manifest lake's data dirs are immutable txns resolved through
+    // the manifest — walking and overwriting them in place would both
+    // read superseded files and corrupt commit visibility. Compaction
+    // there is a replacePartitions-style rewrite; fail loud rather than
+    // guess (round-11 verdict item 2's guard, mirrored from Eraser).
+    require(!ManifestLake.isManifestLake(spark, path),
+      s"Compactor: $path is a manifest lake — in-place dynamic overwrite " +
+        "would bypass the manifest commit protocol; compact manifest lakes " +
+        "by rewriting through ManifestLake.replacePartitions")
     val frag = fragmentation(spark, path)
       .filter { case (part, n, _) => n > maxFiles && part.keySet == Keys.toSet }
     val summary = frag
@@ -73,27 +82,36 @@ object Compactor {
       .toDF("symbol", "interval", "data_type", "exchange", "date",
         "files_before", "bytes")
     if (frag.isEmpty) return summary
-    val touched = summary.select(Keys.map(col): _*)
-    // read through the tracked lake schema (MergeWriter.readLake): with
-    // additive evolution, footer-sampled inference could pick a
-    // pre-evolution file and silently DROP the new column from the
-    // partitions being REWRITTEN — compaction must never change data
-    val affected = MergeWriter.readLake(spark, path)
-      .join(broadcast(touched), Keys, "left_semi")
-      // cut lineage from the path being overwritten (same constraint as
-      // MergeWriter.merge); affected partitions are the fragmented ones
-      // only, so checkpoint storage is bounded by what gets rewritten
-      .localCheckpoint()
-    affected
-      // one shuffle on the partition tuple → one task per partition →
-      // one output file (maxRecordsPerFile splits oversized ones)
-      .repartition(Keys.map(col): _*)
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      .partitionBy(Keys: _*)
-      .parquet(path)
+    // Compaction is precisely the maintenance job that runs concurrently
+    // with live ingest; an unlocked rewrite racing a merge would lose the
+    // merge's rows (read pre-merge state, overwrite post-merge files).
+    // Same serialization discipline as the merge itself (round-11
+    // verdict item 1).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeWriter.withWriterLock(fs, path) {
+      val touched = summary.select(Keys.map(col): _*)
+      // read through the tracked lake schema (MergeWriter.readLake): with
+      // additive evolution, footer-sampled inference could pick a
+      // pre-evolution file and silently DROP the new column from the
+      // partitions being REWRITTEN — compaction must never change data
+      val affected = MergeWriter.readLake(spark, path)
+        .join(broadcast(touched), Keys, "left_semi")
+        // cut lineage from the path being overwritten (same constraint as
+        // MergeWriter.merge); affected partitions are the fragmented ones
+        // only, so checkpoint storage is bounded by what gets rewritten
+        .localCheckpoint()
+      affected
+        // one shuffle on the partition tuple → one task per partition →
+        // one output file (maxRecordsPerFile splits oversized ones)
+        .repartition(Keys.map(col): _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+        .partitionBy(Keys: _*)
+        .parquet(path)
+    }
     summary.orderBy(Keys.map(col): _*)
   }
 
@@ -117,14 +135,30 @@ object Compactor {
                     dimY: String, nFiles: Int): Unit = {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
-    val z = expr(s"z_interleave16(cast(($dimX) as bigint), cast(($dimY) as bigint))")
-    val clustered = spark.read.parquet(path)
-      .withColumn("__z", z)
-      // lineage cut: the write below overwrites the path being read
-      .localCheckpoint()
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    clustered.write.mode(SaveMode.Overwrite).parquet(path)
+    require(!ManifestLake.isManifestLake(spark, path),
+      s"Compactor: $path is a manifest lake — zOrderRewrite's in-place " +
+        "overwrite would bypass the manifest commit protocol")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same writer-serialization as compact(): a clustering rewrite racing
+    // a merge would overwrite the merge's rows with pre-merge state
+    MergeWriter.withWriterLock(fs, path) {
+      val z = expr(s"z_interleave16(cast(($dimX) as bigint), cast(($dimY) as bigint))")
+      // read through the tracked schema when a sidecar exists — rewriting
+      // a schema-evolved dataset from footer-sampled inference could drop
+      // the evolved column from the ENTIRE rewritten output
+      val base = MergeWriter.storedSchema(spark, path) match {
+        case Some(sc) => spark.read.schema(sc).parquet(path)
+        case None     => spark.read.parquet(path)
+      }
+      val clustered = base
+        .withColumn("__z", z)
+        // lineage cut: the write below overwrites the path being read
+        .localCheckpoint()
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      clustered.write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 }

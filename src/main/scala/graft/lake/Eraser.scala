@@ -15,8 +15,23 @@ import org.apache.spark.sql.functions._
   * buckets' partitions statically: untouched partitions are NOT read,
   * NOT rewritten, and their files stay byte-identical (EraserSpec pins
   * that on real files). Inside a touched partition the surviving rows
-  * are `left_anti` the erasure list and dynamic overwrite replaces just
-  * that directory.
+  * are `left_anti` the erasure list.
+  *
+  * Write-serialization (round-11 verdict item 1): erasure is a
+  * read-rewrite cycle over shared lake paths, so it takes the SAME
+  * discipline as the merge it races. On a lock-path lake the whole
+  * cycle runs under [[MergeWriter.withWriterLock]] — a merge that read
+  * pre-erasure rows can no longer overwrite them back AFTER the
+  * erasure (the resurrection failure a GDPR verb cannot have; the
+  * reference serializes its write phases for the same reason,
+  * crypto_collector.py:754–769). On a manifest lake the rewrite is a
+  * [[ManifestLake.replacePartitions]] commit: survivors land in a
+  * private txn directory and ONE atomic manifest create both publishes
+  * them and un-references the erased files, so erase × merge is
+  * totally ordered by the version chain and the loser of any race
+  * fails loud. Reads go through the tracked lake schema
+  * ([[MergeWriter.readLake]] semantics) — footer-sampling an evolved
+  * lake could silently drop the new column from every rewritten bucket.
   *
   * Scale: cost is O(touched partitions' data), not lake size — with B
   * buckets an erasure list of any size touches at most B partitions,
@@ -28,6 +43,12 @@ import org.apache.spark.sql.functions._
   * overwrite a path its read plan references — the MergeWriter lesson).
   */
 object Eraser {
+
+  /** Test failpoint: runs after the erasure computed its survivors and
+    * before the rewrite lands — the window a racing merge would need to
+    * resurrect erased rows. Production leaves the no-op.
+    */
+  @volatile private[graft] var beforeRewriteHook: () => Unit = () => ()
 
   /** Remove every row of `lake` whose `keyCol` appears in `ids`
     * (a one-column DataFrame named `keyCol`); returns per-bucket
@@ -43,32 +64,82 @@ object Eraser {
     val touched = eraseIds
       .select(pmod(hash(col(keyCol)), lit(buckets)).cast("string").as("bucket"))
       .distinct().as[String].collect().toSeq // bounded by `buckets`
-    val affected = spark.read.parquet(lake)
-      // partition-column inference types all-digit bucket values as int;
-      // normalize to the writer's string so the prune and the rewrite
-      // round-trip the directory names exactly
-      .withColumn("bucket", col("bucket").cast("string"))
-      .filter($"bucket".isin(touched: _*))
+
+    if (ManifestLake.isManifestLake(spark, lake))
+      return eraseManifest(spark, lake, keyCol, eraseIds, touched)
+
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeWriter.withWriterLock(fs, lake) {
+      // read through the tracked schema (additive evolution: a
+      // footer-sampled inference could pick a pre-evolution file and the
+      // rewrite would drop the evolved column from every touched bucket)
+      val lakeDf = MergeWriter.storedSchema(spark, lake) match {
+        case Some(sc) => spark.read.schema(sc).parquet(lake)
+        case None     => spark.read.parquet(lake)
+      }
+      val affected = lakeDf
+        // partition-column inference types all-digit bucket values as int;
+        // normalize to the writer's string so the prune and the rewrite
+        // round-trip the directory names exactly
+        .withColumn("bucket", col("bucket").cast("string"))
+        .filter($"bucket".isin(touched: _*))
+        .localCheckpoint()
+      val before = affected.groupBy($"bucket").agg(count(lit(1)).as("n_before"))
+      val surviving = affected.join(eraseIds, Seq(keyCol), "left_anti")
+        .localCheckpoint() // materialize before overwriting what it read
+      beforeRewriteHook()
+      surviving.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(lake)
+      // Dynamic overwrite only replaces partitions the write PRODUCES; a
+      // touched bucket whose every row was erased produces nothing and
+      // would silently keep its old files — the one failure mode an
+      // erasure verb cannot have. Remove such directories explicitly.
+      val survivingBuckets = surviving.select($"bucket").distinct()
+        .as[String].collect().toSet
+      touched.filterNot(survivingBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(lake, s"bucket=$b"), true)
+      }
+      stats(surviving, before)
+    }
+  }
+
+  /** Manifest-lake erasure: read ONLY the touched buckets' committed
+    * partitions (manifest-resolved — a plain `spark.read.parquet` here
+    * would sweep superseded txn files in), anti-join, and publish the
+    * survivors through one [[ManifestLake.replacePartitions]] commit. A
+    * fully-erased bucket simply leaves the manifest; its files become
+    * unreferenced garbage for [[ManifestLake.vacuum]] — note erased
+    * BYTES linger until a vacuum with the deployment's retention runs,
+    * the same two-step every immutable-file table format has (DELETE
+    * then VACUUM for physical reclamation).
+    */
+  private def eraseManifest(spark: SparkSession, lake: String, keyCol: String,
+                            eraseIds: DataFrame, touched: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val entries = ManifestLake.currentEntries(spark, lake)
+    val touchedRels = touched.map(b => s"bucket=$b").toSet
+    val present = entries.view.filterKeys(touchedRels).toSeq.sortBy(_._1)
+    val affected = present
+      .map { case (rel, txn) => ManifestLake.readEntry(spark, lake, rel, txn) }
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(return spark.emptyDataset[(String, Long)]
+        .toDF("bucket", "rows_removed"))
       .localCheckpoint()
     val before = affected.groupBy($"bucket").agg(count(lit(1)).as("n_before"))
     val surviving = affected.join(eraseIds, Seq(keyCol), "left_anti")
-      .localCheckpoint() // materialize before overwriting what it read
-    surviving.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(lake)
-    // Dynamic overwrite only replaces partitions the write PRODUCES; a
-    // touched bucket whose every row was erased produces nothing and
-    // would silently keep its old files — the one failure mode an
-    // erasure verb cannot have. Remove such directories explicitly.
-    val survivingBuckets = surviving.select($"bucket").distinct()
-      .as[String].collect().toSet
-    val fs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(survivingBuckets).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(lake, s"bucket=$b"), true)
-    }
-    surviving.groupBy($"bucket").agg(count(lit(1)).as("n_after"))
+      .localCheckpoint()
+    beforeRewriteHook()
+    ManifestLake.replacePartitions(spark, lake, present.map(_._1).toSet,
+      surviving, Seq("bucket"))
+    stats(surviving, before)
+  }
+
+  private def stats(surviving: DataFrame, before: DataFrame): DataFrame = {
+    surviving.groupBy(col("bucket")).agg(count(lit(1)).as("n_after"))
       .join(before, Seq("bucket"), "right") // a fully-erased bucket keeps its row
-      .select($"bucket", ($"n_before" - coalesce($"n_after", lit(0L))).as("rows_removed"))
+      .select(col("bucket"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("rows_removed"))
   }
 }

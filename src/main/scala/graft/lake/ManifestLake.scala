@@ -19,16 +19,19 @@ import graft.operators.KeepLast
   *
   * Layout:
   * {{{
-  *   <path>/data/txn-<v>/<k1=v1>/…/<kN=vN>/part-*.parquet   — immutable
-  *   <path>/_manifest/m<v>.txt    — "partitionRelPath \t txnId" lines
+  *   <path>/data/txn-<v>-<token>/<k1=v1>/…/<kN=vN>/part-*.parquet  — immutable
+  *   <path>/_manifest/m<v>.txt    — "#tag=…" header? + "partitionRelPath \t txnDir" lines
   * }}}
   * The CURRENT state is the highest-numbered manifest. A merge writes
-  * its output partitions into a fresh `txn-<v+1>` directory (invisible:
-  * nothing references it), then commits by creating `m<v+1>.txt` with
-  * `overwrite = false` — one atomic create. Crash before the commit ⇒
-  * readers still resolve m<v>, the torn txn directory is unreferenced
-  * garbage (reclaimed by [[vacuum]] or overwritten by the next merge's
-  * retry). Two concurrent writers ⇒ exactly one `m<v+1>` create
+  * its output partitions into a fresh `txn-<v+1>-<token>` directory
+  * (invisible: nothing references it; the random token makes the
+  * directory PRIVATE to its writer — two writers racing from the same
+  * resolved version write to DIFFERENT directories, so the loser's
+  * data can never alias into the winner's committed manifest), then
+  * commits by creating `m<v+1>.txt` with `overwrite = false` — one
+  * atomic create. Crash before the commit ⇒ readers still resolve
+  * m<v>, the torn txn directory is unreferenced garbage (reclaimed by
+  * [[vacuum]]). Two concurrent writers ⇒ exactly one `m<v+1>` create
   * succeeds; the loser fails LOUD with nothing corrupted — optimistic
   * concurrency rather than an advisory lock. (On S3, conditional PUT /
   * If-None-Match gives the same primitive; older object stores should
@@ -42,6 +45,23 @@ import graft.operators.KeepLast
   * some stores) and no partition-type inference surprises. Partition
   * pruning is intrinsic: a filtered read opens only matching entries.
   *
+  * Exactly-once for streaming sinks: a merge may carry a `commitTag`
+  * (the foreachBatch batchId), recorded as a `#tag=` header line INSIDE
+  * the committed manifest — atomic with the commit itself, so there is
+  * no window where data is visible but the tag is not (or vice versa).
+  * A redelivered batch finds its tag among the committed manifests and
+  * becomes a NO-OP commit instead of a duplicate version
+  * (at-least-once delivery → exactly-once lake effect, without relying
+  * on the dedup's idempotence and without version-number churn).
+  *
+  * Schema evolution matches the lock path's contract
+  * ([[MergeWriter.evolveSchema]]): new nullable columns are accepted
+  * and tracked in the same `_graft_schema.json` sidecar; a TYPE change
+  * to an existing column is rejected loudly BEFORE any data is
+  * written. Mixed-version reads align by name
+  * (`unionByName(allowMissingColumns)`), so partitions committed
+  * before the new column surface it as null.
+  *
   * Scale: the manifest is one small line-per-partition file (a 100 TB
   * candle lake is ~10^4–10^5 partitions — kilobytes to a few MB); each
   * merge reads only the touched partitions' directories (batch-bounded)
@@ -52,7 +72,7 @@ import graft.operators.KeepLast
   * Activation: set `spark.graft.lake.commit=manifest` for new lakes;
   * an existing manifest lake self-describes by layout and is always
   * written/read through this protocol regardless of the conf (a plain
-  * dynamic-overwrite write into it would bypass visibility).
+  * dynamic-overwrite write into it would bypass commit visibility).
   */
 object ManifestLake {
 
@@ -84,15 +104,39 @@ object ManifestLake {
     }.foldLeft(0L)(math.max)
   }
 
-  /** partitionRelPath → txnId, from manifest version `v`. */
-  private def readManifest(fs: FileSystem, path: String, v: Long): Map[String, Long] = {
+  private def manifestText(fs: FileSystem, mPath: Path): String = {
+    val in = fs.open(mPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** partitionRelPath → txn DIRECTORY NAME, from manifest version `v`.
+    * Header lines (`#…`) carry commit metadata and are skipped. Legacy
+    * numeric txn values (pre-token manifests stored the version number)
+    * normalize to their `txn-<n>` directory.
+    */
+  private def readManifest(fs: FileSystem, path: String, v: Long): Map[String, String] = {
     if (v == 0L) return Map.empty
-    val in = fs.open(new Path(manifestDir(path), s"m$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map { line =>
+    val txt = manifestText(fs, new Path(manifestDir(path), s"m$v.txt"))
+    txt.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(rel, txn) = line.split("\t", 2)
-      rel -> txn.toLong
+      rel -> (if (txn.startsWith("txn-")) txn else s"txn-$txn")
     }.toMap
+  }
+
+  /** Every `#tag=` header committed in any surviving manifest — the
+    * redelivery ledger. One small read per manifest file; [[vacuum]]'s
+    * retention bounds how many survive, and a redelivered streaming
+    * batch always lands within the retained horizon (it is the batch
+    * IMMEDIATELY before the crash).
+    */
+  private def committedTags(fs: FileSystem, path: String): Set[String] = {
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).map(_.getPath).collect {
+      case p if ManifestName.findFirstIn(p.getName).isDefined =>
+        manifestText(fs, p).linesIterator
+          .filter(_.startsWith("#tag=")).map(_.stripPrefix("#tag=")).toSeq
+    }.flatten.toSet
   }
 
   // Partition values must round-trip through directory names without
@@ -114,8 +158,8 @@ object ManifestLake {
     * as string literals from the manifest entry (no dir inference).
     */
   private def readPartition(spark: SparkSession, path: String,
-                            rel: String, txn: Long): DataFrame = {
-    val df = spark.read.parquet(s"$path/data/txn-$txn/$rel")
+                            rel: String, txnDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/data/$txnDir/$rel")
     parseRel(rel).foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 
@@ -133,35 +177,104 @@ object ManifestLake {
     * manifests make this free — resolving an older manifest opens the
     * txn directories it referenced, which no later merge ever mutated
     * (they are only ever superseded, and reclaimed by [[vacuum]], whose
-    * scaladoc carries the snapshot-reader grace-period caveat). This is
-    * the audit/reproducibility primitive every table format exposes:
-    * "which rows did the model see" is answerable after the fact by
-    * version number (q175 proves snapshot ≡ the data delivered by the
-    * first k merges, hash-exactly).
+    * `retainVersions` knob is what guarantees a snapshot reader its
+    * horizon). This is the audit/reproducibility primitive every table
+    * format exposes: "which rows did the model see" is answerable after
+    * the fact by version number (q175 proves snapshot ≡ the data
+    * delivered by the first k merges, hash-exactly).
     */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val fs = fsFor(spark, path)
     val cur = currentVersion(fs, path)
     require(version >= 1 && version <= cur,
       s"ManifestLake: version $version not committed at $path (current $cur)")
+    require(fs.exists(new Path(manifestDir(path), s"m$version.txt")),
+      s"ManifestLake: manifest m$version.txt at $path was vacuumed — " +
+        "raise vacuum's retainVersions for snapshot readers")
     val entries = readManifest(fs, path, version)
-    require(entries.nonEmpty, s"ManifestLake: no committed manifest at $path")
+    if (entries.isEmpty) {
+      // a COMMITTED empty state (e.g. an erasure removed every row of
+      // every partition) reads as an empty relation with the tracked
+      // schema — only a lake with no schema history at all is an error
+      val schema = MergeWriter.readStoredSchema(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"ManifestLake: empty committed state at $path and no tracked " +
+            "schema sidecar — nothing was ever merged"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     entries.toSeq.sortBy(_._1)
       .map { case (rel, txn) => readPartition(spark, path, rel, txn) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Atomically commit manifest version `v + 1` with `entries`, carrying
+    * `tag` as a header. ONE create(overwrite=false) — the CAS the whole
+    * protocol rests on. Throws loud on a lost race; the caller's data
+    * directory is private (token-named), so nothing is corrupted.
+    */
+  private def commitManifest(fs: FileSystem, path: String, v: Long,
+                             entries: Map[String, String], tag: Option[String]): Unit = {
+    val header = tag.map(t => s"#tag=$t\n").getOrElse("")
+    val body = entries.toSeq.sorted.map { case (rel, txn) => s"$rel\t$txn" }
+    val lines = header + (if (body.isEmpty) "" else body.mkString("", "\n", "\n"))
+    val mPath = new Path(manifestDir(path), s"m${v + 1}.txt")
+    fs.mkdirs(manifestDir(path))
+    val out =
+      try fs.create(mPath, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"ManifestLake: commit conflict — $mPath already exists (a concurrent " +
+            "writer committed first). Nothing was corrupted; re-run the merge " +
+            "against the new current version.", e)
+      }
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** A fresh, writer-private txn directory name for version `v + 1`.
+    * The random token is the concurrent-writer defense: two merges that
+    * both resolved version v write into DIFFERENT directories, so the
+    * commit-race loser's files can never alias into (or delete from)
+    * the winner's referenced paths.
+    */
+  private def newTxnDirName(v: Long): String =
+    s"txn-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Keyed merge with manifest commit — same semantics as the lock
     * path's mergeKeyed (affected-partition read → union → explicit-order
     * dedup → replace touched partitions), different durability story:
     * the replace is a new immutable txn directory plus one atomic
     * manifest create, so a torn merge is INVISIBLE to readers and a
-    * concurrent writer loses the commit race loudly.
+    * concurrent writer loses the commit race loudly. `commitTag` makes
+    * redelivery a no-op (see object doc); schema evolution follows the
+    * lock path's additive-only contract.
     */
   private[graft] def mergeKeyed(spark: SparkSession, tagged: DataFrame, path: String,
                                 keys: Seq[String], dedupKeys: Seq[org.apache.spark.sql.Column],
-                                order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+                                order: Seq[org.apache.spark.sql.Column],
+                                commitTag: Option[String] = None): DataFrame = {
     val fs = fsFor(spark, path)
+    commitTag.foreach { t =>
+      if (committedTags(fs, path).contains(t)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ManifestLake: commit tag '$t' already committed at $path — " +
+            "redelivered batch, no-op")
+        // still CONSUME every partition of the batch: inside foreachBatch
+        // the upstream stateful operators (e.g. dropDuplicatesWithinWatermark)
+        // only commit their per-partition state stores when the batch is
+        // fully processed — an early return would fail Spark's
+        // state-store commit validation on the redelivered epoch
+        tagged.write.format("noop").mode("overwrite").save()
+        return tagged
+      }
+    }
+    // additive-only schema evolution, validated BEFORE any data write:
+    // same contract (and same sidecar) as the lock path — a type change
+    // is a loud reject, a new column evolves the tracked schema
+    val lakeSchema = MergeWriter.readStoredSchema(fs, path) match {
+      case Some(stored) => MergeWriter.evolveSchema(stored, tagged.schema)
+      case None => org.apache.spark.sql.types.StructType(
+        tagged.schema.fields.map(_.copy(nullable = true)))
+    }
     val v = currentVersion(fs, path)
     val manifest = readManifest(fs, path, v)
     val touched = tagged.select(keys.map(col): _*).distinct().collect().map { r =>
@@ -186,10 +299,8 @@ object ManifestLake {
     }
     val deduped = KeepLast.dedup(combined, dedupKeys, order)
 
-    // a txn directory for v+1 can only pre-exist as a previous torn
-    // attempt's garbage (m<v+1> does not exist, or v would be higher);
-    // Overwrite reclaims it
-    val txnDir = s"$path/data/txn-${v + 1}"
+    val txnName = newTxnDirName(v)
+    val txnDir = s"$path/data/$txnName"
     deduped.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
 
     beforeCommitHook()
@@ -197,55 +308,87 @@ object ManifestLake {
     // remap every touched partition to the new txn; new partitions are
     // whatever the write actually produced under txnDir
     val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))
-    val next = manifest -- touched ++ written.map(_ -> (v + 1)).toMap
-    val lines = next.toSeq.sorted.map { case (rel, txn) => s"$rel\t$txn" }
-      .mkString("", "\n", "\n")
-    val mPath = new Path(manifestDir(path), s"m${v + 1}.txt")
-    fs.mkdirs(manifestDir(path))
-    val out =
-      try fs.create(mPath, /* overwrite = */ false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"ManifestLake: commit conflict — $mPath already exists (a concurrent " +
-            "writer committed first). Nothing was corrupted; re-run the merge " +
-            "against the new current version.", e)
-      }
-    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    val next = manifest -- touched ++ written.map(_ -> txnName).toMap
+    commitManifest(fs, path, v, next, commitTag)
+    // advance the tracked schema only after the commit succeeded — a
+    // lost race or torn merge leaves the OLD sidecar, matching the
+    // still-current manifest
+    MergeWriter.writeStoredSchema(fs, path, lakeSchema)
     deduped
   }
 
-  /** Recursively collect `k=v/…` leaf partition rel-paths under `dir`. */
-  private def leafPartitions(fs: FileSystem, dir: Path, root: Path): Seq[String] = {
-    val children = fs.listStatus(dir)
-    val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    if (subdirs.isEmpty) {
-      if (children.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
-        Seq(dir.toString.stripPrefix(fs.makeQualified(root).toString).stripPrefix("/"))
-      else Seq.empty
-    } else subdirs.flatMap(s => leafPartitions(fs, s.getPath, root)).toSeq
-  }
-
-  /** Reclaim unreferenced storage: txn directories no current manifest
-    * entry points into, partition dirs inside referenced txns that the
-    * manifest has since remapped elsewhere, and superseded manifest
-    * files. Safe with respect to the commit protocol (nothing reachable
-    * from the current manifest is touched); a reader still resolving a
-    * SUPERSEDED manifest version races this the same way every table
-    * format's vacuum races time-travel readers — run it with a grace
-    * period in deployments that snapshot-read.
+  /** Replace the CONTENT of `touchedRels` partitions with `replacement`
+    * (partitioned by `keys`) in one manifest commit — the primitive
+    * behind rewriting verbs that REMOVE rows ([[Eraser]]) rather than
+    * merge them. A touched partition absent from the replacement output
+    * is dropped from the manifest entirely (the fully-erased case —
+    * no directory deletion dance, the files just stop being referenced
+    * and [[vacuum]] reclaims them). Untouched entries are carried
+    * verbatim. Same commit CAS, same private txn directory, so it
+    * serializes against concurrent merges optimistically: whichever
+    * commits second fails loud and retries against the new state —
+    * a merge can never resurrect rows an erasure removed, because the
+    * two commits are totally ordered by the manifest version chain.
     */
-  def vacuum(spark: SparkSession, path: String): Long = {
+  private[lake] def replacePartitions(spark: SparkSession, path: String,
+                                      touchedRels: Set[String], replacement: DataFrame,
+                                      keys: Seq[String]): Unit = {
     val fs = fsFor(spark, path)
     val v = currentVersion(fs, path)
     val manifest = readManifest(fs, path, v)
+    val txnName = newTxnDirName(v)
+    val txnDir = s"$path/data/$txnName"
+    replacement.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
+    beforeCommitHook()
+    val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))
+    val next = manifest -- touchedRels ++ written.map(_ -> txnName).toMap
+    commitManifest(fs, path, v, next, None)
+  }
+
+  /** The current manifest's (relPath → txnDir) entries — bounded by
+    * partition count; rewriting verbs use it to resolve which committed
+    * partitions a predicate touches.
+    */
+  private[lake] def currentEntries(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsFor(spark, path)
+    readManifest(fs, path, currentVersion(fs, path))
+  }
+
+  /** Read one committed partition by its manifest entry. */
+  private[lake] def readEntry(spark: SparkSession, path: String,
+                              rel: String, txnDir: String): DataFrame =
+    readPartition(spark, path, rel, txnDir)
+
+  /** Reclaim unreferenced storage, RETAINING the newest `retainVersions`
+    * committed manifests and every txn directory / partition they
+    * reference — the grace mechanism a time-travel reader ([[readAt]],
+    * q175) needs: a snapshot within the retained horizon survives any
+    * number of vacuums; one past it fails LOUD at resolve time (the
+    * manifest file is gone) instead of silently reading half-reclaimed
+    * data. `retainVersions = 1` (the default) keeps only the current
+    * state — the storage-minimal mode for lakes nobody snapshot-reads.
+    * Removed: txn dirs no retained manifest points into, partition dirs
+    * inside referenced txns that every retained manifest has remapped
+    * elsewhere, and manifests older than the horizon.
+    */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Long = {
+    require(retainVersions >= 1, "vacuum must retain at least the current version")
+    val fs = fsFor(spark, path)
+    val v = currentVersion(fs, path)
+    val retained = ((v - retainVersions + 1) max 1L) to v
     var removed = 0L
-    val live: Map[Long, Set[String]] =
-      manifest.groupBy(_._2).map { case (txn, m) => txn -> m.keySet }
+    // union of live references across every retained manifest (a
+    // mid-range version already reclaimed by an earlier, tighter vacuum
+    // contributes nothing rather than failing the sweep)
+    val live: Map[String, Set[String]] = retained
+      .filter(rv => fs.exists(new Path(manifestDir(path), s"m$rv.txt")))
+      .flatMap(rv => readManifest(fs, path, rv).toSeq)
+      .groupBy { case (_, txn) => txn }
+      .map { case (txn, m) => txn -> m.map(_._1).toSet }
     val dd = dataDir(path)
     if (fs.exists(dd)) fs.listStatus(dd).foreach { s =>
       val name = s.getPath.getName
-      val txn = if (name.startsWith("txn-")) name.stripPrefix("txn-").toLong else -1L
-      live.get(txn) match {
+      live.get(name) match {
         case None =>
           if (fs.delete(s.getPath, true)) removed += 1
         case Some(refs) =>
@@ -258,11 +401,22 @@ object ManifestLake {
     val md = manifestDir(path)
     if (fs.exists(md)) fs.listStatus(md).foreach { s =>
       s.getPath.getName match {
-        case ManifestName(mv) if mv.toLong < v =>
+        case ManifestName(mv) if mv.toLong < retained.head =>
           if (fs.delete(s.getPath, false)) removed += 1
         case _ => ()
       }
     }
     removed
+  }
+
+  /** Recursively collect `k=v/…` leaf partition rel-paths under `dir`. */
+  private def leafPartitions(fs: FileSystem, dir: Path, root: Path): Seq[String] = {
+    val children = fs.listStatus(dir)
+    val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (subdirs.isEmpty) {
+      if (children.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        Seq(dir.toString.stripPrefix(fs.makeQualified(root).toString).stripPrefix("/"))
+      else Seq.empty
+    } else subdirs.flatMap(s => leafPartitions(fs, s.getPath, root)).toSeq
   }
 }

@@ -59,8 +59,8 @@ object MergeWriter {
     * where a torn merge is invisible to readers and the race shrinks
     * to one conditional metadata PUT.)
     */
-  private def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
-                                path: String)(body: => A): A = {
+  private[lake] def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(path + ".__writer_lock")
     val out =
       try fs.create(lock, /* overwrite = */ false)
@@ -114,8 +114,8 @@ object MergeWriter {
     readStoredSchema(fs, path)
   }
 
-  private def readStoredSchema(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String): Option[org.apache.spark.sql.types.StructType] = {
+  private[lake] def readStoredSchema(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String): Option[org.apache.spark.sql.types.StructType] = {
     val f = schemaSidecar(path)
     if (!fs.exists(f)) None
     else {
@@ -126,8 +126,8 @@ object MergeWriter {
     }
   }
 
-  private def writeStoredSchema(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                                schema: org.apache.spark.sql.types.StructType): Unit = {
+  private[lake] def writeStoredSchema(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                                      schema: org.apache.spark.sql.types.StructType): Unit = {
     val target = schemaSidecar(path)
     val tmp = new org.apache.hadoop.fs.Path(path, "_graft_schema.json.tmp")
     val out = fs.create(tmp, true)
@@ -219,14 +219,19 @@ object MergeWriter {
     */
   private[graft] def mergeKeyed(spark: SparkSession, tagged: DataFrame, path: String,
                                 keys: Seq[String], dedupKeys: Seq[org.apache.spark.sql.Column],
-                                order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+                                order: Seq[org.apache.spark.sql.Column],
+                                commitTag: Option[String] = None): DataFrame = {
     // Object-store deployments opt into the manifest-pointer commit
     // (`spark.graft.lake.commit=manifest`); an existing manifest lake
     // self-describes by layout and must ALWAYS go through the protocol —
     // a dynamic-overwrite write into it would bypass commit visibility.
+    // `commitTag` (a streaming sink's batchId) is recorded in the
+    // manifest commit so a redelivered batch no-ops; the lock path
+    // ignores it — there, redelivery idempotence comes from the keyed
+    // dedup absorbing identical rows.
     if (ManifestLake.isManifestLake(spark, path) ||
         spark.conf.getOption("spark.graft.lake.commit").contains("manifest"))
-      return ManifestLake.mergeKeyed(spark, tagged, path, keys, dedupKeys, order)
+      return ManifestLake.mergeKeyed(spark, tagged, path, keys, dedupKeys, order, commitTag)
     // Scheme-aware existence check: java.io.File is silently false for
     // hdfs:///s3a:// paths, which would blind-overwrite a remote lake.
     val hPath = new org.apache.hadoop.fs.Path(path)

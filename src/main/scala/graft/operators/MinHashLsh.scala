@@ -283,12 +283,20 @@ object MinHashLsh {
       .agg(call_function("collect_capped", $"doc_id", lit(100)).as("ids"))
       .filter(size($"ids") >= 2)
     val inCand = pairsFromBuckets(buckets).select($"a", $"b".as("d"))
-    // cross-batch candidates: probe the survivors' band index
+    // cross-batch candidates: probe the survivors' band index. The
+    // self-pair filter is the redelivery defense (round-11 advice): if a
+    // crash landed this batch's own delta in the state before the epoch
+    // committed, the re-run's docs match THEMSELVES at Jaccard 1 and
+    // every prior survivor would be flagged dropped — overwriting the
+    // batchId-keyed delta with an empty one and permanently losing the
+    // state (loadGateState also excludes the replaying batch's delta;
+    // this guard keeps the operator safe for any caller).
     val cand = state match {
       case Some(st) =>
         val cross = batchBands
           .join(st.bands.select($"band", $"band_sig", $"doc_id".as("a")),
             Seq("band", "band_sig"))
+          .filter($"a" =!= $"doc_id")
           .select($"a", $"doc_id".as("d")).distinct()
         inCand.unionByName(cross)
       case None => inCand

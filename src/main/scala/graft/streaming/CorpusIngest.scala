@@ -115,7 +115,22 @@ object CorpusIngest {
                         stateDir: String, checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
                         watermarkDelay: String = "1 hour",
-                        minQuality: Double = 0.25): StreamingQuery = {
+                        minQuality: Double = 0.25): StreamingQuery =
+    startNearDupGated(spark, docs, lakePath, stateDir, checkpoint, trigger,
+      watermarkDelay, minQuality, _ => ())
+
+  /** Test seam, mirroring [[start]]'s: `postBatchHook` runs after the
+    * merge AND the state-delta write but before Spark commits the epoch
+    * — a hook that throws reproduces the redelivery-with-state-present
+    * window the round-11 advice flagged (the re-run must see the gate
+    * state WITHOUT its own half-committed delta, or every prior
+    * survivor self-matches at Jaccard 1 and the state is wiped).
+    */
+  private[graft] def startNearDupGated(spark: SparkSession, docs: DataFrame,
+                                       lakePath: String, stateDir: String,
+                                       checkpoint: String, trigger: Trigger,
+                                       watermarkDelay: String, minQuality: Double,
+                                       postBatchHook: Long => Unit): StreamingQuery = {
     import docs.sparkSession.implicits._
     dedupedQualityStream(docs, watermarkDelay, minQuality)
       .withColumn("date", date_format($"event_time", "yyyyMMdd"))
@@ -124,7 +139,11 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val state = loadGateState(spark, stateDir)
+          // exclude THIS batch's own delta: on an at-least-once
+          // redelivery (crash after the delta write, before the epoch
+          // commit) the state must look exactly as it did before the
+          // first attempt, or the batch's docs judge themselves
+          val state = loadGateState(spark, stateDir, excludeBatchId = Some(batchId))
           val (flags, delta) = graft.operators.MinHashLsh.incrementalNearDupGate(
             batch.select($"doc_id", $"text"), state)
           val survivors = batch.join(
@@ -135,22 +154,32 @@ object CorpusIngest {
           delta.bands.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
           delta.docs.write.mode("overwrite").parquet(s"$stateDir/docs/batch=$batchId")
         }
+        postBatchHook(batchId)
       }
       .start()
   }
 
   /** Accumulated gate state from the per-batch delta dirs (None before
     * the first batch). The `batch=` partition column the layout adds is
-    * dropped — state consumers key on content, not delivery epoch.
+    * dropped — state consumers key on content, not delivery epoch —
+    * after `excludeBatchId`'s own delta (a redelivery's half-committed
+    * first attempt) is filtered out.
     */
-  private[graft] def loadGateState(spark: SparkSession,
-                                   stateDir: String): Option[graft.operators.GateState] = {
+  private[graft] def loadGateState(spark: SparkSession, stateDir: String,
+                                   excludeBatchId: Option[Long] = None): Option[graft.operators.GateState] = {
     val bandsPath = new org.apache.hadoop.fs.Path(s"$stateDir/bands")
     val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(bandsPath)) None
-    else Some(graft.operators.GateState(
-      spark.read.parquet(s"$stateDir/bands").drop("batch"),
-      spark.read.parquet(s"$stateDir/docs").drop("batch")))
+    else {
+      def load(sub: String) = {
+        val df = spark.read.parquet(s"$stateDir/$sub")
+        // partition-dir inference may type `batch` as int or long —
+        // compare through a cast rather than trusting the inferred type
+        excludeBatchId.fold(df)(id =>
+          df.filter(col("batch").cast("long") =!= lit(id))).drop("batch")
+      }
+      Some(graft.operators.GateState(load("bands"), load("docs")))
+    }
   }
 
   /** Idempotent first-wins merge of a cleaned batch into the document
@@ -170,5 +199,10 @@ object CorpusIngest {
                 ingestSeq: Long): DataFrame =
     graft.lake.MergeWriter.mergeKeyed(spark,
       batch.withColumn("ingest_seq", lit(ingestSeq)), path,
-      Keys, (Keys :+ "text_md5").map(col), Seq(col("ingest_seq") * -1))
+      Keys, (Keys :+ "text_md5").map(col), Seq(col("ingest_seq") * -1),
+      // on a manifest lake the batchId-derived tag rides the manifest
+      // commit, so an at-least-once redelivery is a NO-OP commit rather
+      // than a duplicate version (the lock path gets the same guarantee
+      // from the first-wins dedup absorbing identical rows)
+      commitTag = Some(s"corpus-$ingestSeq"))
 }

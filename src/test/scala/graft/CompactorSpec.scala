@@ -138,4 +138,51 @@ class CompactorSpec extends SparkSpec {
     assert(counts.values.head == 3, s"expected 3 capped files: $counts")
     assert(spark.read.parquet(lake).count() == 40)
   }
+
+  test("compaction on a held lake fails loud instead of racing the holder (round-11 item 1)") {
+    // Compaction is THE maintenance job that runs next to live ingest:
+    // an unlocked rewrite racing a merge reads pre-merge state and
+    // overwrites the merge's rows away. It now takes the same writer
+    // lock as the merge — second-comer fails loud, nothing interleaves.
+    val lake = tmpLake()
+    MergeWriter.withPartitionCols(
+      candles((0 until 8).map(i => (T0 + i * 900000L, 100.0 + i, "coinbase")): _*),
+      "15m", "spot")
+      .withColumn("ingest_seq", org.apache.spark.sql.functions.lit(1L))
+      .repartition(4)
+      .write.partitionBy("symbol", "interval", "data_type", "exchange", "date")
+      .parquet(lake)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(lake + ".__writer_lock")
+    fs.create(lock, false).close()
+    try {
+      val e = intercept[IllegalStateException] { Compactor.compact(spark, lake) }
+      assert(e.getMessage.contains("locked"), e.getMessage)
+      // the refused compaction rewrote nothing
+      assert(fileCounts(lake).values.head == 4)
+    } finally fs.delete(lock, false)
+    // lock released → compaction proceeds
+    Compactor.compact(spark, lake)
+    assert(fileCounts(lake).values.head == 1)
+  }
+
+  test("compact and zOrderRewrite refuse a manifest lake loudly (round-11 item 2)") {
+    import graft.lake.ManifestLake
+    val lake = tmpLake()
+    spark.conf.set("spark.graft.lake.commit", "manifest")
+    try {
+      MergeWriter.merge(spark, MergeWriter.withPartitionCols(
+        candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      assert(ManifestLake.isManifestLake(spark, lake))
+      val e1 = intercept[IllegalArgumentException] { Compactor.compact(spark, lake) }
+      assert(e1.getMessage.contains("manifest"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Compactor.zOrderRewrite(spark, lake, "close", "volume", 4)
+      }
+      assert(e2.getMessage.contains("manifest"), e2.getMessage)
+      // nothing was disturbed by the refusals
+      assert(MergeWriter.readLake(spark, lake).count() == 1)
+    } finally spark.conf.unset("spark.graft.lake.commit")
+  }
 }

@@ -70,8 +70,11 @@ class ManifestLakeSpec extends SparkSpec {
         candles((T0, 555.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
       val e = intercept[IllegalStateException] { MergeWriter.merge(spark, b2, lake, 2) }
       assert(e.getMessage.contains("injected"), e.getMessage)
-      // the torn txn's files exist on disk…
-      assert(new java.io.File(s"$lake/data/txn-2").exists(),
+      // the torn txn's files exist on disk… (txn dirs carry a
+      // writer-private random token: txn-2-<token>)
+      val tornDirs = new java.io.File(s"$lake/data").listFiles()
+        .filter(_.getName.startsWith("txn-2-"))
+      assert(tornDirs.nonEmpty,
         "test premise: the torn write must have landed data files")
       // …but a reader sees EXACTLY the pre-merge state
       assert(MergeWriter.readLake(spark, lake).drop("ingest_seq").collect().toSeq == before)
@@ -104,14 +107,17 @@ class ManifestLakeSpec extends SparkSpec {
       val b1 = MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot")
       MergeWriter.merge(spark, b1, lake, 1)
       // a TRUE race: the competitor lands m2 AFTER this merge resolved
-      // the current version (v=1) but before its own commit
+      // the current version (v=1) but before its own commit — its entry
+      // keeps pointing at the txn dir m1 committed
+      val txn1 = new java.io.File(s"$lake/data").listFiles()
+        .map(_.getName).find(_.startsWith("txn-1-")).get
       ManifestLake.beforeCommitHook = () => {
         ManifestLake.beforeCommitHook = () => ()
         val fs = new org.apache.hadoop.fs.Path(lake)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val race = fs.create(new org.apache.hadoop.fs.Path(s"$lake/_manifest/m2.txt"), false)
         race.write(("symbol=BTC-USDT/interval=15m/data_type=spot/exchange=coinbase/" +
-          "date=20210101\t1\n").getBytes("UTF-8"))
+          s"date=20210101\t$txn1\n").getBytes("UTF-8"))
         race.close()
       }
       val b2 = MergeWriter.withPartitionCols(candles((T0, 555.0, "coinbase")), "15m", "spot")
@@ -195,6 +201,130 @@ class ManifestLakeSpec extends SparkSpec {
         .select($"close").as[Double].collect().toSet
       assert(v2 == Set(150.0, 200.0), "current version must see the rewrite")
       // read() is the highest committed version
+      assert(ManifestLake.read(spark, lake).count() == 2)
+    }
+  }
+
+  test("data-write race: a competing FULL merge in the loser's window cannot corrupt the winner") {
+    // Round-11 advice (high): with a SHARED txn-(v+1) directory, writer
+    // B's Overwrite landing between A's data write and A's commit let
+    // A's committed manifest reference B's files. Token-named txn dirs
+    // make each writer's data private: B commits a whole merge inside
+    // A's window; A must fail loud and the lake must hold EXACTLY B's
+    // result, with A's data dir unreferenced garbage.
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      ManifestLake.beforeCommitHook = () => {
+        ManifestLake.beforeCommitHook = () => ()
+        // the competitor does a COMPLETE merge — data write AND commit —
+        // into the same partition, from the same resolved version
+        MergeWriter.merge(spark,
+          MergeWriter.withPartitionCols(candles((T0, 777.0, "coinbase")), "15m", "spot"), lake, 3)
+      }
+      val e = intercept[IllegalStateException] {
+        MergeWriter.merge(spark,
+          MergeWriter.withPartitionCols(candles((T0, 555.0, "coinbase")), "15m", "spot"), lake, 2)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      val out = MergeWriter.readLake(spark, lake).collect()
+      assert(out.length == 1 && out(0).getAs[Double]("close") == 777.0,
+        "committed state must be exactly the winning writer's merge")
+      // the loser's retry now merges against B's state; seq 3 > 2 keeps B's row
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 555.0, "coinbase")), "15m", "spot"), lake, 2)
+      val retry = MergeWriter.readLake(spark, lake).collect()
+      assert(retry.length == 1 && retry(0).getAs[Double]("close") == 777.0,
+        "retry must dedup against the winner's state (higher seq wins)")
+    }
+  }
+
+  test("vacuum retention: a snapshot inside the horizon survives; one past it fails loud") {
+    withManifestMode {
+      val lake = tmpLake()
+      (1 to 3).foreach { i =>
+        MergeWriter.merge(spark,
+          MergeWriter.withPartitionCols(candles((T0, 100.0 + i, "coinbase")), "15m", "spot"),
+          lake, i.toLong)
+      }
+      val v2Before = ManifestLake.readAt(spark, lake, 2L)
+        .select($"close").as[Double].collect().toSet
+      ManifestLake.vacuum(spark, lake, retainVersions = 2)
+      // inside the horizon: still served, identical
+      assert(ManifestLake.readAt(spark, lake, 2L)
+        .select($"close").as[Double].collect().toSet == v2Before)
+      assert(ManifestLake.readAt(spark, lake, 3L)
+        .select($"close").as[Double].collect().toSet == Set(103.0))
+      // past it: loud, named failure — not a silent half-read
+      val e = intercept[IllegalArgumentException] { ManifestLake.readAt(spark, lake, 1L) }
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
+      // default retention (current only) then reclaims v2
+      ManifestLake.vacuum(spark, lake)
+      val e2 = intercept[IllegalArgumentException] { ManifestLake.readAt(spark, lake, 2L) }
+      assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+      assert(ManifestLake.read(spark, lake)
+        .select($"close").as[Double].collect().toSet == Set(103.0))
+    }
+  }
+
+  test("schema evolution through the manifest path: type change rejected BEFORE any write") {
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      // tracked sidecar exists and matches the lock path's contract
+      assert(MergeWriter.storedSchema(spark, lake).exists(_.fieldNames.contains("close")))
+      val txnsBefore = new java.io.File(s"$lake/data").listFiles().length
+      val bad = MergeWriter.withPartitionCols(candles((T0 + Day, 1.0, "coinbase")), "15m", "spot")
+        .withColumn("close", lit("oops-string"))
+      val e = intercept[IllegalStateException] { MergeWriter.merge(spark, bad, lake, 2) }
+      assert(e.getMessage.contains("TYPE"), e.getMessage)
+      // rejected before the data write: no new txn dir, no new version
+      assert(new java.io.File(s"$lake/data").listFiles().length == txnsBefore,
+        "type-change reject must happen before any txn data lands")
+      assert(ManifestLake.read(spark, lake).count() == 1)
+    }
+  }
+
+  test("add-column merge advances the tracked sidecar; mixed-version read surfaces it as null") {
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0 + Day, 200.0, "coinbase")), "15m", "spot")
+          .withColumn("vwap", lit(1.25)), lake, 2)
+      // the sidecar tracks the evolved schema (same contract as the lock path)
+      assert(MergeWriter.storedSchema(spark, lake).exists(_.fieldNames.contains("vwap")))
+      // and an OLD-shape writer is still accepted after evolution
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0 + 2 * Day, 300.0, "coinbase")), "15m", "spot"),
+        lake, 3)
+      val out = MergeWriter.readLake(spark, lake).orderBy("timestamp").collect()
+      assert(out.length == 3)
+      assert(out(0).isNullAt(out(0).fieldIndex("vwap")))
+      assert(out(1).getAs[Double]("vwap") == 1.25)
+      assert(out(2).isNullAt(out(2).fieldIndex("vwap")))
+    }
+  }
+
+  test("commit tags: a redelivered tagged merge is a no-op commit (exactly-once for streaming sinks)") {
+    withManifestMode {
+      val lake = tmpLake()
+      val docs = Seq((1L, "alpha text", "web", "20210101", "m1"))
+        .toDF("doc_id", "text", "source", "date", "text_md5")
+      graft.streaming.CorpusIngest.mergeDocs(spark, docs, lake, 7L)
+      val versions = new java.io.File(s"$lake/_manifest").listFiles().length
+      // at-least-once redelivery: same batchId → same tag → NO new version
+      graft.streaming.CorpusIngest.mergeDocs(spark, docs, lake, 7L)
+      assert(new java.io.File(s"$lake/_manifest").listFiles().length == versions,
+        "redelivered batch must be a no-op commit, not a duplicate version")
+      assert(ManifestLake.read(spark, lake).count() == 1)
+      // a NEW batch still commits normally
+      graft.streaming.CorpusIngest.mergeDocs(spark,
+        Seq((2L, "beta text", "web", "20210101", "m2"))
+          .toDF("doc_id", "text", "source", "date", "text_md5"), lake, 8L)
       assert(ManifestLake.read(spark, lake).count() == 2)
     }
   }

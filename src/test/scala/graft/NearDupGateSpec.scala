@@ -107,4 +107,53 @@ class NearDupGateSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
     assert(batches.length >= 2, s"expected per-batch delta dirs, got ${batches.toSeq}")
   }
+
+  test("crash after the delta write, before the epoch commit: redelivery preserves survivor state") {
+    // Round-11 advice (high): the redelivered batch loads gate state
+    // that already CONTAINS its own survivors. Without the self-pair
+    // filter + own-delta exclusion, each survivor matched ITSELF at
+    // Jaccard 1, was flagged dropped, and the batchId-keyed delta was
+    // overwritten EMPTY — survivor state permanently lost, so later
+    // near-dups of those docs sailed through the gate into the lake.
+    implicit val sc = spark.sqlContext
+    val T0 = 1609459200000L
+    val mem = MemoryStream[Doc]
+    val dir = Files.createTempDirectory("graft_neardup_crash").toString
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def pass(crash: Boolean): Option[Throwable] = {
+      val q = CorpusIngest.startNearDupGated(spark, mem.toDF(), s"$dir/lake",
+        s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow(),
+        "1 minute", 0.0,
+        postBatchHook = _ => if (crash && boom.getAndSet(false))
+          throw new IllegalStateException("injected crash before epoch commit"))
+      try { q.awaitTermination(); None } catch { case e: Throwable => Some(e) }
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    // batch 0: A survives, B (near-dup of A) drops, an unrelated doc survives
+    mem.addData(Doc(1L, A, new Timestamp(T0), "web"),
+      Doc(2L, B, new Timestamp(T0 + 1000), "web"),
+      Doc(3L, window(100), new Timestamp(T0 + 2000), "web"))
+    val err = pass(crash = true)
+    assert(err.exists(e => chain(e).exists(_.contains("injected"))),
+      s"the injected crash must fail the query, got ${err.map(chain)}")
+    // torn premise: batch 0's survivor delta landed before the crash
+    assert(new java.io.File(s"$dir/state/bands").listFiles()
+      .exists(_.getName.startsWith("batch=")),
+      "test premise: the state delta must be on disk before the epoch commit")
+    // restart: batch 0 redelivers with state present (the poisoned
+    // window), then batch 1 probes the state — a near-dup of survivor A
+    // under FRESH text (exact tier can't catch it) plus a fresh doc
+    mem.addData(Doc(4L, window(3), new Timestamp(T0 + 60000), "web"),
+      Doc(5L, window(200), new Timestamp(T0 + 61000), "web"))
+    assert(pass(crash = false).isEmpty, "recovery pass must succeed")
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L),
+      "doc 4 (near-dup of survivor 1) must still be gated — state survived redelivery")
+    val state = CorpusIngest.loadGateState(spark, s"$dir/state")
+    assert(state.get.docs.select($"doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L),
+      "survivor state must converge to exactly the gate survivors")
+  }
 }
