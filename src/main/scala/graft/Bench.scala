@@ -152,23 +152,38 @@ object Bench {
     val dispersion =
       if (passTotals.size < 2) 1.0 else passTotals.max / passTotals.min
     val degraded = calibMax > 1.6 || dispersion > 1.75
-    // Round-10 verdict item 1: BENCH_r10.json shipped a min-of-1,
-    // calib-0.41 sample as the round's official number — 5.9× the same
-    // HEAD's healthy measurement — and nothing in the artifact told a
-    // reader to DISREGARD it rather than merely discount it. A min-of-K
-    // total is only a measurement of the PLAN when at least one pass ran
-    // in a healthy window; with a single pass bracketed by elevated
-    // calibration there is no healthy sample at all, so the artifact
-    // self-disqualifies: authoritative=false means "re-run on a clean
-    // window before adjudicating; this number is an upper bound only".
-    // Healthy calib envelope is 0.15–0.25 s on this host (rounds 7–10);
-    // 0.30 leaves ambient margin without admitting degraded windows.
-    val authoritative = !degraded && !(passes.size == 1 && calibMax > 0.30)
     val results = SparkEntry.queries.map { case (name, _) =>
       val times = passes.map(_(name))
       // any failed pass marks the query failed (-1); otherwise min over passes
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Per-query outlier check against the PerfSteady healthy ladder
+    // (round-11 verdict item 3): at ≥195 queries a single pass is
+    // ~deadline/2, so healthy runs are often min-of-1 — which has no
+    // pass-dispersion signal, and two clean bracketing probes cannot
+    // see a storm that opened and closed BETWEEN them. A query over
+    // max(3.5 × steady, 3.5 s) is an outlier; the ratios are emitted so
+    // a degraded artifact self-explains its slow entries against the
+    // steady ladder instead of leaving raw seconds for the reader to
+    // adjudicate by hand. The ladder is sf0.1-calibrated — at other
+    // scales the check reports but does not gate.
+    val atSf01 = sfDir.contains("0.1")
+    val outliers = results.toSeq.collect {
+      case (name, t) if t > math.max(3.5 * PerfSteady.at(name), 3.5) =>
+        name -> t / PerfSteady.at(name)
+    }.sortBy(-_._2)
+    // Round-10 verdict item 1 (reworked for the ≥195-query era): a
+    // min-of-K total is only a measurement of the PLAN when at least one
+    // pass ran in a healthy window. min-of-2+ adjudicates via pass
+    // dispersion + probes; a SINGLE pass is authoritative only when
+    // bracketed by TWO healthy probes (calib_s AND calib_end_s ≤ 0.30 —
+    // healthy envelope 0.15–0.25 s on this host, rounds 7–11) AND the
+    // per-query outlier check is clean (≤ 2, allowing a new unlisted
+    // query or one ambient blip; a mid-run storm inflates many).
+    // authoritative=false means "re-run on a clean window before
+    // adjudicating; this number is an upper bound only".
+    val singlePassClean = calibMax <= 0.30 && (!atSf01 || outliers.size <= 2)
+    val authoritative = !degraded && (passes.size >= 2 || singlePassClean)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries keep their -1 marker per-query but must not be
@@ -197,8 +212,13 @@ object Bench {
     val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val passJson = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
+    // outlier ratios (time / PerfSteady ladder), worst 5: lets a slow
+    // artifact self-explain which entries are host artifacts vs plan
+    // cost without a reader re-deriving the steady tier by hand
+    val outJson = outliers.take(5)
+      .map { case (k, r) => f""""$k":$r%.1f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibS%.2f,"calib_end_s":$calibEndS%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"slowest":$slow,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibS%.2f,"calib_end_s":$calibEndS%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"outlier_count":${outliers.size},"outliers_x_steady":$outJson,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

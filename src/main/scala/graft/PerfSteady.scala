@@ -1,0 +1,70 @@
+package graft
+
+/** Healthy-host steady-state wall seconds per query at sf0.1 — the
+  * reference ladder the bench adjudicates itself against (round-11
+  * verdict item 3). Values are the slow tier of the round-11
+  * authoritative record (min-of-2, calib 0.19/0.18, 32-thread local)
+  * rounded up slightly; queries not listed sit in the sub-second
+  * relational tier and take [[DefaultSf01]].
+  *
+  * Purpose: at ≥195 registered queries a single pass is ~deadline/2, so
+  * healthy runs are often min-of-1 — which has NO pass-dispersion
+  * signal. Two clean calibration probes bracket the run, but a
+  * transient storm BETWEEN them could still inflate a handful of
+  * queries. The per-query check closes that hole: a query running
+  * > max(3.5 × steady, 3.5 s) is an OUTLIER; more than a couple of
+  * outliers in a single-pass run means a mid-run storm (or a real
+  * regression) and the artifact self-disqualifies either way — a
+  * reader re-runs before adjudicating. The replay-class queries carry
+  * honest commit-latency-bound entries so their by-design seconds
+  * never trip the gate; ADD AN ENTRY HERE when registering a new
+  * replay/iterative query (anything ≥ 2 s healthy).
+  */
+object PerfSteady {
+  /** Sub-second relational tier default (healthy sf0.1 mean ≈ 0.8 s). */
+  val DefaultSf01 = 1.0
+
+  val sf01: Map[String, Double] = Map(
+    // replay-class (dozens of real merge/stream/manifest commit cycles)
+    "q168_scd2_replay" -> 6.9,
+    "q167_stream_neardup_gate" -> 4.7,
+    "q175_time_travel" -> 3.7,
+    "q160_first_wins_replay" -> 3.1,
+    "q182_cdc_tombstones" -> 3.2,
+    "q172_session_window_replay" -> 2.6,
+    "q186_erasure_replay" -> 2.2,
+    "q169_stream_join_replay" -> 2.2,
+    "q184_join_view_maintenance" -> 1.9,
+    "q174_incremental_rollup" -> 1.7,
+    "q188_stream_dedup_replay" -> 1.3,
+    "q100_dedup_increment" -> 1.4,
+    // iterative / heavy-verify tier
+    "q165_frequent_triples" -> 4.7,
+    "q88_semdedup" -> 4.0,
+    "q118_simhash_clusters" -> 3.5,
+    "q78_curation_pipeline" -> 3.4,
+    "q142_incremental_cc" -> 2.9,
+    "q141_canonical_selection" -> 3.0,
+    "q37_simhash_dedup" -> 2.9,
+    "q74_pq_adc" -> 2.9,
+    "q59_dedup_clusters" -> 2.8,
+    "q136_kcore_peel" -> 2.8,
+    "q194_table_stats" -> 2.7,
+    "q101_pagerank" -> 2.6,
+    "q150_cross_source_dups" -> 2.5,
+    "q163_ann_recall_audit" -> 2.5,
+    "q124_bpe_train" -> 2.5,
+    "q134_allpairs_join" -> 2.5,
+    "q127_pca_power" -> 2.3,
+    "q35_ngram_jaccard" -> 2.2,
+    "q102_bfs_distance" -> 2.1,
+    "q105_dup_shingle_frac" -> 2.1,
+    "q56_winnow_fingerprint" -> 2.1,
+    "q133_bpe_encode" -> 2.0,
+    "q108_triangle_count" -> 2.1,
+    "q09_rollup" -> 2.3,
+    "q132_label_prop" -> 1.6,
+    "q139_curriculum_phases" -> 1.8)
+
+  def at(name: String): Double = sf01.getOrElse(name, DefaultSf01)
+}
