@@ -38,6 +38,8 @@ object PerfSteady {
     "q174_incremental_rollup" -> 1.7,
     "q188_stream_dedup_replay" -> 1.3,
     "q100_dedup_increment" -> 1.4,
+    "q198_schema_evolution_replay" -> 3.8,
+    "q199_erase_merge_interleave" -> 3.2,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

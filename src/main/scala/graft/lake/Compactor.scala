@@ -132,8 +132,27 @@ object Compactor {
     * every multi-dimensional scan after skips).
     */
   def zOrderRewrite(spark: SparkSession, path: String, dimX: String,
-                    dimY: String, nFiles: Int): Unit = {
-    import spark.implicits._
+                    dimY: String, nFiles: Int): Unit =
+    clusterRewrite(spark, path, nFiles,
+      s"z_interleave16(cast(($dimX) as bigint), cast(($dimY) as bigint))")
+
+  /** N-dimensional Z-order rewrite ([[graft.functions.ZInterleaveN]]):
+    * a (user, hour, symbol) layout needs 3 dims — each dim gets
+    * `63/k` interleave bits (k=3 → 21 bits/dim; normalize into that
+    * range first), trading per-dimension tightness for pruning coverage
+    * on every listed dimension. Same lock/guard/schema discipline as
+    * the 2-dim rewrite.
+    */
+  def zOrderRewriteN(spark: SparkSession, path: String, dims: Seq[String],
+                     nFiles: Int): Unit = {
+    require(dims.size >= 2, "zOrderRewriteN needs at least 2 dimensions")
+    clusterRewrite(spark, path, nFiles,
+      dims.map(d => s"cast(($d) as bigint)")
+        .mkString("z_interleave_n(", ", ", ")"))
+  }
+
+  private def clusterRewrite(spark: SparkSession, path: String, nFiles: Int,
+                             zSql: String): Unit = {
     graft.plans.GraftExtensions.register(spark)
     require(!ManifestLake.isManifestLake(spark, path),
       s"Compactor: $path is a manifest lake — zOrderRewrite's in-place " +
@@ -143,7 +162,6 @@ object Compactor {
     // same writer-serialization as compact(): a clustering rewrite racing
     // a merge would overwrite the merge's rows with pre-merge state
     MergeWriter.withWriterLock(fs, path) {
-      val z = expr(s"z_interleave16(cast(($dimX) as bigint), cast(($dimY) as bigint))")
       // read through the tracked schema when a sidecar exists — rewriting
       // a schema-evolved dataset from footer-sampled inference could drop
       // the evolved column from the ENTIRE rewritten output
@@ -152,7 +170,7 @@ object Compactor {
         case None     => spark.read.parquet(path)
       }
       val clustered = base
-        .withColumn("__z", z)
+        .withColumn("__z", expr(zSql))
         // lineage cut: the write below overwrites the path being read
         .localCheckpoint()
         .repartitionByRange(nFiles, col("__z"))

@@ -917,7 +917,264 @@ object DimOps {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** q198 — additive schema evolution replayed through the MANIFEST
+    * lake, end-to-end (round-11 verdict item 5 made an oracle row):
+    * orders deliver as three yearly batches via the real
+    * [[graft.lake.ManifestLake.mergeKeyed]] commits; batch one ships
+    * the ORIGINAL shape, batches two and three carry a new
+    * `prio` column — the month-two schema growth every production lake
+    * hits. The read-back aggregate hash-checks the whole contract in
+    * one relation: batch-1 rows surface the evolved column as NULL
+    * (mixed-version txns align by name through the manifest), batch-2/3
+    * rows carry their values, nothing is dropped or coerced, and the
+    * tracked sidecar advanced (the type-REJECT half lives in
+    * ManifestLakeSpec — a rejected batch can't be an oracle row).
+    *
+    * Scale: same merge posture as q175 (touched-partition reads, one
+    * immutable txn + one atomic manifest create per batch); the evolved
+    * read costs nothing extra — by-name projection fills absent
+    * columns per txn, no mergeSchema footer sweep.
+    */
+  def q198SchemaEvolutionReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = orders(s, d)
+      .filter($"o_orderstatus".isNotNull && $"o_orderkey".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_orderpriority".isNotNull)
+      .select($"o_orderstatus".as("status"), $"o_orderkey", $"o_totalprice",
+        $"o_orderpriority".as("prio"), year($"o_orderdate").as("yr"))
+      .localCheckpoint()
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_evo_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    def merge(batch: DataFrame): Unit = {
+      graft.lake.ManifestLake.mergeKeyed(s, batch, lake,
+        keys = Seq("status"), dedupKeys = Seq($"o_orderkey"),
+        order = Seq($"o_orderkey"))
+      ()
+    }
+    merge(ev.filter($"yr" <= 1996).drop("yr", "prio")) // original shape
+    merge(ev.filter($"yr" === 1997 || $"yr" === 1998).drop("yr")) // + prio
+    merge(ev.filter($"yr" >= 1999).drop("yr"))
+    graft.lake.ManifestLake.read(s, lake)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"),
+        count($"prio").as("n_evolved"),
+        countDistinct($"prio").as("n_prios"),
+        graft.functions.Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"status")
+  }
+
+  /** prio is non-null exactly for the evolved batches (years ≥ 1997). */
+  val q198Sql: String =
+    s"""WITH ev AS (
+       |  SELECT o_orderstatus AS status, o_totalprice,
+       |         o_orderpriority AS prio, YEAR(o_orderdate) AS yr
+       |  FROM orders
+       |  WHERE o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL
+       |)
+       |SELECT status, COUNT(*) AS n_orders,
+       |       CAST(COUNT(CASE WHEN yr >= 1997 THEN 1 END) AS BIGINT) AS n_evolved,
+       |       CAST(COUNT(DISTINCT CASE WHEN yr >= 1997 THEN prio END) AS BIGINT) AS n_prios,
+       |       ${graft.functions.Exact.sqlDsum("o_totalprice")} AS revenue
+       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q199 — erase-then-merge interleave replay (the no-resurrection
+    * contract of round-11 verdict item 1 as an oracle row): events
+    * deliver in two CDC waves into a user-bucketed lake through the
+    * locked [[graft.lake.MergeWriter.mergeKeyed]]; between the waves, a
+    * GDPR cohort (every user whose FIRST wave-1 event is an 'error') is
+    * erased via the locked [[graft.lake.Eraser]] rewrite. The final
+    * aggregate must equal (wave1 ∖ erased) ∪ wave2 — which it can only
+    * do if the post-erasure merge did NOT resurrect the erased users'
+    * wave-1 history (the failure an unlocked erase×merge interleaving
+    * produces) while their POST-erasure wave-2 events legitimately
+    * remain (erasure removes history, not the account's future). The
+    * thread-level race forensics live in EraserSpec; this row pins the
+    * verb-sequence semantics at data scale.
+    *
+    * Scale: each merge reads only touched buckets (statically pruned),
+    * the erasure rewrites only its cohort's buckets, and the audit
+    * aggregate is one partial-combine shuffle of (type, count) cells
+    * plus countDistinct's own exchange — 5 rows × users.
+    */
+  def q199EraseMergeInterleave(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        pmod(hash($"user_id"), lit(16)).cast("string").as("bucket"))
+      .localCheckpoint()
+    val wave1 = ev.filter($"event_id" % 2 === 0)
+    val wave2 = ev.filter($"event_id" % 2 === 1)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_em_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    def merge(batch: DataFrame, seq: Long): Unit = {
+      graft.lake.MergeWriter.mergeKeyed(s,
+        batch.withColumn("ingest_seq", lit(seq)), lake,
+        keys = Seq("bucket"), dedupKeys = Seq($"bucket", $"event_id"),
+        order = Seq($"ingest_seq"))
+      ()
+    }
+    merge(wave1, 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val erase = wave1
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" === "error")
+      .select($"user_id")
+    graft.lake.Eraser.eraseKeys(s, lake, "user_id", erase)
+    merge(wave2, 2L)
+    s.read.parquet(lake)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** (wave1 minus the erased cohort's history) plus all of wave2. */
+  val q199Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, ts FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND ts IS NOT NULL
+      |), w1 AS (
+      |  SELECT * FROM ev WHERE event_id % 2 = 0
+      |), w2 AS (
+      |  SELECT * FROM ev WHERE event_id % 2 = 1
+      |), erased AS (
+      |  SELECT user_id FROM (
+      |    SELECT user_id, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS rn
+      |    FROM w1)
+      |  WHERE rn = 1 AND event_type = 'error'
+      |), survived AS (
+      |  SELECT event_id, user_id, event_type
+      |  FROM w1 ANTI JOIN erased USING (user_id)
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type FROM w2
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM survived GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q200 — THREE-dimensional Z-order skipping audit, q171's decision
+    * query extended to the n-ary kernel ([[graft.functions.ZInterleaveN]],
+    * [[graft.lake.Compactor.zOrderRewriteN]]): would clustering the
+    * events lake on (user, hour, value-band) pay against the 2-dim
+    * (user, hour) curve and a time-sorted ingest layout, for a query
+    * box constrained on ALL THREE dimensions? Each extra interleaved
+    * dimension trades per-dimension tightness (21 bits/dim at k=3 vs 16
+    * at k=2) for pruning coverage — the audit quantifies that trade on
+    * the real data: per simulated layout, how many files survive
+    * footer min/max pruning of the 10 % box and how many rows they
+    * hold. File-level ground truth for the real writer lives in
+    * CompactorSpec's zOrderRewriteN row.
+    *
+    * Scale: one events pass computes dims + all three file keys
+    * (bounds are a 1-row broadcast); per-layout stats are
+    * partial-combine aggregates on file ids; final roll-up is one row
+    * per layout. Pure bit/div math — engine-exact against the oracle's
+    * arithmetic expansion of both interleaves.
+    */
+  def q200ZorderNdimSkipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"ts".isNotNull && $"value".isNotNull && $"value" >= 0)
+      .select($"user_id".as("u"),
+        expr("unix_micros(ts) div 3600000000L").as("hb"),
+        floor($"value").cast("long").as("v"))
+    val bounds = ev.agg(min($"hb").as("hb0"), max($"hb").as("hb1"),
+      max($"u").as("u1"), max($"v").as("v1"))
+    val keyed = ev.crossJoin(broadcast(bounds))
+      .select($"u", ($"hb" - $"hb0").as("h"), $"v",
+        expr("u1 div 10").as("uhi"), expr("(hb1 - hb0) div 10").as("hhi"),
+        expr("v1 div 10").as("vhi"))
+      .withColumn("z3f", expr("z_interleave_n(u, h, v) div 4096"))
+      .withColumn("z2f", expr("z_interleave16(u, h) div 1024"))
+      .withColumn("tf", expr("h div 4"))
+      .localCheckpoint() // one scan feeds all three layout roll-ups
+    def layout(name: String, fid: org.apache.spark.sql.Column): DataFrame =
+      keyed.groupBy(fid.as("fid"))
+        .agg(count(lit(1)).as("n"), min($"u").as("umin"), min($"h").as("hmin"),
+          min($"v").as("vmin"), max($"uhi").as("uhi"), max($"hhi").as("hhi"),
+          max($"vhi").as("vhi"))
+        // box starts at 0 in all three dims: a file survives pruning iff
+        // every dimension's min sits at or below the box's upper corner
+        .withColumn("hit",
+          ($"umin" <= $"uhi" && $"hmin" <= $"hhi" && $"vmin" <= $"vhi").cast("long"))
+        .agg(count(lit(1)).as("n_files"), sum($"hit").as("files_hit"),
+          sum(expr("hit * n")).as("rows_in_hit_files"), sum($"n").as("total_rows"))
+        .select(lit(name).as("layout"), $"n_files", $"files_hit".cast("long"),
+          $"rows_in_hit_files".cast("long"), $"total_rows".cast("long"))
+        .toDF("layout", "n_files", "files_hit", "rows_in_hit_files", "total_rows")
+    layout("time", $"tf")
+      .unionByName(layout("zorder2", $"z2f"))
+      .unionByName(layout("zorder3", $"z3f"))
+      .orderBy($"layout")
+  }
+
+  /** Both interleaves expanded arithmetically: 2-dim bit b of u → 2b,
+    * h → 2b+1 (16 bits); 3-dim bit b of u → 3b, h → 3b+1, v → 3b+2
+    * (21 bits).
+    */
+  val q200Sql: String = {
+    val z2 = (0 until 16).map(b =>
+      s"((((u >> $b) & 1) << ${2 * b}) | (((h >> $b) & 1) << ${2 * b + 1}))")
+      .mkString(" | ")
+    val z3 = (0 until 21).map(b =>
+      s"((((u >> $b) & 1) << ${3 * b}) | (((h >> $b) & 1) << ${3 * b + 1}) | " +
+        s"(((v >> $b) & 1) << ${3 * b + 2}))")
+      .mkString(" | ")
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, EPOCH_US(ts) // 3600000000 AS hb,
+       |         CAST(FLOOR(value) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+       |), b AS (
+       |  SELECT MIN(hb) AS hb0, MAX(hb) AS hb1, MAX(u) AS u1, MAX(v) AS v1 FROM ev
+       |), keyed AS (
+       |  SELECT u, h, v, u1 // 10 AS uhi, (hb1 - hb0) // 10 AS hhi,
+       |         v1 // 10 AS vhi,
+       |         ($z3) // 4096 AS z3f, ($z2) // 1024 AS z2f, h // 4 AS tf
+       |  FROM (SELECT u, hb, v, hb0, hb1, u1, v1, hb - hb0 AS h FROM ev, b) t
+       |), stats AS (
+       |  SELECT 'time' AS layout, tf AS fid, COUNT(*) AS n, MIN(u) AS umin,
+       |         MIN(h) AS hmin, MIN(v) AS vmin, MAX(uhi) AS uhi,
+       |         MAX(hhi) AS hhi, MAX(vhi) AS vhi
+       |  FROM keyed GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder2', z2f, COUNT(*), MIN(u), MIN(h), MIN(v),
+       |         MAX(uhi), MAX(hhi), MAX(vhi)
+       |  FROM keyed GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder3', z3f, COUNT(*), MIN(u), MIN(h), MIN(v),
+       |         MAX(uhi), MAX(hhi), MAX(vhi)
+       |  FROM keyed GROUP BY 1, 2
+       |)
+       |SELECT layout, COUNT(*) AS n_files,
+       |  CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi AND vmin <= vhi
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(SUM(CASE WHEN umin <= uhi AND hmin <= hhi AND vmin <= vhi
+       |           THEN n ELSE 0 END) AS BIGINT) AS rows_in_hit_files,
+       |  CAST(SUM(n) AS BIGINT) AS total_rows
+       |FROM stats GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_schema_evolution_replay" -> (q198SchemaEvolutionReplay _),
+    "q199_erase_merge_interleave" -> (q199EraseMergeInterleave _),
+    "q200_zorder_ndim_skipping" -> (q200ZorderNdimSkipping _),
     "q194_table_stats" -> (q194TableStats _),
     "q192_repair_diff" -> (q192RepairDiff _),
     "q189_temporal_dim_join" -> (q189TemporalDimJoin _),
@@ -933,6 +1190,9 @@ object DimOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_schema_evolution_replay" -> q198Sql,
+    "q199_erase_merge_interleave" -> q199Sql,
+    "q200_zorder_ndim_skipping" -> q200Sql,
     "q194_table_stats" -> q194Sql,
     "q192_repair_diff" -> q192Sql,
     "q189_temporal_dim_join" -> q189Sql,

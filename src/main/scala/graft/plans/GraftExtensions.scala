@@ -173,6 +173,12 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       graft.functions.PolyHash(children.head): Expression)
 
+  private val zInterleaveNDescriptor = (
+    new FunctionIdentifier("z_interleave_n"),
+    new ExpressionInfo(classOf[graft.functions.ZInterleaveN].getName, "z_interleave_n"),
+    (children: Seq[Expression]) =>
+      graft.functions.ZInterleaveN(children): Expression)
+
   private val descriptors =
     Seq(cosineSimDescriptor, srpBucketDescriptor, minhashSigDescriptor,
       simhashSigDescriptor, shingleHashesDescriptor, polyShingleHashesDescriptor,
@@ -180,7 +186,7 @@ object GraftExtensions {
       tokenHashesDescriptor, fxpDotDescriptor, collectCappedDescriptor,
       winnowFpsDescriptor, bloomContainsDescriptor, sortedIntersectCountDescriptor,
       tokenTfEncDescriptor, sortedTfMinSumDescriptor, zInterleaveDescriptor,
-      polyHashDescriptor)
+      polyHashDescriptor, zInterleaveNDescriptor)
 
   /** Idempotently register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =

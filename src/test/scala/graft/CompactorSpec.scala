@@ -114,6 +114,40 @@ class CompactorSpec extends SparkSpec {
       s"expected most of ${after.length} z-files to user-prune, $hit hit")
   }
 
+  test("zOrderRewriteN: 3-dim rewrite bounds every file's span in ALL dims; each dim prunes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString + "/t"
+    // 16×16×16 grid written time-sorted: every file spans all u and all v
+    val grid = (0 until 16).flatMap(u => (0 until 16).flatMap(h =>
+      (0 until 16).map(v => (u.toLong, h.toLong, v.toLong))))
+    grid.toDF("u", "h", "v").repartitionByRange(16, $"h").sortWithinPartitions($"h")
+      .write.parquet(dir)
+    def fileSpans() = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"u").as("umin"), min($"v").as("vmin"), count(lit(1)).as("n"))
+      .collect()
+    val before = fileSpans()
+    assert(before.forall(r => r.getAs[Long]("umin") == 0L &&
+      r.getAs[Long]("vmin") == 0L),
+      "time-sorted files span all u and v — nothing prunes on either")
+    // 64 files over the 16^3 grid: each aligned 64-code Morton block
+    // spans a 4×4×4 box, so the file index carries ~2 bits of EVERY
+    // dimension — coarser per-dim than a 2-dim curve with the same file
+    // count (the k-dim trade-off the audit query quantifies), but
+    // enough that a tight predicate on any single dim prunes ~3/4
+    graft.lake.Compactor.zOrderRewriteN(spark, dir, Seq("u", "h", "v"), 64)
+    val after = fileSpans()
+    assert(after.map(_.getAs[Long]("n")).sum == 4096L)
+    val data = spark.read.parquet(dir).as[(Long, Long, Long)].collect().sorted
+    assert(data.toSeq == grid.sorted.toSeq, "rewrite must not change data")
+    // a contiguous 3-dim Morton range bounds a box in EVERY dimension:
+    // predicates on u AND on v must now both prune most files
+    assert(after.count(_.getAs[Long]("umin") <= 1L) < after.length / 2,
+      "u-predicate must prune most 3-dim z-files")
+    assert(after.count(_.getAs[Long]("vmin") <= 1L) < after.length / 2,
+      "v-predicate must prune most 3-dim z-files")
+  }
+
   test("compacting a compacted (or absent) lake is a no-op") {
     val lake = tmpLake()
     assert(Compactor.compact(spark, lake).isEmpty)

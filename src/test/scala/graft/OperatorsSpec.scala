@@ -686,4 +686,70 @@ class OperatorsSpec extends SparkSpec {
     val c = digest(rows.updated(250, (251L, "vX")).toDF("k", "v"))
     assert(a != c, "a single changed row must move the digest")
   }
+
+  test("q198 schema evolution replay: batch-1 rows read back NULL in the evolved column") {
+    val got = DimOps.q198SchemaEvolutionReplay(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val want = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderstatus".isNotNull && $"o_orderkey".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_orderpriority".isNotNull)
+      .select($"o_orderstatus".as("status"), $"o_totalprice",
+        $"o_orderpriority".as("prio"), year($"o_orderdate").as("yr"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when($"yr" >= 1997, 1)).as("n_evolved"),
+        countDistinct(when($"yr" >= 1997, $"prio")).as("n_prios"),
+        graft.functions.Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"status")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"evolved lake read-back diverges: $got vs $want")
+    // non-vacuous: both shapes must be present in the replay
+    assert(want.exists(r => r._3 > 0 && r._3 < r._2),
+      "fixture must deliver both pre- and post-evolution rows per status")
+  }
+
+  test("q199 erase-merge interleave: erased history gone, post-erasure events remain") {
+    val dir = java.nio.file.Files.createTempDirectory("q199").toString
+    val t0 = 1704067200000L
+    def e(id: Long, u: Long, tpe: String, dtMs: Long) =
+      (id, new Timestamp(t0 + dtMs), u, tpe, 1.0, "{}")
+    // waves by event_id parity (even = wave 1, odd = wave 2)
+    // user 1: FIRST wave-1 event is error → full wave-1 history erased;
+    //         its wave-2 click (id 1) arrives AFTER the erasure and stays
+    // user 2: first wave-1 event is view → nothing erased
+    Seq(e(0, 1, "error", 0), e(2, 1, "view", 2000),
+      e(1, 1, "click", 1000),
+      e(4, 2, "view", 0), e(6, 2, "error", 5000), e(3, 2, "click", 3000))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = DimOps.q199EraseMergeInterleave(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", 2L, 2L), ("error", 1L, 1L), ("view", 1L, 1L)),
+      got.mkString("; "))
+  }
+
+  test("q200 3-dim z-order audit: kernel matches its arithmetic expansion; layouts are coherent") {
+    graft.plans.GraftExtensions.register(spark)
+    // bit b of dim i lands at 3b+i: (1,2,4) → 1 | 2^4 | 2^8 = 273
+    val z = spark.range(1)
+      .selectExpr("z_interleave_n(1L, 2L, 4L) AS z",
+        "z_interleave_n(cast(null as bigint), 1L, 1L) AS zn").head()
+    assert(z.getLong(0) == 273L, s"z_interleave_n(1,2,4) = ${z.getLong(0)}")
+    assert(z.isNullAt(1), "null dim must yield null")
+    val rows = DimOps.q200ZorderNdimSkipping(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("time", "zorder2", "zorder3"))
+    val totals = rows.values.map(_.getAs[Long]("total_rows")).toSet
+    assert(totals.size == 1, s"layouts must cover identical rows: $totals")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("files_hit") <= r.getAs[Long]("n_files"))
+      assert(r.getAs[Long]("rows_in_hit_files") <= r.getAs[Long]("total_rows"))
+    }
+    // the 3-dim curve must actually prune the 3-dim box (non-vacuous)
+    val z3 = rows("zorder3")
+    assert(z3.getAs[Long]("rows_in_hit_files") < z3.getAs[Long]("total_rows"),
+      "zorder3 pruned nothing — audit is vacuous")
+  }
 }

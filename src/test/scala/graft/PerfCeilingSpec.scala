@@ -37,6 +37,8 @@ class PerfCeilingSpec extends SparkSpec {
     // sensitivity is higher and the default-0.8 ceiling misfires on a
     // mid-suite degraded window (round-11 q168 false positive)
     "q168_scd2_replay" -> 1.60,
+    "q198_schema_evolution_replay" -> 1.40,
+    "q199_erase_merge_interleave" -> 1.40,
     "q160_first_wins_replay" -> 1.40,
     "q167_stream_neardup_gate" -> 1.60,
     "q169_stream_join_replay" -> 1.20,
