@@ -65,13 +65,11 @@ object Compactor {
     import spark.implicits._
     // A manifest lake's data dirs are immutable txns resolved through
     // the manifest — walking and overwriting them in place would both
-    // read superseded files and corrupt commit visibility. Compaction
-    // there is a replacePartitions-style rewrite; fail loud rather than
-    // guess (round-11 verdict item 2's guard, mirrored from Eraser).
+    // read superseded files and corrupt commit visibility. Route to the
+    // manifest-native rewrite instead (round-11 verdict item 2).
     require(!ManifestLake.isManifestLake(spark, path),
       s"Compactor: $path is a manifest lake — in-place dynamic overwrite " +
-        "would bypass the manifest commit protocol; compact manifest lakes " +
-        "by rewriting through ManifestLake.replacePartitions")
+        "would bypass the manifest commit protocol; use compactManifest")
     val frag = fragmentation(spark, path)
       .filter { case (part, n, _) => n > maxFiles && part.keySet == Keys.toSet }
     val summary = frag
@@ -113,6 +111,57 @@ object Compactor {
         .parquet(path)
     }
     summary.orderBy(Keys.map(col): _*)
+  }
+
+  /** Manifest-lake compaction: collapse fragmented COMMITTED partitions
+    * into single-file rewrites published through one
+    * [[ManifestLake.replacePartitions]] commit — compaction as a
+    * first-class table-format maintenance transaction rather than an
+    * in-place overwrite. Readers mid-compaction are untouched (they
+    * resolve the pre-commit manifest; the rewrite lands in a private
+    * txn dir), a racing merge is totally ordered by the commit CAS
+    * (one of the two fails loud and retries), and the superseded
+    * fragments become vacuum-reclaimable garbage — exactly Iceberg/
+    * Delta `rewrite_data_files`/`OPTIMIZE` semantics.
+    *
+    * Fragmentation is judged per manifest ENTRY (files under the
+    * entry's referenced txn partition dir — a metadata listing bounded
+    * by entry count, no data read); only fragmented partitions are
+    * read and rewritten. Returns (partition rel-path, files_before),
+    * empty when nothing is fragmented.
+    */
+  def compactManifest(spark: SparkSession, path: String,
+                      maxFiles: Int = 1,
+                      maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    import spark.implicits._
+    require(ManifestLake.isManifestLake(spark, path),
+      s"Compactor.compactManifest: $path is not a manifest lake")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = ManifestLake.currentEntries(spark, path)
+    val fragged = entries.toSeq.sortBy(_._1).flatMap { case (rel, txn) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/data/$txn/$rel")
+      val n = fs.listStatus(dir).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (n > maxFiles) Some((rel, txn, n)) else None
+    }
+    val summary = fragged.map { case (rel, _, n) => (rel, n) }
+      .toDF("partition", "files_before")
+    if (fragged.isEmpty) return summary
+    // partition keys come from the rel paths (every entry of a lake
+    // shares the same key set by construction of the writing merge)
+    val keys = fragged.head._1.split("/").map(_.split("=", 2)(0)).toSeq
+    val affected = fragged
+      .map { case (rel, txn, _) => ManifestLake.readEntry(spark, path, rel, txn) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .localCheckpoint()
+      // one task per partition → one output file per partition
+      .repartition(keys.map(col): _*)
+    // maxRecordsPerFile caps pathological partitions, as in compact() —
+    // a per-write option, not a session conf mutation
+    ManifestLake.replacePartitions(spark, path, fragged.map(_._1).toSet,
+      affected, keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+    summary.orderBy($"partition")
   }
 
   /** Z-order clustering rewrite: re-lay an (unpartitioned) dataset's

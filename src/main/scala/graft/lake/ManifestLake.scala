@@ -301,7 +301,13 @@ object ManifestLake {
 
     val txnName = newTxnDirName(v)
     val txnDir = s"$path/data/$txnName"
-    deduped.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
+    // cluster by partition key before the write (the lock path's
+    // round-11 small-file fix, mirrored): without it every post-dedup
+    // task can emit a file into every touched partition dir — up to
+    // tasks × dirs fragments per merge, each a footer to open on every
+    // later read until compactManifest runs
+    deduped.repartition(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
 
     beforeCommitHook()
 
@@ -332,13 +338,15 @@ object ManifestLake {
     */
   private[lake] def replacePartitions(spark: SparkSession, path: String,
                                       touchedRels: Set[String], replacement: DataFrame,
-                                      keys: Seq[String]): Unit = {
+                                      keys: Seq[String],
+                                      writerOptions: Map[String, String] = Map.empty): Unit = {
     val fs = fsFor(spark, path)
     val v = currentVersion(fs, path)
     val manifest = readManifest(fs, path, v)
     val txnName = newTxnDirName(v)
     val txnDir = s"$path/data/$txnName"
-    replacement.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
+    replacement.write.mode(SaveMode.Overwrite).options(writerOptions)
+      .partitionBy(keys: _*).parquet(txnDir)
     beforeCommitHook()
     val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))
     val next = manifest -- touchedRels ++ written.map(_ -> txnName).toMap
@@ -349,7 +357,7 @@ object ManifestLake {
     * partition count; rewriting verbs use it to resolve which committed
     * partitions a predicate touches.
     */
-  private[lake] def currentEntries(spark: SparkSession, path: String): Map[String, String] = {
+  private[graft] def currentEntries(spark: SparkSession, path: String): Map[String, String] = {
     val fs = fsFor(spark, path)
     readManifest(fs, path, currentVersion(fs, path))
   }
