@@ -134,8 +134,13 @@ object ManifestLake {
     if (!fs.exists(dir)) return Set.empty
     fs.listStatus(dir).map(_.getPath).collect {
       case p if ManifestName.findFirstIn(p.getName).isDefined =>
-        manifestText(fs, p).linesIterator
-          .filter(_.startsWith("#tag=")).map(_.stripPrefix("#tag=")).toSeq
+        // the tag header is the FIRST line by construction — read just
+        // it, not the whole entry list (O(versions) one-line reads per
+        // tagged merge, not O(versions × partitions))
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        val first = try Option(in.readLine()) finally in.close()
+        first.filter(_.startsWith("#tag=")).map(_.stripPrefix("#tag=")).toSeq
     }.flatten.toSet
   }
 
