@@ -40,6 +40,12 @@ object PerfSteady {
     "q100_dedup_increment" -> 1.4,
     "q198_schema_evolution_replay" -> 3.8,
     "q199_erase_merge_interleave" -> 3.2,
+    // round-12 lake replays (manifest commits + feed reconstruction;
+    // measured on a ~1.45×-degraded host, normalized by same-session q175)
+    "q201_stats_skipping_scan" -> 3.6,
+    "q202_change_data_feed" -> 5.3,
+    "q203_cdf_view_maintenance" -> 4.7,
+    "q204_cdf_replication" -> 4.8,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

@@ -20,6 +20,7 @@ object SparkEntry {
       Mixing.queries ++ SemDedup.queries ++ RuntimeFilter.queries ++ Indicators.queries ++
       Drift.queries ++ GraphOps.queries ++ LmOps.queries ++ Sketches.queries ++
       Retrieval.queries ++ PortableSimHash.queries ++ Fuzzy.queries ++ DimOps.queries ++
+      LakeOps.queries ++
       Map( // engine-hash pipelines (q36 oracle-checked end-to-end via the
         // recall-1 banding argument; q37/q43 via planted-invariant audits)
         "q36_minhash_dedup" -> (MinHashLsh.q36MinhashDedup _),
@@ -42,6 +43,7 @@ object SparkEntry {
       Mixing.oracles ++ SemDedup.oracles ++ RuntimeFilter.oracles ++ Indicators.oracles ++
       Drift.oracles ++ GraphOps.oracles ++ LmOps.oracles ++ Sketches.oracles ++
       Retrieval.oracles ++ PortableSimHash.oracles ++ Fuzzy.oracles ++ DimOps.oracles ++
+      LakeOps.oracles ++
       Map("q50_blob_meta" -> Multimodal.q50Sql,
         "q51_image_pipeline" -> Multimodal.q51Sql,
         "q117_audio_pipeline" -> Multimodal.q117Sql,

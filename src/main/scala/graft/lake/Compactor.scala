@@ -164,6 +164,47 @@ object Compactor {
     summary.orderBy($"partition")
   }
 
+  /** Value-clustering rewrite for a MANIFEST lake: re-lay every
+    * committed partition's rows sorted by `sortCols`, split into
+    * `maxRecordsPerFile`-bounded files, published through one
+    * [[ManifestLake.replacePartitions]] commit. Because each output
+    * file then covers a contiguous `sortCols` range, its min/max
+    * statistics are tight and [[FileStats.readSkipping]] prunes
+    * non-matching files — the write-side half of data skipping
+    * (Delta's `OPTIMIZE ... ZORDER BY` has this exact two-step:
+    * cluster on write, skip on read). Linear sort keys cluster ONE
+    * dimension perfectly; for multi-dimensional boxes pass a Morton
+    * key expression as the sort column (q200's `z_interleave_n`).
+    *
+    * Same transactional posture as [[compactManifest]]: readers
+    * mid-rewrite resolve the pre-commit manifest, a racing merge is
+    * ordered by the commit CAS, superseded files await vacuum. Cost:
+    * one shuffle + in-partition sort of the lake's live data — a
+    * maintenance rewrite at compaction cadence, never per query.
+    */
+  def clusterManifest(spark: SparkSession, path: String, sortCols: Seq[String],
+                      maxRecordsPerFile: Long): Unit = {
+    require(ManifestLake.isManifestLake(spark, path),
+      s"Compactor.clusterManifest: $path is not a manifest lake")
+    // sort keys are SQL expressions: a plain column name clusters one
+    // dimension; a Morton key (`z_interleave_n(...)`) clusters a
+    // multi-dimensional box (q200's kernel on the real write path)
+    graft.plans.GraftExtensions.register(spark)
+    val entries = ManifestLake.currentEntries(spark, path)
+    if (entries.isEmpty) return
+    val keys = entries.keysIterator.next().split("/").map(_.split("=", 2)(0)).toSeq
+    val affected = entries.toSeq.sortBy(_._1)
+      .map { case (rel, txn) => ManifestLake.readEntry(spark, path, rel, txn) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .localCheckpoint()
+      // one task per partition, rows sorted so sequential maxRecordsPerFile
+      // rolls produce value-contiguous files
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col) ++ sortCols.map(expr): _*)
+    ManifestLake.replacePartitions(spark, path, entries.keySet, affected,
+      keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+  }
+
   /** Z-order clustering rewrite: re-lay an (unpartitioned) dataset's
     * files along the Morton curve of two dimension columns
     * ([[graft.functions.ZInterleave]]), so every output file's min/max

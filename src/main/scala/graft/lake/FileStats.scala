@@ -1,0 +1,219 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** File-level column statistics + data-skipping scans for the manifest
+  * lake — the layer that turns q171/q200's SIMULATED footer pruning into
+  * a real scan primitive (Delta's stats-in-transaction-log / Iceberg's
+  * manifest value_counts+bounds, re-expressed over [[ManifestLake]]).
+  *
+  * Partition pruning answers "which directories"; file stats answer
+  * "which FILES inside them" — the difference between opening 10^5
+  * footers and 10^2 on a 100 TB lake when the data is value-clustered
+  * (compaction/Z-order lay consecutive key ranges into consecutive
+  * files; see [[Compactor.clusterManifest]]).
+  *
+  * Layout: one immutable TSV sidecar PER TXN DIRECTORY at
+  * `_manifest/stats-<txnName>.tsv`, lines of
+  * `fileRel \t col \t tag \t rows \t nulls \t min \t max` (min/max
+  * URL-encoded; `tag` ∈ num|str). Sidecars share the txn's lifecycle:
+  * written once (create-no-overwrite — a concurrent ANALYZE of the same
+  * txn computes identical content, the loser's create is a benign
+  * no-op), reclaimed by [[ManifestLake.vacuum]] with the txn. They are
+  * NOT part of the commit CAS: a txn with no sidecar simply scans all
+  * of its files (stats are an optimization with a conservative
+  * fallback, never a correctness dependency).
+  *
+  * [[collectStats]] is incremental by construction: it stats only
+  * currently-referenced txns that lack a sidecar, reading each such txn
+  * once (batch-bounded — new merges add one txn; ANALYZE after each
+  * merge costs O(that merge's data), never lake size).
+  *
+  * [[readSkipping]] prunes with closed-interval range predicates: a
+  * file survives unless its recorded [min,max] provably misses the
+  * range or it is all-null on the column — absent stats always scan.
+  * The returned relation is a SUPERSET of the matching rows (the caller
+  * applies its exact filter on top), so a pruning bug can only cost
+  * performance if it widens and is caught by the hash check if it
+  * narrows — q201 rides exactly that contract.
+  */
+object FileStats {
+
+  /** Inclusive value range on `col`; bounds are strings interpreted per
+    * the recorded stat type (numeric → BigDecimal, string → lexicographic).
+    */
+  final case class ColRange(col: String, lo: String, hi: String)
+
+  /** A stats-pruned scan plus its skipping audit. `rowsTotal`/
+    * `rowsScanned` count only files with known stats (files lacking
+    * stats are scanned and counted in the file tally alone).
+    */
+  final case class SkipScan(df: DataFrame, filesTotal: Long, filesScanned: Long,
+                            rowsTotal: Long, rowsScanned: Long)
+
+  private[lake] def statsPath(path: String, txn: String): Path =
+    new Path(ManifestLake.manifestDir(path), s"stats-$txn.tsv")
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def tagOf(dt: DataType): String = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => "num"
+    case _: StringType => "str"
+    case other => throw new IllegalArgumentException(
+      s"FileStats: unsupported stats column type $other — derive a " +
+        "numeric or string column first (epoch-µs for timestamps)")
+  }
+
+  /** One stats line: (fileRel, col, tag, rows, nulls, min, max). */
+  private final case class Stat(tag: String, rows: Long, nulls: Long,
+                                min: Option[String], max: Option[String])
+
+  /** ANALYZE: record per-file (rows, nulls, min, max) for `columns` on
+    * every currently-referenced txn that lacks a sidecar. Returns the
+    * number of txn directories statted this call.
+    */
+  def collectStats(spark: SparkSession, path: String, columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "FileStats: no stats columns given")
+    require(ManifestLake.isManifestLake(spark, path),
+      s"FileStats: $path is not a manifest lake")
+    val fs = fsFor(spark, path)
+    val txns = ManifestLake.currentEntries(spark, path).values.toSet.toSeq.sorted
+    var statted = 0L
+    txns.foreach { txn =>
+      val sp = statsPath(path, txn)
+      if (!fs.exists(sp)) {
+        val dir = s"$path/data/$txn"
+        val df = spark.read.parquet(dir)
+        val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val tags = columns.map { c =>
+          c -> present.get(c).map(tagOf).getOrElse("str") // absent ⇒ all-null
+        }.toMap
+        val statCols: Seq[Column] = columns.flatMap { c =>
+          val v = if (present.contains(c)) col(c) else lit(null).cast("string")
+          Seq(count(v).as(s"__nn_$c"),
+            min(v).cast("string").as(s"__min_$c"),
+            max(v).cast("string").as(s"__max_$c"))
+        }
+        val rows = df
+          .groupBy(input_file_name().as("__file"))
+          .agg(count(lit(1)).as("__rows"), statCols: _*)
+          .collect() // bounded by the txn's FILE count — metadata-sized
+        val marker = s"/data/$txn/"
+        val lines = rows.flatMap { r =>
+          val file = r.getAs[String]("__file")
+          val idx = file.indexOf(marker)
+          require(idx >= 0, s"FileStats: file $file not under txn $txn")
+          val fileRel = file.substring(idx + marker.length)
+          val n = r.getAs[Long]("__rows")
+          columns.map { c =>
+            val nn = r.getAs[Long](s"__nn_$c")
+            val mn = Option(r.getAs[String](s"__min_$c")).map(enc)
+            val mx = Option(r.getAs[String](s"__max_$c")).map(enc)
+            Seq(enc(fileRel), enc(c), tags(c), n.toString, (n - nn).toString,
+              mn.getOrElse(""), mx.getOrElse("")).mkString("\t")
+          }
+        }
+        // create-no-overwrite: racing ANALYZEs of the same immutable txn
+        // compute identical content — the loser's failed create is benign
+        try {
+          val out = fs.create(sp, /* overwrite = */ false)
+          try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          statted += 1
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    statted
+  }
+
+  /** Sidecar lines for `txn`: (fileRel, col) → Stat; empty when absent. */
+  private def readSidecar(fs: FileSystem, path: String,
+                          txn: String): Map[(String, String), Stat] = {
+    val sp = statsPath(path, txn)
+    if (!fs.exists(sp)) return Map.empty
+    val in = fs.open(sp)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      (dec(f(0)), dec(f(1))) -> Stat(f(2), f(3).toLong, f(4).toLong,
+        if (f(5).isEmpty) None else Some(dec(f(5))),
+        if (f(6).isEmpty) None else Some(dec(f(6))))
+    }.toMap
+  }
+
+  /** Does a file with `st` possibly hold a row in [lo, hi] on its column? */
+  private def intersects(st: Stat, r: ColRange): Boolean = {
+    if (st.nulls >= st.rows) return false // all-null: a range never matches
+    (st.min, st.max) match {
+      case (Some(mn), Some(mx)) if st.tag == "num" =>
+        val (lo, hi) = (BigDecimal(r.lo), BigDecimal(r.hi))
+        BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+      case (Some(mn), Some(mx)) =>
+        mx >= r.lo && mn <= r.hi
+      case _ => true // no recorded bounds: scan
+    }
+  }
+
+  /** Stats-pruned read of the lake's current state: open only files
+    * whose recorded bounds can intersect EVERY range in `ranges`
+    * (conjunctive semantics). Files without stats always scan. The
+    * result is a superset of the rows matching the ranges — apply the
+    * exact filter on top.
+    */
+  def readSkipping(spark: SparkSession, path: String,
+                   ranges: Seq[ColRange]): SkipScan = {
+    require(ranges.nonEmpty, "FileStats: no ranges — use ManifestLake.read")
+    val fs = fsFor(spark, path)
+    val entries = ManifestLake.currentEntries(spark, path)
+    val byTxn = entries.values.toSet.toSeq.sorted
+      .map(txn => txn -> readSidecar(fs, path, txn)).toMap
+
+    var filesTotal = 0L; var filesScanned = 0L
+    var rowsTotal = 0L; var rowsScanned = 0L
+    // (rel, surviving absolute file paths) per manifest entry
+    val surviving: Seq[(String, Seq[String])] = entries.toSeq.sortBy(_._1).map {
+      case (rel, txn) =>
+        val stats = byTxn(txn)
+        val dir = new Path(s"$path/data/$txn/$rel")
+        val files = fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (s"$rel/${f.getPath.getName}", f.getPath.toString))
+        val kept = files.filter { case (fileRel, _) =>
+          val known = ranges.flatMap(r => stats.get((fileRel, r.col)).map(r -> _))
+          known.headOption.foreach { case (_, st) => rowsTotal += st.rows }
+          val keep = known.forall { case (r, st) => intersects(st, r) }
+          if (keep) known.headOption.foreach { case (_, st) => rowsScanned += st.rows }
+          keep
+        }
+        filesTotal += files.size; filesScanned += kept.size
+        rel -> kept.map(_._2)
+    }
+
+    val parts = surviving.filter(_._2.nonEmpty).map { case (rel, files) =>
+      val df = spark.read.parquet(files: _*)
+      rel.split("/").toSeq.foldLeft(df) { (d, seg) =>
+        val Array(k, v) = seg.split("=", 2)
+        d.withColumn(k, lit(v))
+      }
+    }
+    val df = parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val schema = MergeWriter.readStoredSchema(fs, path).getOrElse(
+          throw new IllegalStateException(
+            s"FileStats: every file pruned at $path and no tracked schema " +
+              "sidecar to type the empty relation"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+    SkipScan(df, filesTotal, filesScanned, rowsTotal, rowsScanned)
+  }
+}

@@ -86,7 +86,7 @@ object ManifestLake {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestDir(path: String) = new Path(path, "_manifest")
+  private[lake] def manifestDir(path: String) = new Path(path, "_manifest")
   private def dataDir(path: String) = new Path(path, "data")
 
   /** A lake is a manifest lake iff the `_manifest` directory exists. */
@@ -96,7 +96,7 @@ object ManifestLake {
   private val ManifestName = """m(\d+)\.txt""".r
 
   /** Highest committed manifest version; 0 = empty lake. */
-  private def currentVersion(fs: FileSystem, path: String): Long = {
+  private[lake] def currentVersion(fs: FileSystem, path: String): Long = {
     val dir = manifestDir(path)
     if (!fs.exists(dir)) return 0L
     fs.listStatus(dir).map(_.getPath.getName).collect {
@@ -114,7 +114,7 @@ object ManifestLake {
     * numeric txn values (pre-token manifests stored the version number)
     * normalize to their `txn-<n>` directory.
     */
-  private def readManifest(fs: FileSystem, path: String, v: Long): Map[String, String] = {
+  private[lake] def readManifest(fs: FileSystem, path: String, v: Long): Map[String, String] = {
     if (v == 0L) return Map.empty
     val txt = manifestText(fs, new Path(manifestDir(path), s"m$v.txt"))
     txt.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
@@ -404,6 +404,9 @@ object ManifestLake {
       live.get(name) match {
         case None =>
           if (fs.delete(s.getPath, true)) removed += 1
+          // a reclaimed txn's file-stats sidecar (FileStats.collectStats)
+          // describes files that no longer exist — reclaim it with the txn
+          fs.delete(FileStats.statsPath(path, name), false)
         case Some(refs) =>
           leafPartitions(fs, s.getPath, s.getPath).foreach { rel =>
             if (!refs.contains(rel) && fs.delete(new Path(s.getPath, rel), true))

@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+import graft.functions.Exact
+
+/** Table-format maturity queries over the manifest lake: real file-level
+  * data skipping ([[graft.lake.FileStats]], q201), the change data feed
+  * ([[graft.lake.ChangeFeed]], q202), and CDF-driven incremental view
+  * maintenance (q203). These replay against scratch manifest lakes the
+  * way q175/q198/q199 do — the oracle hash-checks the verbs' combined
+  * semantics at data scale; file-count/race forensics live in
+  * FileStatsSpec / ChangeFeedSpec.
+  */
+object LakeOps {
+  private val D = DecimalType(38, 10)
+
+  private def scratch(s: SparkSession, d: String, name: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val lake = s"$wh/graft_${name}_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, lake)
+    lake
+  }
+
+  /** q201 — file-level statistics + data-skipping scan, end-to-end on
+    * the REAL verbs: orders merge into a status-partitioned manifest
+    * lake, [[graft.lake.Compactor.clusterManifest]] re-lays each
+    * partition sorted by `o_totalprice` into bounded files (so every
+    * file covers a contiguous price range),
+    * [[graft.lake.FileStats.collectStats]] records per-file min/max,
+    * and the query reads a ~10 % price band through
+    * [[graft.lake.FileStats.readSkipping]] — opening only files whose
+    * recorded bounds intersect the band (an in-query guard proves files
+    * were actually pruned; the exact counts are pinned on real files in
+    * FileStatsSpec). The hash check rides the skipping contract: a
+    * pruning bug that drops a matching file loses rows and breaks the
+    * hash; the exact band filter on top makes over-scanning invisible
+    * to correctness — precisely how production skipping must fail.
+    *
+    * Scale: this is the 100 TB read-path answer q171/q200 only
+    * SIMULATED — partition pruning picks directories, file stats pick
+    * files inside them, and the band scan opens O(band) files instead
+    * of O(lake). Stats collection reads each txn once (incremental —
+    * new merges stat only their own files); the band bounds derive
+    * from one aggregate row.
+    */
+  def q201StatsSkippingScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice")
+      .localCheckpoint()
+    val lake = scratch(s, d, "skip")
+    graft.lake.ManifestLake.mergeKeyed(s, o, lake,
+      keys = Seq("status"), dedupKeys = Seq($"o_orderkey"),
+      order = Seq($"o_orderkey"))
+    // value-cluster: each partition sorted by price, files rolled every
+    // 512 rows — consecutive price ranges land in consecutive files
+    graft.lake.Compactor.clusterManifest(s, lake, Seq("o_totalprice"), 512L)
+    graft.lake.FileStats.collectStats(s, lake, Seq("o_totalprice"))
+    // band bounds from one aggregate row, identical double arithmetic in
+    // the oracle: [min + 6·span/10, min + 7·span/10), floored to integers
+    val bounds = o.agg(min($"o_totalprice"), max($"o_totalprice")).head()
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val span = mx - mn
+    val lo = math.floor(mn + 6.0 * span / 10.0)
+    val hi = math.floor(mn + 7.0 * span / 10.0)
+    val scan = graft.lake.FileStats.readSkipping(s, lake,
+      Seq(graft.lake.FileStats.ColRange("o_totalprice", lo.toString, hi.toString)))
+    // the skipping must have done real work whenever the layout allows
+    // it (>1 file per partition); tiny inputs degenerate to no-op scans
+    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
+      s"q201: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
+        "stats-based skipping is not working")
+    scan.df
+      .filter($"o_totalprice" >= lo && $"o_totalprice" <= hi)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"), Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"status")
+  }
+
+  val q201Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND o_totalprice IS NOT NULL
+       |), b AS (
+       |  SELECT FLOOR(MIN(o_totalprice) + 6 * (MAX(o_totalprice) - MIN(o_totalprice)) / 10) AS lo,
+       |         FLOOR(MIN(o_totalprice) + 7 * (MAX(o_totalprice) - MIN(o_totalprice)) / 10) AS hi
+       |  FROM o
+       |)
+       |SELECT status, COUNT(*) AS n_orders,
+       |       ${Exact.sqlDsum("o_totalprice")} AS revenue
+       |FROM o, b
+       |WHERE o_totalprice >= lo AND o_totalprice <= hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The q202/q203 CDC replay: orders keyed by `o_orderkey` into a
+    * hash-bucketed manifest lake, three committed versions —
+    * v1: years ≤ 1997; v2: price corrections (+1000, keys ≡ 0,1,2
+    * mod 10) re-delivered alongside the 1998 inserts; v3: a GDPR
+    * erasure of every key ≡ 0 mod 7. Returns the lake path.
+    */
+  private def cdcReplay(s: SparkSession, d: String, name: String,
+                        buckets: Int = 8): String = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice",
+        year($"o_orderdate").as("yr"),
+        // few buckets at test scale: every commit reads/writes a
+        // per-bucket relation, so bucket count prices the replay's fixed
+        // overhead — a deployment sizes buckets to data volume, not this
+        pmod(hash($"o_orderkey"), lit(buckets)).cast("string").as("bucket"))
+      .localCheckpoint()
+    val lake = scratch(s, d, name)
+    def merge(batch: DataFrame, seq: Long): Unit = {
+      graft.lake.ManifestLake.mergeKeyed(s,
+        batch.drop("yr").withColumn("ingest_seq", lit(seq)), lake,
+        keys = Seq("bucket"), dedupKeys = Seq($"o_orderkey"),
+        order = Seq($"ingest_seq", $"o_orderkey"))
+      ()
+    }
+    merge(o.filter($"yr" <= 1997), 1L) // v1
+    val corrections = o.filter($"yr" <= 1997 && $"o_orderkey" % 10 < 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+    merge(corrections.unionByName(o.filter($"yr" === 1998)), 2L) // v2
+    graft.lake.Eraser.eraseKeys(s, lake, "o_orderkey",
+      o.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"),
+      buckets = buckets) // v3
+    lake
+  }
+
+  /** q202 — change data feed between committed versions, on the REAL
+    * [[graft.lake.ChangeFeed.readChanges]] over the cdcReplay lake:
+    * v1 → v3 must classify the 1998 arrivals as inserts, the erased
+    * keys' v1 rows as deletes, and the price corrections as
+    * update_preimage/update_postimage pairs — while keys that were
+    * BOTH inserted and erased inside the window emit nothing (a CDF
+    * between endpoints is a state diff, not an event log) and a key
+    * both corrected and erased emits a delete carrying its ORIGINAL
+    * price (the correction never survived to the endpoint). The oracle
+    * reconstructs all four classes relationally from raw orders.
+    *
+    * Scale: the feed diffs the two MANIFESTS first and reads only
+    * partitions whose entry changed — a 3-partition merge on a 10^5
+    * partition lake costs 6 directory reads, never a lake scan; the
+    * only shuffle is the changed rows' key join.
+    */
+  def q202ChangeDataFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lake = cdcReplay(s, d, "cdf")
+    graft.lake.ChangeFeed.readChanges(s, lake, 1L, 3L, Seq("o_orderkey"))
+      .groupBy($"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"_change_type")
+  }
+
+  val q202Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_totalprice, YEAR(o_orderdate) AS yr FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |), b1 AS (
+       |  SELECT * FROM o WHERE yr <= 1997
+       |), changes AS (
+       |  SELECT 'insert' AS _change_type, o_orderkey, o_totalprice AS price
+       |  FROM o WHERE yr = 1998 AND o_orderkey % 7 <> 0
+       |  UNION ALL
+       |  SELECT 'delete', o_orderkey, o_totalprice
+       |  FROM b1 WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT 'update_preimage', o_orderkey, o_totalprice
+       |  FROM b1 WHERE o_orderkey % 10 < 3 AND o_orderkey % 7 <> 0
+       |  UNION ALL
+       |  SELECT 'update_postimage', o_orderkey, o_totalprice + 1000
+       |  FROM b1 WHERE o_orderkey % 10 < 3 AND o_orderkey % 7 <> 0
+       |)
+       |SELECT _change_type, COUNT(*) AS n_rows,
+       |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       |       ${Exact.sqlDsum("price")} AS revenue
+       |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q203 — incremental view maintenance FROM the change feed, closing
+    * the IVM family (q174 aggregates from deltas the producer hands
+    * over; q184 joins; this one needs NO producer cooperation — the
+    * lake's own CDF is the delta stream): a per-status (count, revenue)
+    * view materialized at v1 is advanced to v3 purely by applying
+    * readChanges(1, 3) with the sign algebra insert/post → +1,
+    * delete/pre → −1, in exact DECIMAL(38,10) so the maintained sums
+    * are bit-equal to recomputation. The oracle recomputes the v3 state
+    * directly from raw orders — the hash proves maintained ≡ recomputed.
+    *
+    * Scale: the view update reads changed partitions only (CDF
+    * metadata pruning) and touches |changed statuses| view rows —
+    * a materialized aggregate over 100 TB advances per merge at the
+    * cost of the merge's own data, never a rescan.
+    */
+  def q203CdfViewMaintenance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lake = cdcReplay(s, d, "ivm")
+    val view0 = graft.lake.ManifestLake.readAt(s, lake, 1L)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n0"), sum($"o_totalprice".cast(D)).as("rev0"))
+    val delta = graft.lake.ChangeFeed.readChanges(s, lake, 1L, 3L, Seq("o_orderkey"))
+      .withColumn("sign",
+        when($"_change_type".isin("insert", "update_postimage"), lit(1))
+          .otherwise(lit(-1)))
+      .groupBy($"status")
+      .agg(sum($"sign").cast("long").as("dn"),
+        // signed via negation, not decimal multiply — a (38,10)×(38,10)
+        // product would widen the scale and round, losing bit-exactness
+        sum(when($"sign" === 1, $"o_totalprice")
+          .otherwise(-$"o_totalprice").cast(D)).as("drev"))
+    val zero = lit(BigDecimal(0)).cast(D)
+    view0.join(delta, Seq("status"), "full_outer")
+      .select($"status",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"rev0", zero) + coalesce($"drev", zero)).as("rev"))
+      .filter($"n_orders" > 0)
+      .select($"status", $"n_orders",
+        (floor($"rev" * 10000).cast("double") / 10000.0).as("revenue"))
+      .orderBy($"status")
+  }
+
+  val q203Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+       |         YEAR(o_orderdate) AS yr
+       |  FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |), state3 AS (
+       |  SELECT status,
+       |         CASE WHEN yr <= 1997 AND o_orderkey % 10 < 3
+       |              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+       |  FROM o
+       |  WHERE yr <= 1998 AND o_orderkey % 7 <> 0
+       |)
+       |SELECT status, COUNT(*) AS n_orders, ${Exact.sqlDsum("price")} AS revenue
+       |FROM state3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q204 — CDF-driven replica synchronization, the constructive verb
+    * next to q192's repair DIFF (q192 localizes divergence; this one
+    * prevents it): a second lake replays the source's history purely by
+    * CONSUMING the change feed hop-by-hop — upserts (insert +
+    * update_postimage) apply through the replica's own
+    * [[graft.lake.ManifestLake.mergeKeyed]], deletes through its
+    * [[graft.lake.Eraser]] — and the output aggregates BOTH lakes
+    * side-by-side per status, so the hash proves replica ≡ source
+    * cell-for-cell after inserts, corrections, and an erasure crossed
+    * the wire. This is cross-region replication / disaster recovery on
+    * the lake's own primitives: no dual-writing producer, no full-table
+    * copies, idempotent on redelivery (the merge absorbs, the erase
+    * re-removes).
+    *
+    * Scale: each hop ships only the hop's changed rows (CDF metadata
+    * pruning on the source side, touched-partition merges on the
+    * replica side); a replica of a 100 TB lake advances per commit at
+    * the cost of that commit's delta. GDPR erasures REPLICATE — the
+    * compliance property a naive upsert-only mirror silently loses.
+    */
+  def q204CdfReplication(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // 4 buckets: this replay pays the per-partition fixed cost on BOTH
+    // lakes (~7 commits + 3 feed joins), so halve the partition fan
+    val source = cdcReplay(s, d, "repl_src", buckets = 4)
+    val replica = scratch(s, d, "repl_dst")
+    (1L to 3L).foreach { v =>
+      val changes = graft.lake.ChangeFeed
+        .readChanges(s, source, v - 1, v, Seq("o_orderkey"))
+        .localCheckpoint()
+      val upserts = changes
+        .filter($"_change_type".isin("insert", "update_postimage"))
+        .drop("_change_type")
+      if (!upserts.isEmpty) {
+        graft.lake.ManifestLake.mergeKeyed(s, upserts, replica,
+          keys = Seq("bucket"), dedupKeys = Seq($"o_orderkey"),
+          order = Seq($"ingest_seq", $"o_orderkey"))
+      }
+      val deletes = changes.filter($"_change_type" === "delete")
+        .select($"o_orderkey")
+      if (!deletes.isEmpty)
+        graft.lake.Eraser.eraseKeys(s, replica, "o_orderkey", deletes, buckets = 4)
+    }
+    def stateOf(lake: String, nCol: String, revCol: String): DataFrame =
+      graft.lake.ManifestLake.read(s, lake)
+        .groupBy($"status")
+        .agg(count(lit(1)).as(nCol), Exact.dsum($"o_totalprice").as(revCol))
+    stateOf(source, "n_orders", "revenue")
+      .join(stateOf(replica, "n_orders_replica", "revenue_replica"),
+        Seq("status"), "full_outer")
+      .orderBy($"status")
+  }
+
+  /** Source and replica agree, so both column pairs carry the v3 state. */
+  val q204Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+       |         YEAR(o_orderdate) AS yr
+       |  FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |), state3 AS (
+       |  SELECT status,
+       |         CASE WHEN yr <= 1997 AND o_orderkey % 10 < 3
+       |              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+       |  FROM o
+       |  WHERE yr <= 1998 AND o_orderkey % 7 <> 0
+       |), agg AS (
+       |  SELECT status, COUNT(*) AS n, ${Exact.sqlDsum("price")} AS rev
+       |  FROM state3 GROUP BY 1
+       |)
+       |SELECT status, n AS n_orders, rev AS revenue,
+       |       n AS n_orders_replica, rev AS revenue_replica
+       |FROM agg ORDER BY status""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_stats_skipping_scan" -> (q201StatsSkippingScan _),
+    "q202_change_data_feed" -> (q202ChangeDataFeed _),
+    "q203_cdf_view_maintenance" -> (q203CdfViewMaintenance _),
+    "q204_cdf_replication" -> (q204CdfReplication _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q201_stats_skipping_scan" -> q201Sql,
+    "q202_change_data_feed" -> q202Sql,
+    "q203_cdf_view_maintenance" -> q203Sql,
+    "q204_cdf_replication" -> q204Sql
+  )
+}

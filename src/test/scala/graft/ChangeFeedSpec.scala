@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.{ChangeFeed, Eraser, ManifestLake}
+
+/** Change data feed over the manifest lake ([[graft.lake.ChangeFeed]]):
+  * endpoint-diff semantics (insert/delete/update pre+post, carried rows
+  * silent), schema-evolution alignment, version hygiene, and the vacuum
+  * retention contract.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpLake(): String =
+    Files.createTempDirectory("graft_cdf").toString + "/lake"
+
+  private def merge(lake: String, df: DataFrame): Unit = {
+    ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+    ()
+  }
+
+  private def rows(seq: Long, t: (Long, Double, String)*): DataFrame =
+    t.map { case (id, v, part) => (id, v, part, seq) }.toDF("id", "v", "part", "seq")
+
+  /** Erasure ([[Eraser]]) requires the hash-bucket layout, so the
+    * delete-path tests merge with `bucket = pmod(hash(id), 16)` keys.
+    */
+  private def mergeBucketed(lake: String, df: DataFrame): Unit = {
+    val b = df.withColumn("bucket", pmod(hash($"id"), lit(16)).cast("string"))
+    ManifestLake.mergeKeyed(spark, b, lake, keys = Seq("bucket"),
+      dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+    ()
+  }
+
+  test("classifies insert / delete / update; carried-through rows are silent") {
+    val lake = tmpLake()
+    mergeBucketed(lake, rows(1, (1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))) // v1
+    mergeBucketed(lake, rows(2, (2L, 25.0, "a"), (4L, 40.0, "b"))) // v2: update 2, insert 4
+    Eraser.eraseKeys(spark, lake, "id", Seq(3L).toDF("id"))        // v3: delete 3
+    val feed = ChangeFeed.readChanges(spark, lake, 1L, 3L, Seq("id"))
+      .select($"id", $"v", $"_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (4L, 40.0, "insert"),
+      (3L, 30.0, "delete"),
+      (2L, 20.0, "update_preimage"),
+      (2L, 25.0, "update_postimage")),
+      s"row 1 was carried through v1→v3 unchanged and must be silent: $feed")
+  }
+
+  test("endpoint diff, not event log: insert-then-delete inside the window emits nothing") {
+    val lake = tmpLake()
+    mergeBucketed(lake, rows(1, (1L, 1.0, "a")))          // v1
+    mergeBucketed(lake, rows(2, (9L, 9.0, "a")))          // v2: insert 9
+    Eraser.eraseKeys(spark, lake, "id", Seq(9L).toDF("id")) // v3: delete 9
+    val feed = ChangeFeed.readChanges(spark, lake, 1L, 3L, Seq("id"))
+    assert(feed.count() == 0, "9 never existed at either endpoint")
+    // but each hop sees its half
+    assert(ChangeFeed.readChanges(spark, lake, 1L, 2L, Seq("id"))
+      .select($"_change_type").as[String].collect().toSeq == Seq("insert"))
+    assert(ChangeFeed.readChanges(spark, lake, 2L, 3L, Seq("id"))
+      .select($"_change_type").as[String].collect().toSeq == Seq("delete"))
+  }
+
+  test("fromVersion 0 diffs against the empty lake: everything is an insert") {
+    val lake = tmpLake()
+    merge(lake, rows(1, (1L, 1.0, "a"), (2L, 2.0, "b")))
+    val feed = ChangeFeed.readChanges(spark, lake, 0L, 1L, Seq("id"))
+    assert(feed.filter($"_change_type" === "insert").count() == 2)
+    assert(feed.count() == 2)
+  }
+
+  test("schema evolution: a column born mid-window does not fabricate updates") {
+    val lake = tmpLake()
+    merge(lake, rows(1, (1L, 1.0, "a"), (2L, 2.0, "a")))                 // v1
+    // v2 adds column `w` but only TOUCHES key 2 (same v, new w value);
+    // key 1's row is rewritten into the new txn by the partition rewrite
+    // with NO value change — it must stay silent even though the old
+    // side lacks the column entirely
+    merge(lake, rows(2, (2L, 2.0, "a")).withColumn("w", lit(7.0)))       // v2
+    val feed = ChangeFeed.readChanges(spark, lake, 1L, 2L, Seq("id"))
+    val types = feed.select($"id", $"_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(types == Set((2L, "update_preimage"), (2L, "update_postimage")),
+      s"key 1 (null w both sides after alignment — its seq/v unchanged) " +
+        s"must be silent: $types")
+    val post = feed.filter($"_change_type" === "update_postimage")
+      .select($"w").as[Double].collect().toSeq
+    assert(post == Seq(7.0))
+  }
+
+  test("only changed partitions are read: untouched partition directories stay cold") {
+    val lake = tmpLake()
+    merge(lake, rows(1, (1L, 1.0, "a"), (2L, 2.0, "b")))   // v1
+    merge(lake, rows(2, (3L, 3.0, "a")))                    // v2 touches only a
+    // drop partition b's committed files from disk: if the feed tried to
+    // read them the scan would fail — metadata pruning must keep it cold
+    val entries = ManifestLake.currentEntries(spark, lake)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$lake/data/${entries("part=b")}/part=b"), true)
+    val feed = ChangeFeed.readChanges(spark, lake, 1L, 2L, Seq("id"))
+    assert(feed.select($"id", $"_change_type").as[(Long, String)]
+      .collect().toSet == Set((3L, "insert")))
+  }
+
+  test("version hygiene: bad ranges and vacuumed manifests fail loud") {
+    val lake = tmpLake()
+    merge(lake, rows(1, (1L, 1.0, "a")))
+    merge(lake, rows(2, (2L, 2.0, "a")))
+    merge(lake, rows(3, (3L, 3.0, "a")))
+    intercept[IllegalArgumentException] {
+      ChangeFeed.readChanges(spark, lake, 2L, 9L, Seq("id"))
+    }
+    ManifestLake.vacuum(spark, lake, retainVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.readChanges(spark, lake, 1L, 3L, Seq("id"))
+    }
+    assert(e.getMessage.contains("retainVersions"))
+    // within the retained horizon the feed still works
+    assert(ChangeFeed.readChanges(spark, lake, 3L, 3L, Seq("id")).count() == 0)
+  }
+}

@@ -257,4 +257,35 @@ class CompactorSpec extends SparkSpec {
       assert(Compactor.compactManifest(spark, lake).isEmpty)
     } finally spark.conf.unset("spark.graft.lake.commit")
   }
+
+  test("clusterManifest with a Morton sort key: FileStats prunes a 2-dim box on the real write path") {
+    import graft.lake.{FileStats, ManifestLake}
+    import graft.lake.FileStats.ColRange
+    val lake = tmpLake()
+    // 32×32 grid in one partition, deliberately written in row-major
+    // order (x-sorted): a y predicate alone prunes nothing
+    val rows = (0 until 1024).map(i => (i.toLong, (i / 32).toLong, (i % 32).toLong, "p"))
+      .toDF("id", "x", "y", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    Compactor.clusterManifest(spark, lake,
+      Seq("z_interleave_n(cast(x as bigint), cast(y as bigint))"), 64L)
+    FileStats.collectStats(spark, lake, Seq("x", "y"))
+    // 16 z-ordered files of 64 rows = the 16 8×8 quadrants (order-2
+    // Morton blocks), so an 8×8 box on EITHER dimension pair prunes
+    val box = FileStats.readSkipping(spark, lake,
+      Seq(ColRange("x", "0", "7"), ColRange("y", "8", "15")))
+    assert(box.filesTotal == 16, s"expected 16 files, got ${box.filesTotal}")
+    assert(box.filesScanned == 1,
+      s"an aligned 8×8 box is exactly one Morton block: ${box.filesScanned}")
+    val got = box.df.filter($"x" <= 7 && $"y" >= 8 && $"y" <= 15)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (0 until 8).flatMap(x => (8 to 15).map(y => x * 32L + y)),
+      "the pruned scan must still produce every box row")
+    // each single dimension prunes too (the z-curve bounds both)
+    val xOnly = FileStats.readSkipping(spark, lake, Seq(ColRange("x", "0", "7")))
+    val yOnly = FileStats.readSkipping(spark, lake, Seq(ColRange("y", "0", "7")))
+    assert(xOnly.filesScanned == 4 && yOnly.filesScanned == 4,
+      s"one dim = one quadrant row/column: ${xOnly.filesScanned}, ${yOnly.filesScanned}")
+  }
 }

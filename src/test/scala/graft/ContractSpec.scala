@@ -35,7 +35,8 @@ class ContractSpec extends SparkSpec {
       PortableMinHash.queries, PortableAnn.queries, Mixing.queries,
       SemDedup.queries, RuntimeFilter.queries, Indicators.queries,
       Drift.queries, GraphOps.queries, LmOps.queries, Sketches.queries,
-      Retrieval.queries, PortableSimHash.queries, Fuzzy.queries, DimOps.queries)
+      Retrieval.queries, PortableSimHash.queries, Fuzzy.queries, DimOps.queries,
+      LakeOps.queries)
     val flat = perObject.flatMap(_.keys)
     val dups = flat.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"query names registered by more than one object: $dups")

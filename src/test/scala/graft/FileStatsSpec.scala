@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.{Compactor, FileStats, ManifestLake}
+import graft.lake.FileStats.ColRange
+
+/** File-level statistics + data-skipping scans ([[graft.lake.FileStats]]):
+  * pruning must be REAL (fewer files opened, counted on real files), the
+  * pruned relation must lose no matching row, absent stats must fail
+  * open (scan), and sidecars must follow their txn's lifecycle through
+  * vacuum.
+  */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpLake(): String =
+    Files.createTempDirectory("graft_fstats").toString + "/lake"
+
+  /** 400 rows, v in [0, 400), two partitions, price-clustered into
+    * 50-row files → 8 value-contiguous files per partition.
+    */
+  private def clusteredLake(): String = {
+    val lake = tmpLake()
+    val rows = (0 until 400)
+      .map(i => (i.toLong, i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "v", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    Compactor.clusterManifest(spark, lake, Seq("v"), 50L)
+    lake
+  }
+
+  test("skipping opens only files whose bounds intersect the range, loses no rows") {
+    val lake = clusteredLake()
+    assert(FileStats.collectStats(spark, lake, Seq("v")) == 1L)
+    val scan = FileStats.readSkipping(spark, lake, Seq(ColRange("v", "100", "149")))
+    assert(scan.filesTotal == 8, "4 files per partition expected")
+    assert(scan.filesScanned < scan.filesTotal, "must prune")
+    assert(scan.rowsScanned < scan.rowsTotal)
+    val got = scan.df.filter($"v" >= 100 && $"v" <= 149).select($"id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == (100L to 149L), "no matching row may be lost")
+  }
+
+  test("all-null and out-of-range files prune; absent stats fail open") {
+    val lake = tmpLake()
+    val withNulls = Seq[(Long, java.lang.Double, String)](
+      (1L, null, "n"), (2L, null, "n")).toDF("id", "v", "part")
+      .unionByName(Seq((3L, 5.0, "p"), (4L, 6.0, "p")).toDF("id", "v", "part"))
+    ManifestLake.mergeKeyed(spark, withNulls, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    FileStats.collectStats(spark, lake, Seq("v"))
+    // all-null partition file prunes under any range
+    val s1 = FileStats.readSkipping(spark, lake, Seq(ColRange("v", "0", "100")))
+    assert(s1.df.select($"id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // a second merge WITHOUT re-analyzing: its files lack stats → scanned
+    ManifestLake.mergeKeyed(spark, Seq((9L, 999.0, "q")).toDF("id", "v", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"id"))
+    val s2 = FileStats.readSkipping(spark, lake, Seq(ColRange("v", "0", "100")))
+    assert(s2.df.filter($"part" === "q").count() == 1,
+      "files without stats must be scanned, not dropped")
+  }
+
+  test("collectStats is incremental: only new txns are statted; strings prune lexicographically") {
+    val lake = tmpLake()
+    ManifestLake.mergeKeyed(spark,
+      Seq((1L, "apple", "x"), (2L, "banana", "x")).toDF("id", "s", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"id"))
+    assert(FileStats.collectStats(spark, lake, Seq("s")) == 1L)
+    assert(FileStats.collectStats(spark, lake, Seq("s")) == 0L, "idempotent")
+    ManifestLake.mergeKeyed(spark,
+      Seq((3L, "pear", "y")).toDF("id", "s", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"id"))
+    assert(FileStats.collectStats(spark, lake, Seq("s")) == 1L,
+      "only the new txn needs stats")
+    val scan = FileStats.readSkipping(spark, lake, Seq(ColRange("s", "o", "q")))
+    assert(scan.filesScanned == 1 && scan.filesTotal == 2)
+    assert(scan.df.select($"s").as[String].collect().toSeq == Seq("pear"))
+  }
+
+  test("every file pruned yields an empty, correctly-typed relation") {
+    val lake = clusteredLake()
+    FileStats.collectStats(spark, lake, Seq("v"))
+    val scan = FileStats.readSkipping(spark, lake,
+      Seq(ColRange("v", "5000", "6000")))
+    assert(scan.filesScanned == 0)
+    assert(scan.df.count() == 0)
+    assert(scan.df.columns.toSet == Set("id", "v", "part"))
+  }
+
+  test("vacuum reclaims a superseded txn's stats sidecar with the txn") {
+    val lake = clusteredLake()
+    FileStats.collectStats(spark, lake, Seq("v"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecars(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(lake, "_manifest"))
+        .map(_.getPath.getName).filter(_.startsWith("stats-")).toSeq.sorted
+    assert(sidecars().size == 1)
+    // rewrite everything (new txn), re-analyze, vacuum to current only
+    Compactor.clusterManifest(spark, lake, Seq("v"), 100L)
+    FileStats.collectStats(spark, lake, Seq("v"))
+    assert(sidecars().size == 2)
+    ManifestLake.vacuum(spark, lake, retainVersions = 1)
+    val left = sidecars()
+    assert(left.size == 1, s"superseded sidecar must be reclaimed: $left")
+    // the surviving sidecar matches the surviving txn
+    val scan = FileStats.readSkipping(spark, lake, Seq(ColRange("v", "0", "9")))
+    assert(scan.filesScanned < scan.filesTotal)
+    assert(scan.df.filter($"v" < 10).count() == 10)
+  }
+}

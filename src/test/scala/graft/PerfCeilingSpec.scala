@@ -39,6 +39,10 @@ class PerfCeilingSpec extends SparkSpec {
     "q168_scd2_replay" -> 1.60,
     "q198_schema_evolution_replay" -> 1.40,
     "q199_erase_merge_interleave" -> 1.40,
+    "q201_stats_skipping_scan" -> 1.80,
+    "q202_change_data_feed" -> 3.00,
+    "q203_cdf_view_maintenance" -> 2.60,
+    "q204_cdf_replication" -> 2.80,
     "q160_first_wins_replay" -> 1.40,
     "q167_stream_neardup_gate" -> 1.60,
     "q169_stream_join_replay" -> 1.20,
