@@ -46,6 +46,7 @@ object PerfSteady {
     "q202_change_data_feed" -> 5.3,
     "q203_cdf_view_maintenance" -> 4.7,
     "q204_cdf_replication" -> 4.8,
+    "q205_bloom_point_lookup" -> 5.5,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

@@ -59,6 +59,21 @@ object BloomUtil {
     }
   }
 
+  /** Driver-side probe over a plain array (file-skipping sidecars —
+    * [[graft.lake.FileStats]] — deserialize blooms outside any plan).
+    */
+  def mightContain(bits: Array[Long], key: Long): Boolean = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5bf03635dc1c7f8aL) | 1L
+    var i = 0
+    while (i < NumHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, NumBits).toInt
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Probe entry shared by interpreted eval and generated code (the
     * static forwarder makes it callable from codegen'd Java).
     */

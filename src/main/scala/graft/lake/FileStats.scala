@@ -57,6 +57,9 @@ object FileStats {
   private[lake] def statsPath(path: String, txn: String): Path =
     new Path(ManifestLake.manifestDir(path), s"stats-$txn.tsv")
 
+  private[lake] def bloomPath(path: String, txn: String, col: String): Path =
+    new Path(ManifestLake.manifestDir(path), s"bloom-$txn-$col.tsv")
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -215,5 +218,132 @@ object FileStats {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }
     SkipScan(df, filesTotal, filesScanned, rowsTotal, rowsScanned)
+  }
+
+  // ---------------------------------------------------------------------
+  // Bloom index: point-lookup skipping. Range stats cannot prune an
+  // equality probe on a column the files are NOT clustered by (every
+  // file's [min,max] spans the key space); a per-file bloom can — the
+  // parquet-bloom / Delta bloom-index move, kept in the same
+  // txn-lifecycle sidecar family. Filter geometry is
+  // [[graft.functions.BloomUtil]]'s (2^16 bits, k=4, splitmix64 double
+  // hashing): ~8 KiB per file, <<1% false positives at the row counts
+  // compaction targets. False positives cost a wasted file open; false
+  // negatives are impossible — the same safe-failure contract as the
+  // range stats.
+  // ---------------------------------------------------------------------
+
+  /** ANALYZE for point lookups: record a per-file bloom of int64 column
+    * `col` for every currently-referenced txn lacking one. Incremental
+    * and idempotent like [[collectStats]]; one read per new txn, the
+    * build aggregate combines map-side (OR of fixed 1024-long buffers).
+    */
+  def collectBlooms(spark: SparkSession, path: String, col0: String): Long = {
+    require(ManifestLake.isManifestLake(spark, path),
+      s"FileStats: $path is not a manifest lake")
+    val fs = fsFor(spark, path)
+    val txns = ManifestLake.currentEntries(spark, path).values.toSet.toSeq.sorted
+    var statted = 0L
+    txns.foreach { txn =>
+      val bp = bloomPath(path, txn, col0)
+      if (!fs.exists(bp)) {
+        val dir = s"$path/data/$txn"
+        val df = spark.read.parquet(dir)
+        require(df.schema.fields.exists(f => f.name == col0 &&
+          f.dataType == LongType),
+          s"FileStats: bloom column '$col0' must be BIGINT and present in $txn")
+        val bloomAgg = graft.functions.BloomAgg()
+        val rows = df
+          .filter(col(col0).isNotNull)
+          .groupBy(input_file_name().as("__file"))
+          .agg(bloomAgg(col(col0)).as("__bloom"))
+          .collect()
+        val marker = s"/data/$txn/"
+        val lines = rows.map { r =>
+          val file = r.getAs[String]("__file")
+          val idx = file.indexOf(marker)
+          require(idx >= 0, s"FileStats: file $file not under txn $txn")
+          val words = r.getSeq[Long](1)
+          val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+          words.foreach(bb.putLong)
+          enc(file.substring(idx + marker.length)) + "\t" +
+            java.util.Base64.getEncoder.encodeToString(bb.array())
+        }
+        try {
+          val out = fs.create(bp, /* overwrite = */ false)
+          try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          statted += 1
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    statted
+  }
+
+  private def readBloomSidecar(fs: FileSystem, path: String, txn: String,
+                               col0: String): Map[String, Array[Long]] = {
+    val bp = bloomPath(path, txn, col0)
+    if (!fs.exists(bp)) return Map.empty
+    val in = fs.open(bp)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      val bytes = java.util.Base64.getDecoder.decode(f(1))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+      dec(f(0)) -> words
+    }.toMap
+  }
+
+  /** Bloom-pruned point lookup: open only files whose bloom might
+    * contain AT LEAST ONE of `keys` (disjunctive — the IN-list
+    * semantics). Files without a bloom always scan; a file containing
+    * no probed key survives only with bloom false-positive probability.
+    * The result is a superset of the matching rows — apply the exact
+    * `isin` filter on top.
+    */
+  def readSkippingPoint(spark: SparkSession, path: String, col0: String,
+                        keys: Seq[Long]): SkipScan = {
+    require(keys.nonEmpty, "FileStats: no probe keys — use ManifestLake.read")
+    val fs = fsFor(spark, path)
+    val entries = ManifestLake.currentEntries(spark, path)
+    val byTxn = entries.values.toSet.toSeq.sorted
+      .map(txn => txn -> readBloomSidecar(fs, path, txn, col0)).toMap
+
+    var filesTotal = 0L; var filesScanned = 0L
+    val surviving: Seq[(String, Seq[String])] = entries.toSeq.sortBy(_._1).map {
+      case (rel, txn) =>
+        val blooms = byTxn(txn)
+        val files = fs.listStatus(new Path(s"$path/data/$txn/$rel")).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (s"$rel/${f.getPath.getName}", f.getPath.toString))
+        val kept = files.filter { case (fileRel, _) =>
+          blooms.get(fileRel) match {
+            case None => true // no bloom: scan
+            case Some(bits) =>
+              keys.exists(k => graft.functions.BloomUtil.mightContain(bits, k))
+          }
+        }
+        filesTotal += files.size; filesScanned += kept.size
+        rel -> kept.map(_._2)
+    }
+    val parts = surviving.filter(_._2.nonEmpty).map { case (rel, files) =>
+      val df = spark.read.parquet(files: _*)
+      rel.split("/").toSeq.foldLeft(df) { (d, seg) =>
+        val Array(k, v) = seg.split("=", 2)
+        d.withColumn(k, lit(v))
+      }
+    }
+    val df = parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val schema = MergeWriter.readStoredSchema(fs, path).getOrElse(
+          throw new IllegalStateException(
+            s"FileStats: every file pruned at $path and no tracked schema " +
+              "sidecar to type the empty relation"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+    SkipScan(df, filesTotal, filesScanned, 0L, 0L)
   }
 }

@@ -404,9 +404,12 @@ object ManifestLake {
       live.get(name) match {
         case None =>
           if (fs.delete(s.getPath, true)) removed += 1
-          // a reclaimed txn's file-stats sidecar (FileStats.collectStats)
-          // describes files that no longer exist — reclaim it with the txn
+          // a reclaimed txn's file-stats/bloom sidecars (FileStats)
+          // describe files that no longer exist — reclaim them with it
           fs.delete(FileStats.statsPath(path, name), false)
+          fs.listStatus(manifestDir(path)).map(_.getPath)
+            .filter(_.getName.startsWith(s"bloom-$name-"))
+            .foreach(p => fs.delete(p, false))
         case Some(refs) =>
           leafPartitions(fs, s.getPath, s.getPath).foreach { rel =>
             if (!refs.contains(rel) && fs.delete(new Path(s.getPath, rel), true))

@@ -322,7 +322,64 @@ object LakeOps {
        |       n AS n_orders_replica, rev AS revenue_replica
        |FROM agg ORDER BY status""".stripMargin
 
+  /** q205 — bloom-index point-lookup scan, the skipping primitive range
+    * stats CANNOT provide: the lake's files are value-clustered by
+    * PRICE (q201's layout), so every file's `o_orderkey` [min,max]
+    * spans the whole key space and an IN-list probe on order keys
+    * prunes nothing by bounds — but each file's 8 KiB bloom sidecar
+    * ([[graft.lake.FileStats.collectBlooms]], parquet-bloom / Delta
+    * bloom-index semantics) answers "might this file hold any probed
+    * key" and [[graft.lake.FileStats.readSkippingPoint]] opens only
+    * those. False positives cost a wasted open; false negatives are
+    * impossible — the hash check rides that contract exactly as q201
+    * does for ranges (the exact key filter runs on top).
+    *
+    * Scale: the fetch-a-few-rows-from-100-TB access path (entity
+    * lookups, GDPR subject-access requests, spot audits) — O(|keys|)
+    * file opens + 8 KiB × files of driver-side probing instead of a
+    * full scan, with no requirement that the layout be clustered by
+    * the probed column.
+    */
+  def q205BloomPointLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice")
+      .localCheckpoint()
+    val lake = scratch(s, d, "bloom")
+    graft.lake.ManifestLake.mergeKeyed(s, o, lake,
+      keys = Seq("status"), dedupKeys = Seq($"o_orderkey"),
+      order = Seq($"o_orderkey"))
+    // cluster by PRICE: deliberately useless bounds for a key probe
+    graft.lake.Compactor.clusterManifest(s, lake, Seq("o_totalprice"), 512L)
+    graft.lake.FileStats.collectBlooms(s, lake, "o_orderkey")
+    val keys = o.filter($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey").as[Long].collect().toSeq.sorted
+    val scan =
+      if (keys.isEmpty)
+        graft.lake.FileStats.SkipScan(graft.lake.ManifestLake.read(s, lake), 0, 0, 0, 0)
+      else graft.lake.FileStats.readSkippingPoint(s, lake, "o_orderkey", keys)
+    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
+      s"q205: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
+        "bloom skipping is not working")
+    scan.df
+      .filter($"o_orderkey" % 997 === 0)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"), Exact.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"status")
+  }
+
+  val q205Sql: String =
+    s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       |       ${Exact.sqlDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |  AND o_totalprice IS NOT NULL AND o_orderkey % 997 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_bloom_point_lookup" -> (q205BloomPointLookup _),
     "q201_stats_skipping_scan" -> (q201StatsSkippingScan _),
     "q202_change_data_feed" -> (q202ChangeDataFeed _),
     "q203_cdf_view_maintenance" -> (q203CdfViewMaintenance _),
@@ -330,6 +387,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q205_bloom_point_lookup" -> q205Sql,
     "q201_stats_skipping_scan" -> q201Sql,
     "q202_change_data_feed" -> q202Sql,
     "q203_cdf_view_maintenance" -> q203Sql,

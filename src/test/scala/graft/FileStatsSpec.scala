@@ -90,6 +90,58 @@ class FileStatsSpec extends SparkSpec {
     assert(scan.df.columns.toSet == Set("id", "v", "part"))
   }
 
+  test("bloom index prunes point lookups the range stats cannot; no false negatives") {
+    val lake = tmpLake()
+    // ids deliberately striped across files by VALUE-clustering on v,
+    // which is anti-correlated garbage for an id probe: every file's id
+    // [min,max] spans the space (range stats prune nothing), the bloom
+    // knows exactly which files hold the probed ids
+    val rows = (0 until 400)
+      .map(i => ((i * 37 % 400).toLong, i.toDouble, "a")).toDF("id", "v", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    Compactor.clusterManifest(spark, lake, Seq("v"), 50L)
+    assert(FileStats.collectBlooms(spark, lake, "id") == 1L)
+    assert(FileStats.collectBlooms(spark, lake, "id") == 0L, "idempotent")
+    // range stats confirm the anti-correlation: id bounds prune nothing
+    FileStats.collectStats(spark, lake, Seq("id"))
+    val byRange = FileStats.readSkipping(spark, lake,
+      Seq(FileStats.ColRange("id", "111", "111")))
+    assert(byRange.filesScanned == byRange.filesTotal,
+      "value-clustered files must be unprunable by id bounds")
+    // the bloom prunes to (almost certainly) exactly the holding file
+    val probe = Seq(111L, 222L)
+    val scan = FileStats.readSkippingPoint(spark, lake, "id", probe)
+    assert(scan.filesTotal == 8)
+    assert(scan.filesScanned < scan.filesTotal, "bloom must prune")
+    val got = scan.df.filter($"id".isin(probe: _*)).select($"id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == probe, "no probed row may be lost (no false negatives)")
+  }
+
+  test("bloom sidecars: absent blooms fail open; vacuum reclaims them with the txn") {
+    val lake = clusteredLake()
+    FileStats.collectBlooms(spark, lake, "id")
+    // a second merge whose txn has NO bloom: its files must scan
+    ManifestLake.mergeKeyed(spark, Seq((9999L, 1.0, "q")).toDF("id", "v", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"id"))
+    val scan = FileStats.readSkippingPoint(spark, lake, "id", Seq(5555L))
+    assert(scan.df.filter($"part" === "q").count() == 1,
+      "bloom-less files must be scanned, not dropped")
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def blooms(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(lake, "_manifest"))
+        .map(_.getPath.getName).filter(_.startsWith("bloom-")).toSeq.sorted
+    assert(blooms().size == 1)
+    // rewrite everything, re-analyze, vacuum: the superseded txn's bloom goes
+    Compactor.clusterManifest(spark, lake, Seq("v"), 100L)
+    FileStats.collectBlooms(spark, lake, "id")
+    assert(blooms().size == 2)
+    ManifestLake.vacuum(spark, lake, retainVersions = 1)
+    assert(blooms().size == 1, s"superseded bloom must be reclaimed: ${blooms()}")
+  }
+
   test("vacuum reclaims a superseded txn's stats sidecar with the txn") {
     val lake = clusteredLake()
     FileStats.collectStats(spark, lake, Seq("v"))
