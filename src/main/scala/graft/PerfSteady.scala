@@ -41,12 +41,13 @@ object PerfSteady {
     "q198_schema_evolution_replay" -> 3.8,
     "q199_erase_merge_interleave" -> 3.2,
     // round-12 lake replays (manifest commits + feed reconstruction;
-    // measured on a ~1.45×-degraded host, normalized by same-session q175)
-    "q201_stats_skipping_scan" -> 3.6,
-    "q202_change_data_feed" -> 5.3,
-    "q203_cdf_view_maintenance" -> 4.7,
-    "q204_cdf_replication" -> 4.8,
-    "q205_bloom_point_lookup" -> 5.5,
+    // healthy authoritative run: calib 0.2/0.14, 0 outliers, 203 queries)
+    "q201_stats_skipping_scan" -> 6.6,
+    "q202_change_data_feed" -> 6.3,
+    "q203_cdf_view_maintenance" -> 6.1,
+    "q204_cdf_replication" -> 9.2,
+    "q205_bloom_point_lookup" -> 6.6,
+    "q206_partition_evolution" -> 6.0,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

@@ -328,6 +328,89 @@ object ManifestLake {
     deduped
   }
 
+  /** [[mergeKeyed]] with bounded optimistic retry: a lost commit CAS
+    * means a CONCURRENT writer advanced the version chain first — the
+    * loser's txn directory is private garbage (vacuum reclaims it), so
+    * the safe response is to re-resolve the new current state and re-run
+    * the whole merge against it, which is exactly what this does, up to
+    * `maxAttempts` times. This is the production posture every
+    * optimistic-concurrency table format ships (Delta/Iceberg both
+    * retry commit conflicts after re-validating); the bare mergeKeyed's
+    * fail-loud remains for callers that serialize externally.
+    * Retry is safe precisely because the merge re-READS the touched
+    * partitions each attempt: the second attempt sees the racing
+    * writer's committed rows and keep-last folds them in.
+    */
+  private[graft] def mergeKeyedRetrying(spark: SparkSession, tagged: DataFrame,
+                                        path: String, keys: Seq[String],
+                                        dedupKeys: Seq[org.apache.spark.sql.Column],
+                                        order: Seq[org.apache.spark.sql.Column],
+                                        commitTag: Option[String] = None,
+                                        maxAttempts: Int = 3): DataFrame = {
+    var attempt = 1
+    while (true) {
+      try return mergeKeyed(spark, tagged, path, keys, dedupKeys, order, commitTag)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") && attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"ManifestLake: commit conflict at $path (attempt $attempt/$maxAttempts) " +
+              "— re-resolving current version and retrying")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Partition-layout evolution: rewrite the lake's CURRENT state under
+    * a new partitioning (`newKeys` — e.g. rebucketing 8 → 32 as volume
+    * grows, or swapping a date layout for (date, symbol)) in ONE
+    * [[replacePartitions]] commit. Because data files are immutable and
+    * versions are self-describing (each manifest references its own
+    * txn directories, whose rel paths carry their own key=value
+    * layout), TIME TRAVEL CROSSES THE LAYOUT CHANGE: `readAt` a
+    * pre-evolution version still resolves the old directories under the
+    * old keys — the Iceberg partition-evolution property, free here by
+    * construction. Readers never see a half-migrated lake (the commit
+    * is atomic) and a racing merge is ordered by the CAS.
+    *
+    * Cost: one full read + shuffle on the new keys + write of the LIVE
+    * data — the same bill as any clustering rewrite, run at maintenance
+    * cadence. Callers that derive partition values from key hashes
+    * (Eraser's `buckets`) must use the new fan-out afterwards.
+    */
+  def repartitionLake(spark: SparkSession, path: String,
+                      newKeys: Seq[String]): Unit = {
+    val entries = currentEntries(spark, path)
+    if (entries.isEmpty) return
+    val current = read(spark, path)
+    newKeys.foreach { k =>
+      require(current.columns.contains(k),
+        s"ManifestLake.repartitionLake: new partition key '$k' is not a column")
+      // partition values ride directory names and read back as string
+      // literals — a non-string key would silently change type across
+      // the evolution (the same contract mergeKeyed's getString imposes)
+      require(current.schema(k).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"ManifestLake.repartitionLake: partition key '$k' must be STRING " +
+          s"(got ${current.schema(k).dataType}) — derive a string column first")
+    }
+    // same plain-value path contract the merge enforces on ITS keys —
+    // the check is a partial-combine distinct over the projected keys
+    current.select(newKeys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect().foreach { r =>
+        newKeys.indices.foreach { i =>
+          val v = if (r.isNullAt(i)) null else r.get(i).toString
+          require(v != null && PlainValue.findFirstIn(v).isDefined,
+            s"ManifestLake.repartitionLake: partition value '$v' for key " +
+              s"'${newKeys(i)}' must be non-null [0-9A-Za-z._+-]")
+        }
+      }
+    replacePartitions(spark, path, entries.keySet,
+      current.repartition(newKeys.map(org.apache.spark.sql.functions.col): _*),
+      newKeys)
+  }
+
   /** Replace the CONTENT of `touchedRels` partitions with `replacement`
     * (partitioned by `keys`) in one manifest commit — the primitive
     * behind rewriting verbs that REMOVE rows ([[Eraser]]) rather than

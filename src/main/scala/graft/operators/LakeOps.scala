@@ -378,7 +378,89 @@ object LakeOps {
        |  AND o_totalprice IS NOT NULL AND o_orderkey % 997 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q206 — partition-layout evolution replayed at data scale
+    * ([[graft.lake.ManifestLake.repartitionLake]]): orders merge into a
+    * `o_orderkey mod 8`-bucketed lake (v1), the layout evolves to a
+    * 4-bucket fan in ONE commit (v2 — the rebucketing every growing
+    * lake eventually does), and a post-evolution correction batch
+    * merges against the NEW keys (v3). The output aggregates the v1
+    * snapshot and the current state side-by-side, which hash-proves
+    * both halves of the evolution contract at once: time travel
+    * CROSSES the layout change (readAt(1) resolves the old 8-bucket
+    * directories — every version's manifest describes its own layout),
+    * and the evolved layout is a first-class merge target (the
+    * correction lands keyed on the new buckets, keep-last over data
+    * that was last written under the OLD keys). Buckets derive from
+    * `mod`, not hash, so the oracle reconstructs the whole history
+    * relationally.
+    *
+    * Scale: the evolution is one read + one shuffle on the new keys +
+    * one commit — a maintenance rewrite; afterwards every merge prunes
+    * by the new fan. Layout changes on immutable-file formats are
+    * METADATA transitions, never in-place migrations — readers
+    * mid-evolution resolve the old manifest.
+    */
+  def q206PartitionEvolutionReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice",
+        year($"o_orderdate").as("yr"),
+        ($"o_orderkey" % 8).cast("string").as("b8"),
+        ($"o_orderkey" % 4).cast("string").as("b4"))
+      .localCheckpoint()
+    val lake = scratch(s, d, "evolve")
+    def merge(batch: DataFrame, seq: Long, keys: Seq[String]): Unit = {
+      graft.lake.ManifestLake.mergeKeyed(s,
+        batch.drop("yr").withColumn("ingest_seq", lit(seq)), lake,
+        keys = keys, dedupKeys = Seq($"o_orderkey"),
+        order = Seq($"ingest_seq", $"o_orderkey"))
+      ()
+    }
+    merge(o.filter($"yr" <= 1997), 1L, Seq("b8"))          // v1: 8-bucket fan
+    graft.lake.ManifestLake.repartitionLake(s, lake, Seq("b4")) // v2: evolve
+    val corrections = o.filter($"yr" <= 1997 && $"o_orderkey" % 10 < 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+    merge(corrections.unionByName(o.filter($"yr" === 1998)), 2L, Seq("b4")) // v3
+    def agg(df: DataFrame, nCol: String, revCol: String): DataFrame =
+      df.groupBy($"status")
+        .agg(count(lit(1)).as(nCol), Exact.dsum($"o_totalprice").as(revCol))
+    agg(graft.lake.ManifestLake.readAt(s, lake, 1L), "n_v1", "revenue_v1")
+      .join(agg(graft.lake.ManifestLake.read(s, lake), "n_cur", "revenue_cur"),
+        Seq("status"), "full_outer")
+      .orderBy($"status")
+  }
+
+  val q206Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+       |         YEAR(o_orderdate) AS yr
+       |  FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |), v1 AS (
+       |  SELECT status, o_totalprice FROM o WHERE yr <= 1997
+       |), cur AS (
+       |  SELECT status,
+       |         CASE WHEN yr <= 1997 AND o_orderkey % 10 < 3
+       |              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+       |  FROM o WHERE yr <= 1998
+       |), a1 AS (
+       |  SELECT status, COUNT(*) AS n_v1,
+       |         ${Exact.sqlDsum("o_totalprice")} AS revenue_v1
+       |  FROM v1 GROUP BY 1
+       |), a2 AS (
+       |  SELECT status, COUNT(*) AS n_cur,
+       |         ${Exact.sqlDsum("price")} AS revenue_cur
+       |  FROM cur GROUP BY 1
+       |)
+       |SELECT status, n_v1, revenue_v1, n_cur, revenue_cur
+       |FROM a1 FULL OUTER JOIN a2 USING (status)
+       |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_partition_evolution" -> (q206PartitionEvolutionReplay _),
     "q205_bloom_point_lookup" -> (q205BloomPointLookup _),
     "q201_stats_skipping_scan" -> (q201StatsSkippingScan _),
     "q202_change_data_feed" -> (q202ChangeDataFeed _),
@@ -387,6 +469,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_partition_evolution" -> q206Sql,
     "q205_bloom_point_lookup" -> q205Sql,
     "q201_stats_skipping_scan" -> q201Sql,
     "q202_change_data_feed" -> q202Sql,

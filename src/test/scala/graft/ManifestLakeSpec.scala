@@ -329,6 +329,86 @@ class ManifestLakeSpec extends SparkSpec {
     }
   }
 
+  test("mergeKeyedRetrying: the race loser re-resolves and folds the winner's rows in") {
+    val lake = tmpLake()
+    val b1 = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "v", "part")
+      .withColumn("seq", lit(1L))
+    ManifestLake.mergeKeyed(spark, b1, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"seq"))
+    // a competitor lands m2 inside our commit window: it updates key 1
+    ManifestLake.beforeCommitHook = () => {
+      ManifestLake.beforeCommitHook = () => ()
+      ManifestLake.mergeKeyed(spark,
+        Seq((1L, 111.0, "a")).toDF("id", "v", "part").withColumn("seq", lit(2L)),
+        lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+    }
+    // our merge updates key 2 and inserts key 3; attempt 1 loses the
+    // CAS, attempt 2 re-reads the winner's state and commits on top
+    val ours = Seq((2L, 222.0, "b"), (3L, 30.0, "a")).toDF("id", "v", "part")
+      .withColumn("seq", lit(3L))
+    ManifestLake.mergeKeyedRetrying(spark, ours, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"seq"))
+    val out = ManifestLake.read(spark, lake).select($"id", $"v")
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 111.0, 2L -> 222.0, 3L -> 30.0),
+      s"both writers' effects must survive, serialized by the version chain: $out")
+    // bounded: with retries exhausted the conflict surfaces loudly
+    ManifestLake.beforeCommitHook = () => {
+      // a fresh competitor on EVERY attempt
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = (1 to 99).find(i =>
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$lake/_manifest/m$i.txt"))).get
+      val race = fs.create(new org.apache.hadoop.fs.Path(s"$lake/_manifest/m$v.txt"), false)
+      race.write("".getBytes("UTF-8")); race.close()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        ManifestLake.mergeKeyedRetrying(spark,
+          Seq((4L, 4.0, "a")).toDF("id", "v", "part").withColumn("seq", lit(9L)),
+          lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"),
+          maxAttempts = 2)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+    } finally ManifestLake.beforeCommitHook = () => ()
+  }
+
+  test("repartitionLake: layout evolves in one commit; time travel crosses the change") {
+    val lake = tmpLake()
+    val rows = (1L to 100L).map(i =>
+      (i, i * 1.0, (i % 4).toString, (i % 16).toString))
+      .toDF("id", "v", "bucket4", "bucket16")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("bucket4"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    val before = ManifestLake.read(spark, lake)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet
+    ManifestLake.repartitionLake(spark, lake, Seq("bucket16"))
+    // data identical, new layout live
+    val after = ManifestLake.read(spark, lake)
+    assert(after.select($"id", $"v").as[(Long, Double)].collect().toSet == before)
+    val entries = ManifestLake.currentEntries(spark, lake)
+    assert(entries.keySet.forall(_.startsWith("bucket16=")), entries.keySet.toString)
+    assert(entries.size == 16)
+    // time travel resolves the PRE-evolution layout under the old keys
+    val v1 = ManifestLake.readAt(spark, lake, 1L)
+    assert(v1.columns.contains("bucket4"))
+    assert(v1.select($"id", $"v").as[(Long, Double)].collect().toSet == before)
+    // a later keyed merge works against the evolved layout
+    ManifestLake.mergeKeyed(spark,
+      Seq((1L, 999.0, "1", "1")).toDF("id", "v", "bucket4", "bucket16"),
+      lake, keys = Seq("bucket16"), dedupKeys = Seq($"id"), order = Seq($"v"))
+    val got = ManifestLake.read(spark, lake).filter($"id" === 1L)
+      .select($"v").as[Double].collect().toSeq
+    assert(got == Seq(999.0))
+    // guards: non-string and non-column keys are rejected
+    intercept[IllegalArgumentException] {
+      ManifestLake.repartitionLake(spark, lake, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.repartitionLake(spark, lake, Seq("nope"))
+    }
+  }
+
   test("readAt rejects uncommitted versions loudly") {
     withManifestMode {
       val lake = tmpLake()
