@@ -682,6 +682,92 @@ object EventOps {
       |  AND ts IS NOT NULL AND event_type IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** q207 — `transformWithState` replay ([[graft.streaming.RunningStats]]):
+    * Spark 4's arbitrary-state successor to mapGroupsWithState — typed
+    * state handles on the RocksDB store — exercised as a REAL
+    * four-micro-batch streaming query: events deliver as four files
+    * (one per `event_id mod 4` slice, `maxFilesPerTrigger = 1` under
+    * AvailableNow), the processor folds a running (count, Σ⌊value⌋)
+    * per (event_type, user-slot) key in a ValueState and emits the
+    * running totals once per batch the key appears in. File-arrival
+    * ORDER is the one thing a relational oracle cannot see, so the
+    * hash-checked output is the order-independent summary — emission
+    * count (= batches seen) and final totals (= per-key maxima:
+    * monotone by v ≥ 0) — while batch-order-sensitive semantics
+    * (running sequences, event-time timers, list state) are pinned
+    * deterministically in TransformWithStateSpec with a MemoryStream.
+    *
+    * Scale: state is one tuple per live key, never stream length; each
+    * micro-batch shuffles only its own rows on the key; RocksDB keeps
+    * the per-partition state off-heap (the provider the new API
+    * requires, and the one a 100 TB deployment runs anyway).
+    */
+  def q207TransformWithStateReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"value".isNotNull && $"value" >= 0)
+      .select(concat($"event_type", lit("_"),
+          pmod($"user_id", lit(97)).cast("string")).as("k"),
+        floor($"value").cast("long").as("v"),
+        pmod($"event_id", lit(4)).as("b"))
+      .localCheckpoint()
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val base = s"$wh/graft_tws_${graft.lake.AppState.tag(s, d)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.lake.AppState.register(s, base)
+    // four delivery files, written in batch order (the file source
+    // triggers by modification time; order only affects the
+    // batch-order-sensitive fields the summary below projects away)
+    (0L to 3L).foreach { b =>
+      ev.filter($"b" === b).drop("b").coalesce(1).write
+        .mode(if (b == 0L) org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$base/in")
+    }
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .as[graft.streaming.RunningStats.In]
+    val emits = graft.streaming.RunningStats.profile(stream)
+    graft.streaming.StreamJoin.withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      val q = emits.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$base/out")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_emissions"),
+        max($"run_n").as("n_events"), max($"run_v").as("v_total"))
+      .orderBy($"k")
+  }
+
+  /** Order-independent summary recomputed relationally: emissions =
+    * distinct batches a key appears in, totals = plain aggregates.
+    */
+  val q207Sql: String =
+    """WITH e AS (
+      |  SELECT event_type || '_' || CAST(user_id % 97 AS VARCHAR) AS k,
+      |         CAST(FLOOR(value) AS BIGINT) AS v, event_id % 4 AS b
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND value IS NOT NULL AND value >= 0
+      |)
+      |SELECT k, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_emissions,
+      |       COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS v_total
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q196 — LAST-TOUCH attribution: every purchase credits the
     * latest click by the same user at or before it, but only within a
     * 6-hour lookback (marketing's standard attribution window) — the
@@ -752,6 +838,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_last_touch_attribution" -> (q196LastTouchAttribution _),
+    "q207_transform_with_state" -> (q207TransformWithStateReplay _),
     "q188_stream_dedup_replay" -> (q188StreamDedupReplay _),
     "q187_session_paths" -> (q187SessionPaths _),
     "q176_markov_transitions" -> (q176MarkovTransitions _),
@@ -771,6 +858,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q196_last_touch_attribution" -> q196Sql,
+    "q207_transform_with_state" -> q207Sql,
     "q188_stream_dedup_replay" -> q188Sql,
     "q187_session_paths" -> q187Sql,
     "q176_markov_transitions" -> q176Sql,

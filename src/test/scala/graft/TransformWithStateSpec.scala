@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{Encoders, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming._
+import graft.streaming.{RunningStats, StreamJoin}
+import graft.streaming.RunningStats.In
+import graft.TransformWithStateSpec._
+
+/** `transformWithState` semantics q207's order-independent oracle cannot
+  * see: the exact cross-batch running sequence, event-time TIMERS
+  * (inactivity detection — fire iff the watermark passes the key's
+  * last-event + gap, stale timers suppressed), and ListState
+  * persistence. MemoryStream makes batch boundaries deterministic;
+  * every run uses the RocksDB provider the API requires.
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[A](body: => A): A =
+    StreamJoin.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4")(body)
+
+  test("running profile: ValueState crosses micro-batches and checkpoint restarts") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = Files.createTempDirectory("graft_tws").toString
+    def run(): Unit = withRocksDb {
+      val q = RunningStats.profile(mem.toDS()).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(In("a", 5L), In("a", 3L), In("b", 1L))
+    run()
+    mem.addData(In("a", 2L), In("c", 7L))
+    run() // fresh query, state restored from the checkpoint
+    val got = spark.read.parquet(s"$out/rows")
+      .as[RunningStats.Emit].collect().toSet
+    assert(got == Set(
+      RunningStats.Emit("a", 1L, 2L, 8L),
+      RunningStats.Emit("b", 1L, 1L, 1L),
+      RunningStats.Emit("a", 2L, 3L, 10L), // running totals, not batch-local
+      RunningStats.Emit("c", 1L, 1L, 7L)), got.toString)
+  }
+
+  // ── event-time timers: per-key inactivity alerts ──────────────────────
+
+  test("event-time timers: inactivity fires when the watermark passes; re-arming suppresses stale timers") {
+    implicit val sc = spark.sqlContext
+    val T0 = 1609459200000L // 2021-01-01 00:00:00
+    val Gap = 10000L
+    val mem = MemoryStream[TIn]
+    val out = Files.createTempDirectory("graft_tws_timer").toString
+    def run(): Unit = withRocksDb {
+      implicit val eOut = Encoders.product[TOut]
+      val q = mem.toDS().withWatermark("ts", "0 seconds")
+        .groupByKey(_.k)(Encoders.STRING)
+        .transformWithState(new QuietMonitor(Gap),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def quiet(): Set[(String, Long)] = spark.read.parquet(s"$out/rows")
+      .as[TOut].collect().map(o => (o.k, o.quiet_at)).toSet
+
+    mem.addData(TIn("a", new Timestamp(T0)), TIn("b", new Timestamp(T0)))
+    run() // wm → T0; timers armed at T0+Gap, none passed
+    assert(quiet().isEmpty, "nothing can be quiet before the watermark moves")
+    mem.addData(TIn("a", new Timestamp(T0 + 30000L)))
+    run() // wm → T0+30s: b's T0+10s fires (b IS quiet); a re-armed at
+          // T0+40s and its STALE T0+10s timer must be suppressed — a was
+          // active at T0+30s
+    assert(quiet() == Set(("b", T0 + Gap)),
+      s"only the key that actually went quiet may alert: ${quiet()}")
+    mem.addData(TIn("c", new Timestamp(T0 + 60000L)))
+    run() // wm → T0+60s: a's re-armed T0+40s fires
+    assert(quiet() == Set(("b", T0 + Gap), ("a", T0 + 30000L + Gap)), quiet().toString)
+  }
+
+  // ── ListState: bounded per-key history ────────────────────────────────
+
+  test("ListState accumulates across batches and survives restart") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = Files.createTempDirectory("graft_tws_list").toString
+    def run(): Unit = withRocksDb {
+      implicit val eOut = Encoders.product[LOut]
+      val q = mem.toDS().groupByKey(_.k)(Encoders.STRING)
+        .transformWithState(new LastValues, TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(In("a", 1L), In("a", 2L))
+    run()
+    mem.addData(In("a", 3L))
+    run()
+    val byLen = spark.read.parquet(s"$out/rows").as[LOut].collect()
+      .map(o => o.vals.toList).sortBy(_.length)
+    assert(byLen.exists(_ == List(1L, 2L, 3L)),
+      s"the second batch must see the first batch's list: ${byLen.toList}")
+  }
+}
+
+/** Top-level fixtures: Spark encoders cannot be generated for classes
+  * nested inside the suite (no access to the defining scope), and the
+  * processors ship to executors, so neither may capture the suite.
+  */
+object TransformWithStateSpec {
+  case class TIn(k: String, ts: Timestamp)
+  case class TOut(k: String, quiet_at: Long)
+
+  /** Emits (key, last+gap) once the WATERMARK passes the key's
+    * last-event time + gap; a new event re-arms the timer and the stale
+    * one is suppressed by re-checking state at expiry (the standard
+    * lazy-cancel idiom — cheaper than deleteTimer bookkeeping).
+    */
+  class QuietMonitor(gapMs: Long)
+      extends StatefulProcessor[String, TIn, TOut] {
+    @transient private var last: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TIn],
+                                 tv: TimerValues): Iterator[TOut] = {
+      val mx = rows.map(_.ts.getTime).max
+      val m = math.max(if (last.exists()) last.get() else Long.MinValue, mx)
+      last.update(m)
+      getHandle.registerTimer(m + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[TOut] =
+      if (last.exists() && info.getExpiryTimeInMs == last.get() + gapMs)
+        Iterator(TOut(key, info.getExpiryTimeInMs))
+      else Iterator.empty // stale timer of a key that stayed active
+  }
+
+  case class LOut(k: String, vals: Seq[Long])
+
+  class LastValues extends StatefulProcessor[String, In, LOut] {
+    @transient private var hist: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[Long]("hist", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[In],
+                                 tv: TimerValues): Iterator[LOut] = {
+      rows.foreach(r => hist.appendValue(r.v))
+      Iterator(LOut(key, hist.get().toSeq))
+    }
+  }
+}
