@@ -88,6 +88,33 @@ class TransformWithStateSpec extends SparkSpec {
 
   // ── ListState: bounded per-key history ────────────────────────────────
 
+  test("MapState: per-key sub-map updates merge across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TIn]
+    val out = Files.createTempDirectory("graft_tws_map").toString
+    def run(): Unit = withRocksDb {
+      implicit val eOut = Encoders.product[MOut]
+      val q = mem.toDS().groupByKey(_.k)(Encoders.STRING)
+        .transformWithState(new HourHistogram, TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val H = 3600000L
+    mem.addData(TIn("a", new Timestamp(H * 5 + 1)), TIn("a", new Timestamp(H * 5 + 2)),
+      TIn("a", new Timestamp(H * 7)))
+    run()
+    mem.addData(TIn("a", new Timestamp(H * 5 + 3)), TIn("b", new Timestamp(0L)))
+    run()
+    val last = spark.read.parquet(s"$out/rows").as[MOut].collect()
+      .filter(_.k == "a").maxBy(_.n_total)
+    // hour 5 counted across BOTH batches through the map state
+    assert(last.n_total == 4L && last.hist.toMap == Map(5L -> 3L, 7L -> 1L),
+      last.toString)
+  }
+
   test("ListState accumulates across batches and survives restart") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[In]
@@ -144,6 +171,33 @@ object TransformWithStateSpec {
       if (last.exists() && info.getExpiryTimeInMs == last.get() + gapMs)
         Iterator(TOut(key, info.getExpiryTimeInMs))
       else Iterator.empty // stale timer of a key that stayed active
+  }
+
+  case class MOut(k: String, n_total: Long, hist: Seq[(Long, Long)])
+
+  /** MapState: per-key hour-of-event histogram — sub-map entries update
+    * individually (never a whole-map rewrite), the access pattern
+    * MapState exists for.
+    */
+  class HourHistogram extends StatefulProcessor[String, TIn, MOut] {
+    @transient private var hist: MapState[Long, Long] = _
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      hist = getHandle.getMapState[Long, Long]("hist",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[TIn],
+                                 tv: TimerValues): Iterator[MOut] = {
+      var total = if (n.exists()) n.get() else 0L
+      rows.foreach { r =>
+        val h = r.ts.getTime / 3600000L
+        hist.updateValue(h, (if (hist.containsKey(h)) hist.getValue(h) else 0L) + 1L)
+        total += 1L
+      }
+      n.update(total)
+      Iterator(MOut(key, total, hist.iterator().toSeq.sortBy(_._1)))
+    }
   }
 
   case class LOut(k: String, vals: Seq[Long])
