@@ -49,6 +49,7 @@ object PerfSteady {
     "q205_bloom_point_lookup" -> 6.6,
     "q206_partition_evolution" -> 6.0,
     "q207_transform_with_state" -> 4.5,
+    "q208_zorder_box_scan" -> 4.0,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

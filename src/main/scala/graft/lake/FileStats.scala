@@ -139,19 +139,31 @@ object FileStats {
     statted
   }
 
-  /** Sidecar lines for `txn`: (fileRel, col) → Stat; empty when absent. */
+  /** Sidecar lines for `txn`: (fileRel, col) → Stat; empty when absent
+    * OR unparseable — stats are an optimization with a conservative
+    * fallback, so a torn/corrupt sidecar must degrade to scan-all,
+    * never to a failed (or worse, wrongly-pruned) read.
+    */
   private def readSidecar(fs: FileSystem, path: String,
                           txn: String): Map[(String, String), Stat] = {
     val sp = statsPath(path, txn)
     if (!fs.exists(sp)) return Map.empty
-    val in = fs.open(sp)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map { line =>
-      val f = line.split("\t", -1)
-      (dec(f(0)), dec(f(1))) -> Stat(f(2), f(3).toLong, f(4).toLong,
-        if (f(5).isEmpty) None else Some(dec(f(5))),
-        if (f(6).isEmpty) None else Some(dec(f(6))))
-    }.toMap
+    try {
+      val in = fs.open(sp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val f = line.split("\t", -1)
+        (dec(f(0)), dec(f(1))) -> Stat(f(2), f(3).toLong, f(4).toLong,
+          if (f(5).isEmpty) None else Some(dec(f(5))),
+          if (f(6).isEmpty) None else Some(dec(f(6))))
+      }.toMap
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"FileStats: unreadable stats sidecar $sp (${e.getMessage}) — " +
+            "scanning the txn's files unpruned")
+        Map.empty
+    }
   }
 
   /** Does a file with `st` possibly hold a row in [lo, hi] on its column? */
@@ -284,17 +296,25 @@ object FileStats {
                                col0: String): Map[String, Array[Long]] = {
     val bp = bloomPath(path, txn, col0)
     if (!fs.exists(bp)) return Map.empty
-    val in = fs.open(bp)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map { line =>
-      val f = line.split("\t", -1)
-      val bytes = java.util.Base64.getDecoder.decode(f(1))
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val words = new Array[Long](bytes.length / 8)
-      var i = 0
-      while (i < words.length) { words(i) = bb.getLong(); i += 1 }
-      dec(f(0)) -> words
-    }.toMap
+    try {
+      val in = fs.open(bp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val f = line.split("\t", -1)
+        val bytes = java.util.Base64.getDecoder.decode(f(1))
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val words = new Array[Long](bytes.length / 8)
+        var i = 0
+        while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+        dec(f(0)) -> words
+      }.toMap
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"FileStats: unreadable bloom sidecar $bp (${e.getMessage}) — " +
+            "scanning the txn's files unpruned")
+        Map.empty
+    }
   }
 
   /** Bloom-pruned point lookup: open only files whose bloom might

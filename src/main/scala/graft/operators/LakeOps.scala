@@ -459,7 +459,73 @@ object LakeOps {
        |FROM a1 FULL OUTER JOIN a2 USING (status)
        |ORDER BY status""".stripMargin
 
+  /** q208 — the multi-dimensional skipping scan on the REAL verbs:
+    * q200 quantified the Z-order trade on SIMULATED footer pruning and
+    * q201 proved the real scan path for ONE dimension — this closes the
+    * loop: events land in a manifest lake, [[graft.lake.Compactor
+    * .clusterManifest]] re-lays them along the n-ary Morton curve of
+    * (user-slot, hour-slot) (`z_interleave_n` as the sort EXPRESSION),
+    * [[graft.lake.FileStats.collectStats]] records per-file bounds on
+    * BOTH dimensions, and an 1/64-of-the-grid query box reads through
+    * [[graft.lake.FileStats.readSkipping]] with conjunctive ranges —
+    * pruning on both dimensions at once, which neither a time-sorted
+    * nor a single-key-sorted layout can do. Slots derive from `mod`,
+    * not hash, so the oracle recomputes the box exactly.
+    *
+    * Scale: the write-side curve + read-side bounds turn a
+    * two-predicate box on 100 TB into O(box ∩ curve) file opens — the
+    * layout decision q200's audit recommends, executed end-to-end.
+    */
+  def q208ZorderBoxScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"ts".isNotNull && $"value".isNotNull && $"value" >= 0)
+      .select($"event_id", $"event_type",
+        pmod($"user_id", lit(64)).as("u"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(64)).as("h"),
+        floor($"value").cast("long").as("v"),
+        lit("all").as("part"))
+      .localCheckpoint()
+    val lake = scratch(s, d, "zbox")
+    graft.lake.ManifestLake.mergeKeyed(s, ev, lake,
+      keys = Seq("part"), dedupKeys = Seq($"event_id"),
+      order = Seq($"event_id"))
+    graft.lake.Compactor.clusterManifest(s, lake,
+      Seq("z_interleave_n(u, h)"), 4096L)
+    graft.lake.FileStats.collectStats(s, lake, Seq("u", "h"))
+    val scan = graft.lake.FileStats.readSkipping(s, lake,
+      Seq(graft.lake.FileStats.ColRange("u", "8", "15"),
+        graft.lake.FileStats.ColRange("h", "8", "15")))
+    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
+      s"q208: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
+        "2-dim Morton skipping is not working")
+    scan.df
+      .filter($"u".between(8, 15) && $"h".between(8, 15))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"u").as("n_slots"),
+        sum($"v").cast("long").as("v_total"))
+      .orderBy($"event_type")
+  }
+
+  val q208Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 64 AS u,
+      |         (EPOCH_US(ts) // 3600000000) % 64 AS h,
+      |         CAST(FLOOR(value) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+      |)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_slots,
+      |       CAST(SUM(v) AS BIGINT) AS v_total
+      |FROM e
+      |WHERE u BETWEEN 8 AND 15 AND h BETWEEN 8 AND 15
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_zorder_box_scan" -> (q208ZorderBoxScan _),
     "q206_partition_evolution" -> (q206PartitionEvolutionReplay _),
     "q205_bloom_point_lookup" -> (q205BloomPointLookup _),
     "q201_stats_skipping_scan" -> (q201StatsSkippingScan _),
@@ -469,6 +535,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_zorder_box_scan" -> q208Sql,
     "q206_partition_evolution" -> q206Sql,
     "q205_bloom_point_lookup" -> q205Sql,
     "q201_stats_skipping_scan" -> q201Sql,
