@@ -108,6 +108,24 @@ class ChangeFeedSpec extends SparkSpec {
       .collect().toSet == Set((3L, "insert")))
   }
 
+  test("a pure layout evolution emits NO changes; post-evolution updates feed normally") {
+    val lake = tmpLake()
+    merge(lake, rows(1, (1L, 1.0, "a"), (2L, 2.0, "b")))
+    // repartitionLake rewrites EVERY partition into a new txn — the
+    // manifest diff sees all entries changed, but every row carries
+    // through value-identical, so the row-level diff must stay silent
+    // (re-layout is a physical move, not a logical change)
+    ManifestLake.repartitionLake(spark, lake, Seq("part"))
+    assert(ChangeFeed.readChanges(spark, lake, 1L, 2L, Seq("id")).count() == 0,
+      "a re-layout is not a change")
+    merge(lake, rows(2, (1L, 9.0, "a")))
+    val post = ChangeFeed.readChanges(spark, lake, 2L, 3L, Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(post == Set((1L, "update_preimage"), (1L, "update_postimage")))
+    // and the whole window (v1 → v3) sees exactly the logical update
+    assert(ChangeFeed.readChanges(spark, lake, 1L, 3L, Seq("id")).count() == 2)
+  }
+
   test("version hygiene: bad ranges and vacuumed manifests fail loud") {
     val lake = tmpLake()
     merge(lake, rows(1, (1L, 1.0, "a")))
