@@ -63,10 +63,11 @@ object ChangeFeed {
     val changed = (mOld.keySet ++ mNew.keySet)
       .filter(rel => mOld.get(rel) != mNew.get(rel)).toSeq.sorted
 
-    def side(m: Map[String, String]): Option[DataFrame] = changed
-      .flatMap(rel => m.get(rel).map(txn =>
-        ManifestLake.readEntry(spark, path, rel, txn)))
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // one scan per txn on each side ([[ManifestLake.readEntriesGrouped]])
+    // — planning stays O(txns) however many partitions a commit touched
+    def side(m: Map[String, String]): Option[DataFrame] =
+      ManifestLake.readEntriesGrouped(spark, path,
+        changed.flatMap(rel => m.get(rel).map(rel -> _)).toMap)
 
     (side(mOld), side(mNew)) match {
       case (None, None) =>

@@ -138,7 +138,9 @@ object Compactor {
       s"Compactor.compactManifest: $path is not a manifest lake")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = ManifestLake.currentEntries(spark, path)
+    // version and entries snapshot together; the version rides into the
+    // commit CAS so an intervening merge fails this rewrite loudly
+    val (baseVersion, entries) = ManifestLake.currentState(spark, path)
     val fragged = entries.toSeq.sortBy(_._1).flatMap { case (rel, txn) =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/data/$txn/$rel")
       val n = fs.listStatus(dir).count(f =>
@@ -151,16 +153,16 @@ object Compactor {
     // partition keys come from the rel paths (every entry of a lake
     // shares the same key set by construction of the writing merge)
     val keys = fragged.head._1.split("/").map(_.split("=", 2)(0)).toSeq
-    val affected = fragged
-      .map { case (rel, txn, _) => ManifestLake.readEntry(spark, path, rel, txn) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val affected = ManifestLake.readEntriesGrouped(spark, path,
+        fragged.map { case (rel, txn, _) => rel -> txn }.toMap).get
       .localCheckpoint()
       // one task per partition → one output file per partition
       .repartition(keys.map(col): _*)
     // maxRecordsPerFile caps pathological partitions, as in compact() —
     // a per-write option, not a session conf mutation
     ManifestLake.replacePartitions(spark, path, fragged.map(_._1).toSet,
-      affected, keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+      affected, keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString),
+      expectedVersion = baseVersion)
     summary.orderBy($"partition")
   }
 
@@ -190,19 +192,21 @@ object Compactor {
     // dimension; a Morton key (`z_interleave_n(...)`) clusters a
     // multi-dimensional box (q200's kernel on the real write path)
     graft.plans.GraftExtensions.register(spark)
-    val entries = ManifestLake.currentEntries(spark, path)
+    // snapshot version + entries together; the version is the commit
+    // CAS base — an intervening merge fails this rewrite loudly rather
+    // than being overwritten with pre-merge data (round-12 advice)
+    val (baseVersion, entries) = ManifestLake.currentState(spark, path)
     if (entries.isEmpty) return
     val keys = entries.keysIterator.next().split("/").map(_.split("=", 2)(0)).toSeq
-    val affected = entries.toSeq.sortBy(_._1)
-      .map { case (rel, txn) => ManifestLake.readEntry(spark, path, rel, txn) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val affected = ManifestLake.readEntriesGrouped(spark, path, entries).get
       .localCheckpoint()
       // one task per partition, rows sorted so sequential maxRecordsPerFile
       // rolls produce value-contiguous files
       .repartition(keys.map(col): _*)
       .sortWithinPartitions(keys.map(col) ++ sortCols.map(expr): _*)
     ManifestLake.replacePartitions(spark, path, entries.keySet, affected,
-      keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+      keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString),
+      expectedVersion = baseVersion)
   }
 
   /** Z-order clustering rewrite: re-lay an (unpartitioned) dataset's

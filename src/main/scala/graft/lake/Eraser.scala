@@ -118,12 +118,13 @@ object Eraser {
   private def eraseManifest(spark: SparkSession, lake: String, keyCol: String,
                             eraseIds: DataFrame, touched: Seq[String]): DataFrame = {
     import spark.implicits._
-    val entries = ManifestLake.currentEntries(spark, lake)
+    // version and entries resolve TOGETHER and the version rides into the
+    // commit CAS: a merge landing between this snapshot and the commit
+    // fails THIS erasure loudly instead of being silently overwritten
+    val (baseVersion, entries) = ManifestLake.currentState(spark, lake)
     val touchedRels = touched.map(b => s"bucket=$b").toSet
-    val present = entries.view.filterKeys(touchedRels).toSeq.sortBy(_._1)
-    val affected = present
-      .map { case (rel, txn) => ManifestLake.readEntry(spark, lake, rel, txn) }
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val present = entries.view.filterKeys(touchedRels).toMap
+    val affected = ManifestLake.readEntriesGrouped(spark, lake, present)
       .getOrElse(return spark.emptyDataset[(String, Long)]
         .toDF("bucket", "rows_removed"))
       .localCheckpoint()
@@ -131,8 +132,8 @@ object Eraser {
     val surviving = affected.join(eraseIds, Seq(keyCol), "left_anti")
       .localCheckpoint()
     beforeRewriteHook()
-    ManifestLake.replacePartitions(spark, lake, present.map(_._1).toSet,
-      surviving, Seq("bucket"))
+    ManifestLake.replacePartitions(spark, lake, present.keySet,
+      surviving, Seq("bucket"), expectedVersion = baseVersion)
     stats(surviving, before)
   }
 

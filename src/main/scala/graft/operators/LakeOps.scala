@@ -17,6 +17,19 @@ import graft.functions.Exact
 object LakeOps {
   private val D = DecimalType(38, 10)
 
+  /** The skipping queries (q201/q205/q208) sanity-signal that pruning
+    * did real work — but as a LOG, not a runtime failure (round-12
+    * advice): a valid-but-degenerate distribution (heavily tied cluster
+    * values whose per-file bounds all intersect the band) must merely
+    * not prune, never fail the query. The exact pruned-file counts are
+    * pinned on controlled layouts in FileStatsSpec.
+    */
+  private def warnIfUnpruned(q: String, scan: graft.lake.FileStats.SkipScan): Unit =
+    if (!(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$q: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
+          "skipping did no work on this layout/distribution")
+
   private def scratch(s: SparkSession, d: String, name: String): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val lake = s"$wh/graft_${name}_${graft.lake.AppState.tag(s, d)}_" +
@@ -71,11 +84,9 @@ object LakeOps {
     val hi = math.floor(mn + 7.0 * span / 10.0)
     val scan = graft.lake.FileStats.readSkipping(s, lake,
       Seq(graft.lake.FileStats.ColRange("o_totalprice", lo.toString, hi.toString)))
-    // the skipping must have done real work whenever the layout allows
-    // it (>1 file per partition); tiny inputs degenerate to no-op scans
-    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
-      s"q201: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
-        "stats-based skipping is not working")
+    // the skipping should do real work whenever the layout allows it
+    // (>1 file per partition); degenerate distributions only log
+    warnIfUnpruned("q201", scan)
     scan.df
       .filter($"o_totalprice" >= lo && $"o_totalprice" <= hi)
       .groupBy($"status")
@@ -360,9 +371,7 @@ object LakeOps {
       if (keys.isEmpty)
         graft.lake.FileStats.SkipScan(graft.lake.ManifestLake.read(s, lake), 0, 0, 0, 0)
       else graft.lake.FileStats.readSkippingPoint(s, lake, "o_orderkey", keys)
-    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
-      s"q205: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
-        "bloom skipping is not working")
+    warnIfUnpruned("q205", scan)
     scan.df
       .filter($"o_orderkey" % 997 === 0)
       .groupBy($"status")
@@ -497,9 +506,7 @@ object LakeOps {
     val scan = graft.lake.FileStats.readSkipping(s, lake,
       Seq(graft.lake.FileStats.ColRange("u", "8", "15"),
         graft.lake.FileStats.ColRange("h", "8", "15")))
-    require(scan.filesScanned < scan.filesTotal || scan.filesTotal <= 6,
-      s"q208: no files pruned (${scan.filesScanned}/${scan.filesTotal}) — " +
-        "2-dim Morton skipping is not working")
+    warnIfUnpruned("q208", scan)
     scan.df
       .filter($"u".between(8, 15) && $"h".between(8, 15))
       .groupBy($"event_type")

@@ -129,17 +129,24 @@ class ManifestLakeSpec extends SparkSpec {
     }
   }
 
-  test("vacuum reclaims superseded files; the committed state is untouched") {
+  test("vacuum reclaims superseded files and dead orphans; possibly-in-flight txns wait out the grace") {
     withManifestMode {
       val lake = tmpLake()
       val b1 = MergeWriter.withPartitionCols(
         candles((T0, 100.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
       MergeWriter.merge(spark, b1, lake, 1)
-      // remap day1 twice (txn-2, txn-3) and leave an orphan txn
+      // remap day1 twice (txn-2, txn-3); plant a DEAD orphan (version 2
+      // ≤ current 3: its target version is committed, the owning writer
+      // can only lose its CAS — reclaim immediately) and a
+      // FUTURE-versioned orphan (version 50 > current 3: could be an
+      // in-flight writer's private dir — reclaim only past the grace)
       MergeWriter.merge(spark,
         MergeWriter.withPartitionCols(candles((T0, 101.0, "coinbase")), "15m", "spot"), lake, 2)
       MergeWriter.merge(spark,
         MergeWriter.withPartitionCols(candles((T0, 102.0, "coinbase")), "15m", "spot"), lake, 3)
+      candles((T0, 7.0, "coinbase")).toDF().withColumn("ingest_seq", lit(9L))
+        .write.parquet(s"$lake/data/txn-2-deadbeef/symbol=BTC-USDT/interval=15m/" +
+          "data_type=spot/exchange=coinbase/date=20210101")
       candles((T0, 7.0, "coinbase")).toDF().withColumn("ingest_seq", lit(9L))
         .write.parquet(s"$lake/data/txn-50/symbol=BTC-USDT/interval=15m/" +
           "data_type=spot/exchange=coinbase/date=20210101")
@@ -147,13 +154,86 @@ class ManifestLakeSpec extends SparkSpec {
         .collect().map(_.getAs[Double]("close")).toSeq
       assert(before == Seq(102.0, 200.0))
       val removed = ManifestLake.vacuum(spark, lake)
-      assert(removed > 0, "vacuum must reclaim the superseded day1 copies + orphan txn")
-      // orphan and superseded dirs gone, committed state identical
-      assert(!new java.io.File(s"$lake/data/txn-50").exists())
+      assert(removed > 0, "vacuum must reclaim the superseded day1 copies + dead orphan")
+      // the ≤-current orphan is gone; the possibly-in-flight dir SURVIVES
+      // the default grace (deleting it would let a racing merge COMMIT a
+      // manifest referencing deleted files)
+      assert(!new java.io.File(s"$lake/data/txn-2-deadbeef").exists(),
+        "dead (≤ current) orphan must reclaim immediately")
+      assert(new java.io.File(s"$lake/data/txn-50").exists(),
+        "future-versioned txn dir may be in-flight — must survive the grace")
+      // …and reclaims once aged past the grace
+      ManifestLake.vacuum(spark, lake, txnGraceMillis = 0L)
+      assert(!new java.io.File(s"$lake/data/txn-50").exists(),
+        "aged-out future-versioned orphan must reclaim")
       val after = MergeWriter.readLake(spark, lake).orderBy("timestamp")
         .collect().map(_.getAs[Double]("close")).toSeq
       assert(after == before)
     }
+  }
+
+  test("vacuum x in-flight merge: a sweep inside the write-to-commit window cannot corrupt the commit") {
+    // Round-12 verdict item 1: vacuum used to reclaim ANY unreferenced
+    // data dir — including a concurrent merge's pre-commit txn dir —
+    // after which the merge's CAS still succeeded, COMMITTING a manifest
+    // that references deleted files. The version guard must leave the
+    // in-flight dir alone; the commit must land and read back intact.
+    withManifestMode {
+      val lake = tmpLake()
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 100.0, "coinbase")), "15m", "spot"), lake, 1)
+      // supersede day1 so the sweep has REAL garbage to reclaim
+      MergeWriter.merge(spark,
+        MergeWriter.withPartitionCols(candles((T0, 101.0, "coinbase")), "15m", "spot"), lake, 2)
+      var reclaimed = -1L
+      ManifestLake.beforeCommitHook = () => {
+        ManifestLake.beforeCommitHook = () => ()
+        // vacuum fires in the torn window: data written, manifest not yet
+        reclaimed = ManifestLake.vacuum(spark, lake)
+      }
+      val b = MergeWriter.withPartitionCols(
+        candles((T0, 555.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot")
+      MergeWriter.merge(spark, b, lake, 3) // must NOT throw
+      assert(reclaimed >= 1, "the sweep must still reclaim genuine garbage (superseded day1)")
+      // the committed manifest references intact files — full read works
+      val out = MergeWriter.readLake(spark, lake).orderBy("timestamp")
+        .collect().map(_.getAs[Double]("close")).toSeq
+      assert(out == Seq(555.0, 200.0),
+        s"commit after an in-window vacuum must reference intact files: $out")
+    }
+  }
+
+  test("rewrite x merge: a merge landing inside a clustering rewrite's snapshot-to-commit span fails the rewrite loud") {
+    // Round-12 advice (medium): repartitionLake/clusterManifest snapshot
+    // the manifest, derive a full rewrite, and previously re-resolved the
+    // version at commit time — silently overwriting an intervening
+    // merge's partitions with stale pre-merge data. With the CAS pinned
+    // to the snapshot version, the rewrite must fail loud and the
+    // merge's rows must survive.
+    val lake = tmpLake()
+    val rows = (1L to 100L).map(i => (i, i * 1.0, (i % 4).toString))
+      .toDF("id", "v", "part").withColumn("seq", lit(1L))
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"seq"))
+    ManifestLake.beforeCommitHook = () => {
+      ManifestLake.beforeCommitHook = () => ()
+      // a merge commits INSIDE the rewrite's window, updating key 1
+      ManifestLake.mergeKeyed(spark,
+        Seq((1L, 999.0, "1")).toDF("id", "v", "part").withColumn("seq", lit(2L)),
+        lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+    }
+    val e = intercept[IllegalStateException] {
+      graft.lake.Compactor.clusterManifest(spark, lake, Seq("v"), 10L)
+    }
+    assert(e.getMessage.contains("commit conflict"), e.getMessage)
+    // the intervening merge's row is intact, not stale-overwritten
+    val got = ManifestLake.read(spark, lake).filter($"id" === 1L)
+      .select($"v").as[Double].collect().toSeq
+    assert(got == Seq(999.0), s"merge inside the rewrite window must survive: $got")
+    // re-run against the new current version: the rewrite then lands
+    graft.lake.Compactor.clusterManifest(spark, lake, Seq("v"), 10L)
+    assert(ManifestLake.read(spark, lake).filter($"id" === 1L)
+      .select($"v").as[Double].collect().toSeq == Seq(999.0))
   }
 
   test("additive schema evolution flows through manifest txns (unionByName across versions)") {
@@ -407,6 +487,61 @@ class ManifestLakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestLake.repartitionLake(spark, lake, Seq("nope"))
     }
+  }
+
+  test("importLockLake: a lock-path lake becomes manifest v1 with byte-identical files in place") {
+    val lake = tmpLake()
+    // a lock-path lake with schema evolution across merges (so the
+    // import txn holds heterogeneous physical schemas — the read must
+    // go through the tracked sidecar)
+    MergeWriter.merge(spark,
+      MergeWriter.withPartitionCols(
+        candles((T0, 100.0, "coinbase"), (T0 + Day, 200.0, "coinbase")), "15m", "spot"), lake, 1)
+    MergeWriter.merge(spark,
+      MergeWriter.withPartitionCols(candles((T0 + 2 * Day, 300.0, "coinbase")), "15m", "spot")
+        .withColumn("vwap", lit(1.25)), lake, 2)
+    assert(!ManifestLake.isManifestLake(spark, lake))
+    val before = MergeWriter.readLake(spark, lake)
+      .select($"timestamp", $"close", $"vwap")
+      .as[(Timestamp, Double, Option[Double])].collect().toSet
+    // fingerprint the data files (name → size): import must move, never rewrite
+    def dataFiles(root: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val filesBefore = dataFiles(new java.io.File(lake))
+    assert(ManifestLake.importLockLake(spark, lake) == 1L)
+    assert(ManifestLake.isManifestLake(spark, lake))
+    // same bytes, referenced in place (renamed under data/txn-1-import)
+    assert(dataFiles(new java.io.File(s"$lake/data")) == filesBefore,
+      "import must reference the existing files, not rewrite them")
+    assert(ManifestLake.read(spark, lake)
+      .select($"timestamp", $"close", $"vwap")
+      .as[(Timestamp, Double, Option[Double])].collect().toSet == before,
+      "post-import read must equal the pre-import lock-path read")
+    // re-import is refused loudly
+    val e = intercept[IllegalArgumentException] { ManifestLake.importLockLake(spark, lake) }
+    assert(e.getMessage.contains("already"), e.getMessage)
+    // the imported lake is a first-class merge target (routes through the
+    // manifest protocol automatically) …
+    MergeWriter.merge(spark,
+      MergeWriter.withPartitionCols(candles((T0, 111.0, "coinbase")), "15m", "spot"), lake, 3)
+    val out = MergeWriter.readLake(spark, lake).orderBy("timestamp")
+      .collect().map(_.getAs[Double]("close")).toSeq
+    assert(out == Seq(111.0, 200.0, 300.0))
+    // … with the whole read side live: time travel to the import version
+    // and a change feed across the post-import merge
+    assert(ManifestLake.readAt(spark, lake, 1L)
+      .orderBy("timestamp").collect().map(_.getAs[Double]("close")).toSeq ==
+      Seq(100.0, 200.0, 300.0))
+    val feed = graft.lake.ChangeFeed.readChanges(spark, lake, 1L, 2L,
+      Seq("symbol", "interval", "data_type", "exchange", "date", "timestamp"))
+    val types = feed.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types == Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"the post-import correction must surface as one update pair: $types")
   }
 
   test("readAt rejects uncommitted versions loudly") {
