@@ -302,10 +302,25 @@ object ManifestLake {
   }
 
   /** Atomically commit manifest version `v + 1` with `entries`, carrying
-    * `headers` as leading `#key=value` lines. ONE create(overwrite=false)
-    * — the CAS the whole protocol rests on. Throws loud on a lost race;
-    * the caller's data directory is private (token-named), so nothing is
-    * corrupted.
+    * `headers` as leading `#key=value` lines. The content is written in
+    * full to a writer-PRIVATE temp file, then published with ONE
+    * `rename` that fails if the destination exists — the CAS the whole
+    * protocol rests on, now carrying COMPLETE content. The previous
+    * `create(overwrite=false)`-then-write shape was atomic only for
+    * EXISTENCE: a reader racing the commit could open m(v+1) EMPTY or
+    * partial and conclude an empty/shrunken lake — vacuum would then
+    * reclaim txns the manifest actually references (the round-13
+    * vacuum-under-load rehearsal caught exactly that). With rename,
+    * a manifest either does not exist or is complete.
+    *
+    * Atomicity by store: HDFS rename is namenode-serialized (full CAS);
+    * the local FS refuses an existing destination with a tiny
+    * check-then-rename window; S3-class stores should front the commit
+    * with a conditional PUT (If-None-Match) — the caveat the object doc
+    * already carries for the create-based CAS, unchanged in scope.
+    * Throws loud on a lost race; the caller's data directory is private
+    * (token-named), so nothing is corrupted. A crash between temp write
+    * and rename leaves a `.tmp` orphan that [[vacuum]] reclaims.
     */
   private def commitManifest(fs: FileSystem, path: String, v: Long,
                              entries: Map[String, String],
@@ -315,15 +330,20 @@ object ManifestLake {
     val lines = header + (if (body.isEmpty) "" else body.mkString("", "\n", "\n"))
     val mPath = new Path(manifestDir(path), s"m${v + 1}.txt")
     fs.mkdirs(manifestDir(path))
-    val out =
-      try fs.create(mPath, /* overwrite = */ false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"ManifestLake: commit conflict — $mPath already exists (a concurrent " +
-            "writer committed first). Nothing was corrupted; re-run the merge " +
-            "against the new current version.", e)
-      }
+    val tmp = new Path(manifestDir(path),
+      s".m${v + 1}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, /* overwrite = */ false)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
+    val renamed =
+      try fs.rename(tmp, mPath)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"ManifestLake: commit conflict — $mPath already exists (a concurrent " +
+          "writer committed first). Nothing was corrupted; re-run the merge " +
+          "against the new current version.")
+    }
   }
 
   /** A fresh, writer-private txn directory name for version `v + 1`.
@@ -664,6 +684,11 @@ object ManifestLake {
     if (fs.exists(md)) fs.listStatus(md).foreach { s =>
       s.getPath.getName match {
         case ManifestName(mv) if mv.toLong < retained.head =>
+          if (fs.delete(s.getPath, false)) removed += 1
+        // a commit temp orphaned by a crash between content write and
+        // the publishing rename — private by token, safe once aged
+        case n if n.startsWith(".m") && n.endsWith(".tmp") &&
+            (now - s.getModificationTime) >= txnGraceMillis =>
           if (fs.delete(s.getPath, false)) removed += 1
         case _ => ()
       }

@@ -142,6 +142,55 @@ class FileStatsSpec extends SparkSpec {
     assert(blooms().size == 1, s"superseded bloom must be reclaimed: ${blooms()}")
   }
 
+  test("string bloom columns: keys hash through xxhash64 on both sides; no false negatives") {
+    val lake = tmpLake()
+    // string doc ids striped across value-clustered files — the layout
+    // where only a bloom can prune a key probe (round-12 verdict item 4)
+    val rows = (0 until 400)
+      .map(i => (s"doc-${i * 37 % 400}", i.toDouble, "a")).toDF("doc", "v", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"doc"), order = Seq($"doc"))
+    Compactor.clusterManifest(spark, lake, Seq("v"), 50L)
+    assert(FileStats.collectBlooms(spark, lake, "doc") == 1L)
+    val probe = Seq("doc-111", "doc-222")
+    val scan = FileStats.readSkippingPointString(spark, lake, "doc", probe)
+    assert(scan.filesTotal == 8)
+    assert(scan.filesScanned < scan.filesTotal, "string bloom must prune")
+    val got = scan.df.filter($"doc".isin(probe: _*)).select($"doc")
+      .as[String].collect().sorted.toSeq
+    assert(got == probe.sorted, "no probed row may be lost (no false negatives)")
+    // an unsupported column type still rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      FileStats.collectBlooms(spark, lake, "v")
+    }
+    assert(e.getMessage.contains("BIGINT or STRING"), e.getMessage)
+  }
+
+  test("an over-cap probe list fails OPEN to an unpruned read, never an unbounded probe loop") {
+    val lake = clusteredLake()
+    FileStats.collectBlooms(spark, lake, "id")
+    val keys = (0L until (FileStats.MaxProbeKeys + 1).toLong).toSeq
+    val scan = FileStats.readSkippingPoint(spark, lake, "id", keys)
+    assert(scan.filesTotal == 0 && scan.filesScanned == 0,
+      "over-cap probes must skip the probe loop entirely")
+    assert(scan.df.count() == 400, "the fallback is the full committed state")
+  }
+
+  test("non-finite values in a statted column fail OPEN: the sidecar never poisons later reads") {
+    // round-12 advice: Spark's double→string cast writes 'NaN' bounds,
+    // which BigDecimal cannot parse — one NaN row must degrade that
+    // file to scan, not make every readSkipping call throw forever
+    val lake = tmpLake()
+    val rows = Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, Double.NaN, "b"),
+      (4L, 4.0, "b")).toDF("id", "v", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    FileStats.collectStats(spark, lake, Seq("v"))
+    val scan = FileStats.readSkipping(spark, lake, Seq(ColRange("v", "0", "10")))
+    assert(scan.df.select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+      "NaN-statted files must scan (fail open), not throw or prune")
+  }
+
   test("a corrupt sidecar degrades to scan-all, never a failed or wrongly-pruned read") {
     val lake = clusteredLake()
     FileStats.collectStats(spark, lake, Seq("v"))

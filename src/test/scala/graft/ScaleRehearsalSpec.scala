@@ -395,6 +395,106 @@ class ScaleRehearsalSpec extends SparkSpec {
         "the metadata diff is no longer bounding the read")
   }
 
+  test("manifest read planning is O(live txns): a 1024-entry lake plans 2 scan nodes", SlowTag) {
+    // Round-12 verdict item 2 made concrete: read/readAt used to build
+    // one parquet relation PER MANIFEST ENTRY and left-fold unionByName —
+    // a 1024-branch union tree whose analyzer cost dominates planning at
+    // the protocol's stated 10^4–10^5-partition scale. The grouped read
+    // must plan ONE scan per live txn directory, regardless of entry
+    // count, and resolve in bounded time.
+    import graft.lake.ManifestLake
+    val lake = java.nio.file.Files
+      .createTempDirectory("planscale").toString + "/lake"
+    val nParts = 1024L
+    val df = spark.range(nParts * 20).select(
+      $"id", ($"id" % 100).cast("double").as("v"), lit(1L).as("seq"),
+      ($"id" % nParts).cast("string").as("part"))
+    ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"seq"))
+    // a second small merge → 1024 entries across exactly 2 live txns
+    ManifestLake.mergeKeyed(spark,
+      Seq((0L, 42.0, 2L, "0"), (1L, 42.0, 2L, "1")).toDF("id", "v", "seq", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+    assert(ManifestLake.currentEntries(spark, lake).size == nParts)
+    val t0 = System.nanoTime()
+    val read = ManifestLake.read(spark, lake)
+    val planMs = (System.nanoTime() - t0) / 1000000L
+    val scans = read.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 2,
+      s"a 1024-entry / 2-txn lake must plan 2 scan nodes, got ${scans.size}")
+    // resolution (incl. listing 1024+2 dirs) must be seconds, not a
+    // planning-time blowup; generous ceiling absorbs degraded-host draws
+    assert(planMs < 60000L, s"relation resolution took ${planMs} ms")
+    assert(read.count() == nParts * 20, "grouped read must lose no rows")
+    // time travel rides the same grouped shape: v1 is a single scan node
+    val v1 = ManifestLake.readAt(spark, lake, 1L)
+    assert(v1.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size == 1)
+  }
+
+  test("vacuum racing live merges: no committed manifest ever references a missing file", SlowTag) {
+    // Round-12 verdict item 6: the in-flight-writer guard under LOAD — a
+    // vacuum loop sweeps continuously while 10 merges commit; every
+    // committed state must stay fully readable, the final manifest's
+    // references must all exist, and the sweeps must still reclaim the
+    // superseded generations (the guard must not neuter reclamation).
+    import graft.lake.ManifestLake
+    val lake = java.nio.file.Files
+      .createTempDirectory("vacrace").toString + "/lake"
+    val nRows = 40000L
+    def batch(seq: Long, ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ids.select($"id", ($"id" % 100 + seq).cast("double").as("v"),
+        lit(seq).as("seq"), ($"id" % 8).cast("string").as("part"))
+    ManifestLake.mergeKeyed(spark, batch(1L, spark.range(nRows).toDF("id")),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweepErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val sweeps = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reclaimed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sweeper = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          reclaimed.addAndGet(ManifestLake.vacuum(spark, lake))
+          sweeps.incrementAndGet()
+          Thread.sleep(50)
+        } catch { case t: Throwable => sweepErr.set(t); stop.set(true) }
+      }
+    }, "vacuum-sweeper")
+    sweeper.start()
+    try {
+      (2L to 11L).foreach { seq =>
+        // each merge updates ~2 buckets' worth of keys, superseding them
+        val ids = spark.range(nRows).filter($"id" % 8 === (seq % 8) ||
+          $"id" % 8 === ((seq + 1) % 8)).toDF("id")
+        ManifestLake.mergeKeyed(spark, batch(seq, ids), lake,
+          keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+        // every committed state is fully readable mid-storm
+        assert(ManifestLake.read(spark, lake).count() == nRows,
+          s"committed state unreadable after merge $seq")
+      }
+    } finally { stop.set(true); sweeper.join(30000) }
+    assert(sweepErr.get() == null, s"vacuum threw under load: ${sweepErr.get()}")
+    assert(sweeps.get() >= 2, "the sweeper must have raced at least two sweeps")
+    // final accounting: one more sweep, then the data dir holds EXACTLY
+    // the current manifest's txns — everything referenced exists,
+    // everything superseded reclaimed
+    ManifestLake.vacuum(spark, lake)
+    val entries = ManifestLake.currentEntries(spark, lake)
+    entries.foreach { case (rel, txn) =>
+      assert(new java.io.File(s"$lake/data/$txn/$rel").exists(),
+        s"committed manifest references a missing file: $txn/$rel")
+    }
+    val onDisk = new java.io.File(s"$lake/data").listFiles().map(_.getName).toSet
+    assert(onDisk == entries.values.toSet,
+      s"unreclaimed garbage or missing txns after the storm: " +
+        s"disk=$onDisk live=${entries.values.toSet}")
+    assert(reclaimed.get() > 0L, "the sweeps must have reclaimed superseded generations")
+    assert(ManifestLake.read(spark, lake).count() == nRows)
+  }
+
   test("stats-skipping scan reads scale with the BAND, not the lake (10x files)", SlowTag) {
     // FileStats' claim under test: partition pruning picks directories,
     // file stats pick files INSIDE them — a fixed value band over a
