@@ -50,6 +50,9 @@ object PerfSteady {
     "q206_partition_evolution" -> 6.0,
     "q207_transform_with_state" -> 4.5,
     "q208_zorder_box_scan" -> 4.0,
+    // round-13: lock-path import + post-import merge (two manifest
+    // commits + rename-only migration)
+    "q209_lock_import" -> 5.5,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

@@ -115,6 +115,77 @@ class TransformWithStateSpec extends SparkSpec {
       last.toString)
   }
 
+  // ── ProcessingTime mode: TTL + wall-clock timers ──────────────────────
+  // TTL REQUIRES TimeMode.ProcessingTime (validateTTLConfig throws for
+  // any other mode), and in that mode the engine keeps constructing
+  // batches forever by design (shouldRunAnotherBatch: the wall clock
+  // advancing IS pending work — how timers fire without input), so
+  // AvailableNow/processAllAvailable never terminate. These rows run ONE
+  // continuous query and poll its sink — which proves the stronger
+  // property: expiry happens with NO further input at all.
+
+  /** Poll until `cond` holds, bounded; returns whether it ever held. */
+  private def eventually(deadlineMs: Long)(cond: => Boolean): Boolean = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < end) { Thread.sleep(200L); ok = cond }
+    ok
+  }
+
+  test("state TTL: expired values read as absent; unexpired values survive (RocksDB)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = Files.createTempDirectory("graft_tws_ttl").toString
+    def rows(): Seq[(Long, Long)] =
+      scala.util.Try(spark.read.parquet(s"$out/rows").as[TtlOut].collect())
+        .getOrElse(Array.empty[TtlOut]).toSeq
+        .filter(_.k == "a").map(o => (o.durable, o.volatileN)).sorted
+    withRocksDb {
+      implicit val eOut = Encoders.product[TtlOut]
+      val q = mem.toDS().groupByKey(_.k)(Encoders.STRING)
+        .transformWithState(new TtlCounter, TimeMode.ProcessingTime(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      try {
+        mem.addData(In("a", 1L))
+        assert(eventually(30000L)(rows().size == 1), s"first batch: ${rows()}")
+        Thread.sleep(3000L) // past the 1s TTL, far under the 60s one
+        mem.addData(In("a", 1L))
+        assert(eventually(30000L)(rows().size == 2), s"second batch: ${rows()}")
+      } finally q.stop()
+    }
+    assert(rows() == Seq((1L, 1L), (2L, 1L)),
+      "the 1s-TTL counter must expire across the 3s gap while the " +
+        s"60s-TTL counter accumulates: ${rows()}")
+  }
+
+  test("processing-time timers fire from the wall clock alone — no further input required") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = Files.createTempDirectory("graft_tws_proc").toString
+    def fired(): Set[String] =
+      scala.util.Try(spark.read.parquet(s"$out/rows").as[TOut].collect())
+        .getOrElse(Array.empty[TOut]).map(_.k).toSet
+    withRocksDb {
+      implicit val eOut = Encoders.product[TOut]
+      val q = mem.toDS().groupByKey(_.k)(Encoders.STRING)
+        .transformWithState(new PingMonitor(1000L), TimeMode.ProcessingTime(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      try {
+        mem.addData(In("a", 1L)) // arms a's +1s timer; nothing else arrives
+        assert(eventually(30000L)(fired().contains("a")),
+          s"a's timer must fire from the clock alone: ${fired()}")
+      } finally q.stop()
+    }
+  }
+
   test("ListState accumulates across batches and survives restart") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[In]
@@ -198,6 +269,49 @@ object TransformWithStateSpec {
       n.update(total)
       Iterator(MOut(key, total, hist.iterator().toSeq.sortBy(_._1)))
     }
+  }
+
+  case class TtlOut(k: String, durable: Long, volatileN: Long)
+
+  /** Two counters on the same key with different TTLs: the 60s one must
+    * survive a multi-second batch gap, the 1s one must expire across it
+    * and restart — state TTL as wall-clock cleanup with no explicit
+    * timer bookkeeping (the cache/session-affinity state shape).
+    */
+  class TtlCounter extends StatefulProcessor[String, In, TtlOut] {
+    @transient private var durable: ValueState[Long] = _
+    @transient private var volatileC: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      durable = getHandle.getValueState[Long]("durable", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofSeconds(60)))
+      volatileC = getHandle.getValueState[Long]("volatile", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofSeconds(1)))
+    }
+    override def handleInputRows(key: String, rows: Iterator[In],
+                                 tv: TimerValues): Iterator[TtlOut] = {
+      val n = rows.size.toLong
+      val d = (if (durable.exists()) durable.get() else 0L) + n
+      val v = (if (volatileC.exists()) volatileC.get() else 0L) + n
+      durable.update(d); volatileC.update(v)
+      Iterator(TtlOut(key, d, v))
+    }
+  }
+
+  /** Arms a processing-time timer per input and emits on expiry — the
+    * wall-clock-deadline shape (heartbeat/SLA alerts), firing on a later
+    * micro-batch with NO input required for the expiring key.
+    */
+  class PingMonitor(delayMs: Long) extends StatefulProcessor[String, In, TOut] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(key: String, rows: Iterator[In],
+                                 tv: TimerValues): Iterator[TOut] = {
+      rows.size // drain
+      getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + delayMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[TOut] =
+      Iterator(TOut(key, info.getExpiryTimeInMs))
   }
 
   case class LOut(k: String, vals: Seq[Long])
