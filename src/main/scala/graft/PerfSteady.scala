@@ -40,19 +40,21 @@ object PerfSteady {
     "q100_dedup_increment" -> 1.4,
     "q198_schema_evolution_replay" -> 3.8,
     "q199_erase_merge_interleave" -> 3.2,
-    // round-12 lake replays (manifest commits + feed reconstruction;
-    // healthy authoritative run: calib 0.2/0.14, 0 outliers, 203 queries)
+    // lake replays (manifest commits + feed reconstruction) — refreshed
+    // round 13 on the grouped single-scan read path (authoritative run:
+    // 336.9 s / 207 q, calib 0.18/0.18, 0 outliers); q204 includes the
+    // syncTo verb's idempotent second pass
     "q201_stats_skipping_scan" -> 6.6,
-    "q202_change_data_feed" -> 6.3,
-    "q203_cdf_view_maintenance" -> 6.1,
-    "q204_cdf_replication" -> 9.2,
-    "q205_bloom_point_lookup" -> 6.6,
-    "q206_partition_evolution" -> 6.0,
-    "q207_transform_with_state" -> 4.5,
-    "q208_zorder_box_scan" -> 4.0,
+    "q202_change_data_feed" -> 5.0,
+    "q203_cdf_view_maintenance" -> 5.5,
+    "q204_cdf_replication" -> 8.5,
+    "q205_bloom_point_lookup" -> 6.0,
+    "q206_partition_evolution" -> 4.8,
+    "q207_transform_with_state" -> 5.0,
+    "q208_zorder_box_scan" -> 3.2,
     // round-13: lock-path import + post-import merge (two manifest
     // commits + rename-only migration)
-    "q209_lock_import" -> 5.5,
+    "q209_lock_import" -> 3.0,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,
