@@ -344,6 +344,19 @@ object ManifestLake {
           "writer committed first). Nothing was corrupted; re-run the merge " +
           "against the new current version.")
     }
+    // Lost-update detection: on stores whose no-overwrite rename is
+    // check-then-rename (the local FS's exists-guard over POSIX
+    // renameTo), two same-version writers racing the tiny window could
+    // BOTH report success with the last one's content in place. Read
+    // back and compare — exactly one writer can match; every other
+    // fails loud with its (private, token-named) data untouched. One
+    // small metadata read per commit; rename-atomic stores (HDFS) pass
+    // trivially.
+    if (manifestText(fs, mPath) != lines)
+      throw new IllegalStateException(
+        s"ManifestLake: commit conflict — a concurrent writer's rename " +
+          s"overwrote $mPath in the same-version race window. Nothing was " +
+          "corrupted; re-run the merge against the new current version.")
   }
 
   /** A fresh, writer-private txn directory name for version `v + 1`.

@@ -162,10 +162,17 @@ class ManifestLakeSpec extends SparkSpec {
         "dead (≤ current) orphan must reclaim immediately")
       assert(new java.io.File(s"$lake/data/txn-50").exists(),
         "future-versioned txn dir may be in-flight — must survive the grace")
-      // …and reclaims once aged past the grace
+      // a commit temp orphaned by a crash between content write and the
+      // publishing rename follows the same grace discipline
+      val orphanTmp = new java.io.File(s"$lake/_manifest/.m99.deadbeef.tmp")
+      java.nio.file.Files.write(orphanTmp.toPath, "torn".getBytes("UTF-8"))
+      ManifestLake.vacuum(spark, lake)
+      assert(orphanTmp.exists(), "a young commit temp may be a live writer's")
+      // …and everything reclaims once aged past the grace
       ManifestLake.vacuum(spark, lake, txnGraceMillis = 0L)
       assert(!new java.io.File(s"$lake/data/txn-50").exists(),
         "aged-out future-versioned orphan must reclaim")
+      assert(!orphanTmp.exists(), "aged-out commit temp must reclaim")
       val after = MergeWriter.readLake(spark, lake).orderBy("timestamp")
         .collect().map(_.getAs[Double]("close")).toSeq
       assert(after == before)
