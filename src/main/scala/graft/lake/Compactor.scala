@@ -142,10 +142,17 @@ object Compactor {
     // commit CAS so an intervening merge fails this rewrite loudly
     val (baseVersion, entries) = ManifestLake.currentState(spark, path)
     val fragged = entries.toSeq.sortBy(_._1).flatMap { case (rel, txn) =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/data/$txn/$rel")
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${ManifestLake.txnBase(path, txn)}/$rel")
       val n = fs.listStatus(dir).count(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (n > maxFiles) Some((rel, txn, n)) else None
+      // in-place imported root partitions (importLockLake's @root
+      // entries) are always rewritten — this is the LAZY RELOCATION
+      // half of the reference-in-place import: one maintenance commit
+      // moves them under data/<txn>/ and vacuum then reclaims the
+      // legacy root directories
+      if (n > maxFiles || txn == ManifestLake.RootTxn) Some((rel, txn, n))
+      else None
     }
     val summary = fragged.map { case (rel, _, n) => (rel, n) }
       .toDF("partition", "files_before")

@@ -181,7 +181,7 @@ class ChangeFeedSpec extends SparkSpec {
     val eCrash = intercept[IllegalStateException] {
       ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
         partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
-        eraseBuckets = 4)
+        eraseBuckets = 4, coalesce = false)
     }
     assert(eCrash.getMessage.contains("injected"), eCrash.getMessage)
     assert(ChangeFeed.lastSyncedVersion(spark, dst) == 2L,
@@ -190,7 +190,7 @@ class ChangeFeedSpec extends SparkSpec {
     // recovery: the re-run applies exactly hop 3 and converges
     assert(ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
       partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
-      eraseBuckets = 4) == 3L)
+      eraseBuckets = 4, coalesce = false) == 3L)
     assert(ChangeFeed.lastSyncedVersion(spark, dst) == 3L)
     def state(lake: String): Set[(Long, Double)] =
       ManifestLake.read(spark, lake).select($"id", $"v")
@@ -210,5 +210,122 @@ class ChangeFeedSpec extends SparkSpec {
     assert(new java.io.File(s"$dst/_manifest").listFiles()
       .count(_.getName.matches("m\\d+\\.txt")) == mCount,
       "an up-to-date replica must not churn versions")
+  }
+
+  test("coalesced catch-up: a far-behind replica converges in <=3 replica commits, state == hop-by-hop") {
+    // Round-13 verdict item 2: keep-last algebra makes the ENDPOINT diff's
+    // final state identical to per-version hops, so a replica 10 versions
+    // behind should pay one merge + one erase + one offset commit, not 10x.
+    val src = tmpLake(); val a = tmpLake(); val b = tmpLake()
+    def bucketed(seq: Long, ids: Seq[Long], v: Double): DataFrame =
+      ids.map(i => (i, v, seq)).toDF("id", "v", "seq")
+        .withColumn("bucket", pmod(hash($"id"), lit(4)).cast("string"))
+    def mergeB(lake: String, df: DataFrame): Unit = {
+      ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("bucket"),
+        dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+      ()
+    }
+    // 10 source versions: 9 merges (inserts + corrections) + 1 erasure
+    (1 to 9).foreach { i =>
+      mergeB(src, bucketed(i.toLong, (i.toLong * 10 + 1) to (i.toLong * 10 + 5), i * 1.0))
+    }
+    Eraser.eraseKeys(spark, src, "id",
+      Seq(11L, 31L, 51L).toDF("id"), buckets = 4) // v10
+    def sync(dst: String, coalesce: Boolean): Long =
+      ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+        partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+        eraseBuckets = 4, coalesce = coalesce)
+    assert(sync(a, coalesce = true) == 10L)
+    assert(sync(b, coalesce = false) == 10L)
+    def state(lake: String): Set[(Long, Double)] =
+      ManifestLake.read(spark, lake).select($"id", $"v")
+        .as[(Long, Double)].collect().toSet
+    assert(state(a) == state(src), "coalesced replica must equal the source")
+    assert(state(a) == state(b), "coalesced and hop-by-hop must converge identically")
+    // the whole catch-up cost: merge + erase + offset = 3 replica commits
+    assert(ManifestLake.latestVersion(spark, a) <= 3L,
+      s"coalesced catch-up committed ${ManifestLake.latestVersion(spark, a)} " +
+        "replica versions - the span was not coalesced")
+    assert(ManifestLake.latestVersion(spark, b) > 10L,
+      "hop-by-hop mode must keep per-version history effects")
+  }
+
+  test("syncTo under replica contention: commits retry and fold the competitor in, never abort") {
+    // Round-13 verdict item 3: a competing writer on the REPLICA between a
+    // sync merge's data write and its commit makes the sync lose the CAS;
+    // the bounded retry must re-resolve and land, keeping both writers' rows.
+    val src = tmpLake(); val dst = tmpLake()
+    def bucketed(seq: Long, ids: Seq[Long], v: Double): DataFrame =
+      ids.map(i => (i, v, seq)).toDF("id", "v", "seq")
+        .withColumn("bucket", pmod(hash($"id"), lit(4)).cast("string"))
+    ManifestLake.mergeKeyed(spark, bucketed(1, 1L to 10L, 1.0), src,
+      keys = Seq("bucket"), dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+    // competitor fires inside the sync merge's torn window, exactly once
+    ManifestLake.beforeCommitHook = () => {
+      ManifestLake.beforeCommitHook = () => ()
+      ManifestLake.mergeKeyed(spark, bucketed(99, 901L to 905L, 9.0), dst,
+        keys = Seq("bucket"), dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+      ()
+    }
+    try {
+      assert(ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+        partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+        eraseBuckets = 4) == 1L)
+    } finally ManifestLake.beforeCommitHook = () => ()
+    val ids = ManifestLake.read(spark, dst).select($"id").as[Long].collect().toSet
+    assert((1L to 10L).forall(ids), s"sync rows lost under contention: $ids")
+    assert((901L to 905L).forall(ids), s"competitor rows lost: $ids")
+  }
+
+  test("fan-in: per-source offsets let two sources converge into one replica independently") {
+    // Round-13 verdict item 7: the offset ledger namespaces by sourceId,
+    // so one replica can mirror several sources without offset collisions.
+    val srcA = tmpLake(); val srcB = tmpLake(); val dst = tmpLake()
+    def bucketed(seq: Long, ids: Seq[Long], v: Double): DataFrame =
+      ids.map(i => (i, v, seq)).toDF("id", "v", "seq")
+        .withColumn("bucket", pmod(hash($"id"), lit(4)).cast("string"))
+    def mergeB(lake: String, df: DataFrame): Unit = {
+      ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("bucket"),
+        dedupKeys = Seq($"id"), order = Seq($"seq", $"id"))
+      ()
+    }
+    mergeB(srcA, bucketed(1, 1L to 10L, 1.0)); mergeB(srcA, bucketed(2, 1L to 3L, 2.0))
+    mergeB(srcB, bucketed(1, 101L to 110L, 1.0))
+    def sync(src: String, id: String): Long =
+      ChangeFeed.syncTo(spark, src, dst, keyCol = "id",
+        partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+        eraseBuckets = 4, sourceId = id)
+    assert(sync(srcA, "A") == 2L)
+    assert(sync(srcB, "B") == 1L)
+    assert(ChangeFeed.lastSyncedVersion(spark, dst, "A") == 2L)
+    assert(ChangeFeed.lastSyncedVersion(spark, dst, "B") == 1L)
+    val state = ManifestLake.read(spark, dst).select($"id", $"v")
+      .as[(Long, Double)].collect().toSet
+    val expect = ((4L to 10L).map(_ -> 1.0) ++ (1L to 3L).map(_ -> 2.0) ++
+      (101L to 110L).map(_ -> 1.0)).toSet
+    assert(state == expect, s"fan-in state wrong: $state")
+    // both offsets current: re-syncs apply nothing, commit nothing
+    val mCount = new java.io.File(s"$dst/_manifest").listFiles()
+      .count(_.getName.matches("m\\d+\\.txt"))
+    sync(srcA, "A"); sync(srcB, "B")
+    assert(new java.io.File(s"$dst/_manifest").listFiles()
+      .count(_.getName.matches("m\\d+\\.txt")) == mCount)
+  }
+
+  test("offset resolution fails loud on a truncated header ledger, never silently resets to 0") {
+    // Round-13 advice (low): 'never synced' and 'offset lost to retention'
+    // must be distinguishable. Modern lakes accumulate offsets into every
+    // checkpoint (vacuum retains the chain), so truncation only happens on
+    // a legacy/damaged chain - hand-craft one: a legacy full manifest at
+    // v2 with NO accumulated ledger and a missing v1.
+    val lake = tmpLake()
+    val md = new java.io.File(s"$lake/_manifest"); md.mkdirs()
+    java.nio.file.Files.write(new java.io.File(md, "m2.txt").toPath,
+      "part=a\ttxn-1\n".getBytes("UTF-8"))
+    assert(ManifestLake.latestVersion(spark, lake) == 2L)
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.lastSyncedVersion(spark, lake)
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
   }
 }

@@ -164,9 +164,8 @@ class EraserSpec extends SparkSpec {
       Eraser.eraseKeys(spark, dir, "user_id", (1L to 20L).toDF("user_id"), buckets = 1)
       // current manifest references nothing; read of an empty committed
       // state has no entries — currentEntries is the contract surface
-      val entries = spark.read.textFile(dir + "/_manifest/m2.txt")
-        .collect().filterNot(l => l.startsWith("#") || l.isEmpty)
-      assert(entries.isEmpty, s"fully-erased bucket must leave the manifest: ${entries.toSeq}")
+      val entries = ManifestLake.currentEntries(spark, dir)
+      assert(entries.isEmpty, s"fully-erased bucket must leave the manifest: $entries")
     } finally spark.conf.unset("spark.graft.lake.commit")
   }
 }

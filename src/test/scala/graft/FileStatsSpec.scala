@@ -245,4 +245,58 @@ class FileStatsSpec extends SparkSpec {
     assert(scan.filesScanned < scan.filesTotal)
     assert(scan.df.filter($"v" < 10).count() == 10)
   }
+
+  test("skipping scans enumerate files from the sidecars: zero directory LISTs on a statted lake") {
+    // Round-13 verdict item 5: per-entry fs.listStatus was one metadata
+    // RPC per partition per query at 10^4-10^5 entries; the sidecars
+    // already record every fileRel of their immutable txn, so a fully
+    // statted lake must enumerate without listing at all.
+    val lake = clusteredLake()
+    FileStats.collectStats(spark, lake, Seq("v"))
+    val unpruned = ManifestLake.read(spark, lake).count()
+    FileStats.listFallbacks.set(0L)
+    val scan = FileStats.readSkipping(spark, lake,
+      Seq(ColRange("v", "0", "399")))
+    assert(scan.df.count() == unpruned, "whole-range scan must lose no rows")
+    assert(FileStats.listFallbacks.get() == 0L,
+      "a fully-statted lake must not LIST any entry directory")
+    // bloom probes ride the same enumeration
+    FileStats.collectBlooms(spark, lake, "id")
+    FileStats.listFallbacks.set(0L)
+    val point = FileStats.readSkippingPoint(spark, lake, "id", Seq(7L, 399L))
+    assert(point.df.filter($"id".isin(7L, 399L)).count() == 2)
+    assert(FileStats.listFallbacks.get() == 0L,
+      "a statted lake's point probe must not LIST either")
+    // a NEW unstatted txn falls back to exactly its own listings
+    ManifestLake.mergeKeyed(spark,
+      Seq((1000L, 1000.0, "a")).toDF("id", "v", "part"), lake,
+      keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"id"))
+    FileStats.listFallbacks.set(0L)
+    val scan2 = FileStats.readSkipping(spark, lake,
+      Seq(ColRange("v", "0", "9")))
+    assert(scan2.df.filter($"v" < 10).count() == 10)
+    assert(FileStats.listFallbacks.get() >= 1L,
+      "an unstatted txn must fall back to LIST (and only it)")
+  }
+
+  test("bloom encoding marker: probing a STRING-keyed bloom with raw longs rejects loudly") {
+    // Round-13 advice (low): a raw-BIGINT probe against xxhash64-of-STRING
+    // inserts compares keys to hashes - silent false negatives. The
+    // sidecar records its encoding; a mismatched probe must throw, and the
+    // matching probe path keeps the no-false-negative contract.
+    val lake = tmpLake()
+    val rows = (0 until 100)
+      .map(i => (i.toLong, s"user-$i", "a")).toDF("id", "name", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    FileStats.collectBlooms(spark, lake, "name")
+    val e = intercept[IllegalArgumentException] {
+      FileStats.readSkippingPoint(spark, lake, "name", Seq(1L, 2L))
+    }
+    assert(e.getMessage.contains("encoding"), e.getMessage)
+    val ok = FileStats.readSkippingPointString(spark, lake, "name",
+      Seq("user-7", "user-93"))
+    assert(ok.df.filter($"name".isin("user-7", "user-93")).count() == 2,
+      "the matching probe type must keep the no-false-negative contract")
+  }
 }

@@ -847,4 +847,76 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(bTot <= sTot + 5000L,
       s"bucketed join shuffle must not scale with the data: $sTot → $bTot")
   }
+
+  test("delta manifests: commit bytes scale with touched partitions, ledger lookups open <= K (1024-entry / 100-commit lake)", SlowTag) {
+    // Round-13 verdict item 1, measured: the previous protocol rewrote
+    // the FULL entry map per commit (O(partitions) metadata write) and
+    // opened EVERY retained manifest's headers per tag/offset lookup
+    // (O(versions) reads). At streaming cadence on a 10^4-partition lake
+    // both dominate the commit path. Pin: a micro-merge's manifest body
+    // carries its 2 touched entries (not 1024), the ledger walk opens at
+    // most checkpointInterval manifests after 100 commits, and snapshots
+    // + CDF + vacuum all work across checkpoint boundaries.
+    import graft.lake.{ChangeFeed, ManifestLake}
+    val lake = java.nio.file.Files
+      .createTempDirectory("deltamanifest").toString + "/lake"
+    val nParts = 1024L
+    val base = spark.range(nParts * 4).select(
+      $"id", ($"id" % 100).cast("double").as("v"), lit(1L).as("seq"),
+      ($"id" % nParts).cast("string").as("part"))
+    def merge(df: org.apache.spark.sql.DataFrame, tag: Option[String] = None): Unit = {
+      ManifestLake.mergeKeyed(spark, df, lake, keys = Seq("part"),
+        dedupKeys = Seq($"id"), order = Seq($"seq", $"id"), commitTag = tag)
+      ()
+    }
+    merge(base) // v1: the 1024-entry full map
+    // v2..v101: 100 micro-merges, each touching exactly 2 partitions
+    (2 to 101).foreach { i =>
+      val p1 = (i * 2) % nParts; val p2 = (i * 2 + 1) % nParts
+      merge(Seq((p1, i * 1.0, i.toLong, p1.toString),
+        (p2, i * 1.0, i.toLong, p2.toString))
+        .toDF("id", "v", "seq", "part"),
+        tag = if (i == 2) Some("early-tag") else None)
+    }
+    val md = new java.io.File(s"$lake/_manifest")
+    def bodyLen(v: Long): Long = md.listFiles()
+      .filter(_.getName.matches(s"m$v\\.[0-9a-f]{8}\\.body")).head.length
+    // commit bytes ∝ touched partitions: a 2-entry delta vs the 1024-entry
+    // checkpoint — two orders of magnitude, not parity
+    val deltaBytes = bodyLen(101L) // 101 is off-checkpoint
+    val ckptBytes = bodyLen(100L)  // 100 is a checkpoint (full map + ledgers)
+    assert(deltaBytes < 512L,
+      s"a 2-partition micro-merge wrote a $deltaBytes-byte manifest — not a delta")
+    assert(ckptBytes > deltaBytes * 20,
+      s"checkpoint ($ckptBytes B) vs delta ($deltaBytes B) — full map missing?")
+    // ledger lookups: the header walk stops at the nearest checkpoint,
+    // never O(versions) — and still finds a 99-commits-old tag through
+    // the accumulated ledger
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hs = ManifestLake.resolveHeaders(fs, lake, 101L)
+    assert(hs.opens <= ManifestLake.checkpointInterval,
+      s"ledger walk opened ${hs.opens} manifests after 100 commits — not checkpoint-bounded")
+    assert(hs.tags.contains("early-tag"),
+      "the v2 tag must survive into the accumulated ledger")
+    // snapshots resolve across the checkpoint boundary, hash-identically
+    val at99 = ManifestLake.readAt(spark, lake, 99L).count()
+    val at101 = ManifestLake.readAt(spark, lake, 101L).count()
+    assert(at99 == nParts * 4 && at101 == nParts * 4)
+    // CDF across the boundary: versions 95 → 101 touched ≤ 2×6 partitions
+    val changed = ChangeFeed.readChanges(spark, lake, 95L, 101L, Seq("id"))
+      .select($"id").distinct().count()
+    assert(changed <= 12L, s"CDF across the checkpoint read $changed keys — diff leak")
+    // vacuum keeps each retained delta's chain back to ITS base
+    // checkpoint (99's chain anchors at 90); the horizon refuses
+    // sub-horizon versions as snapshots even though their manifests
+    // survive as chain links
+    ManifestLake.vacuum(spark, lake, retainVersions = 3)
+    val kept = md.listFiles().map(_.getName)
+      .filter(_.matches("m\\d+\\.txt")).toSet
+    assert(kept == (90 to 101).map(v => s"m$v.txt").toSet,
+      s"chain retention must keep 90 (base checkpoint of retained 99) through 101: $kept")
+    assert(ManifestLake.readAt(spark, lake, 99L).count() == nParts * 4)
+    intercept[IllegalArgumentException] { ManifestLake.readAt(spark, lake, 98L) }
+  }
 }
