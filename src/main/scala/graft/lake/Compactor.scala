@@ -141,11 +141,27 @@ object Compactor {
     // version and entries snapshot together; the version rides into the
     // commit CAS so an intervening merge fails this rewrite loudly
     val (baseVersion, entries) = ManifestLake.currentState(spark, path)
+    // fragmentation counts ride the stats sidecars' recorded fileRels on
+    // statted txns (same enumeration the skipping reads use — txns are
+    // immutable, so the ANALYZE-time file list is current); only
+    // unstatted txns pay a LIST per entry
+    val recorded: Map[String, Option[Set[String]]] =
+      entries.values.toSet.toSeq.map { txn: String =>
+        txn -> FileStats.recordedFileRels(fs, path, txn)
+      }.toMap
     val fragged = entries.toSeq.sortBy(_._1).flatMap { case (rel, txn) =>
-      val dir = new org.apache.hadoop.fs.Path(
-        s"${ManifestLake.txnBase(path, txn)}/$rel")
-      val n = fs.listStatus(dir).count(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val n = recorded(txn) match {
+        case Some(frs) =>
+          val prefix = rel + "/"
+          frs.count(fr => fr.startsWith(prefix) &&
+            !fr.substring(prefix.length).contains('/'))
+        case None =>
+          FileStats.listFallbacks.incrementAndGet()
+          val dir = new org.apache.hadoop.fs.Path(
+            s"${ManifestLake.txnBase(path, txn)}/$rel")
+          fs.listStatus(dir).count(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
       // in-place imported root partitions (importLockLake's @root
       // entries) are always rewritten — this is the LAZY RELOCATION
       // half of the reference-in-place import: one maintenance commit

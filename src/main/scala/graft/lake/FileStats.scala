@@ -224,6 +224,18 @@ object FileStats {
     }
   }
 
+  /** The fileRels a txn's stats sidecar recorded at ANALYZE time (a
+    * complete enumeration — txns are immutable); None when unstatted.
+    * Shared with [[Compactor.compactManifest]]'s fragmentation listing
+    * so maintenance planning also rides the sidecars instead of
+    * per-entry LISTs on a statted lake.
+    */
+  private[lake] def recordedFileRels(fs: FileSystem, path: String,
+                                     txn: String): Option[Set[String]] = {
+    val st = readSidecar(fs, path, txn)
+    if (st.isEmpty) None else Some(st.keysIterator.map(_._1).toSet)
+  }
+
   /** Does a file with `st` possibly hold a row in [lo, hi] on its column?
     * Non-decimal recorded bounds ('NaN'/'Infinity' — Spark's
     * double→string cast emits these for non-finite values) fail OPEN to

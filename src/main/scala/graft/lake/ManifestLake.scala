@@ -1003,6 +1003,12 @@ object ManifestLake {
           if (fs.delete(new Path(root, rel), true)) removed += 1
         }
       }
+      // schema-sidecar publish temps orphaned by a crashed writer
+      fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("_graft_schema.json.") && n.endsWith(".tmp") &&
+          (now - st.getModificationTime) >= txnGraceMillis
+      }.foreach(st => if (fs.delete(st.getPath, false)) removed += 1)
       if (rootDirs.nonEmpty && rootRefs.isEmpty) {
         // nothing in-place survives: the @root sidecars describe only
         // reclaimed files — retire them with the tier

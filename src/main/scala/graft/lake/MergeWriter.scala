@@ -129,15 +129,39 @@ object MergeWriter {
   private[lake] def writeStoredSchema(fs: org.apache.hadoop.fs.FileSystem, path: String,
                                       schema: org.apache.spark.sql.types.StructType): Unit = {
     val target = schemaSidecar(path)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_schema.json.tmp")
+    // writer-PRIVATE tmp: on the manifest path several optimistic
+    // writers can reach this concurrently (the lock path serializes, the
+    // manifest path orders only the COMMITS) — a shared tmp name let one
+    // writer rename the other's file away and fail a merge AFTER its
+    // commit had already landed
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"_graft_schema.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val json = schema.json
     val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    // rename is atomic on HDFS/local; the delete+rename window is inside
-    // the writer lock, and readers that miss the sidecar fall back to
-    // footer inference (readLake) rather than failing
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"MergeWriter: could not commit schema sidecar $target")
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // delete+rename publish, bounded-retried: two concurrent publishers
+    // can interleave delete/rename so one rename lands on an existing
+    // destination (refused on local FS). Readers that miss the sidecar
+    // inside the window fall back to inference-off schema probing rather
+    // than failing. If retries exhaust, equivalent content already
+    // published by the racer counts as success; a DIFFERENT surviving
+    // schema fails loud (swallowing it could drop an evolved column from
+    // every later read).
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 5) {
+      fs.delete(target, false)
+      done = fs.rename(tmp, target)
+      attempt += 1
+      if (!done) Thread.sleep(10L)
+    }
+    if (!done) {
+      fs.delete(tmp, false)
+      if (!readStoredSchema(fs, path).map(_.json).contains(json))
+        throw new java.io.IOException(
+          s"MergeWriter: could not commit schema sidecar $target and the " +
+            "surviving sidecar differs — re-run the merge")
+    }
   }
 
   /** Validate `batch` against the lake's tracked schema and return the

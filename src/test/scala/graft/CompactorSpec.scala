@@ -288,4 +288,43 @@ class CompactorSpec extends SparkSpec {
     assert(xOnly.filesScanned == 4 && yOnly.filesScanned == 4,
       s"one dim = one quadrant row/column: ${xOnly.filesScanned}, ${yOnly.filesScanned}")
   }
+
+  test("compactManifest fragmentation counts ride the stats sidecars: zero LISTs on a statted lake; @root always relocates") {
+    import graft.lake.{FileStats, ManifestLake}
+    import org.apache.spark.sql.functions._
+    val lake = tmpLake()
+    // two partitions, price-clustered into 4 files each — fragmented by
+    // the maxFiles=1 rule — then ANALYZEd so the sidecars exist
+    val rows = (0 until 400).map(i =>
+      (i.toLong, i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "v", "part")
+    ManifestLake.mergeKeyed(spark, rows, lake, keys = Seq("part"),
+      dedupKeys = Seq($"id"), order = Seq($"id"))
+    Compactor.clusterManifest(spark, lake, Seq("v"), 50L)
+    FileStats.collectStats(spark, lake, Seq("v"))
+    FileStats.listFallbacks.set(0L)
+    val summary = Compactor.compactManifest(spark, lake).collect()
+    assert(summary.length == 2, s"both fragmented partitions rewrite: ${summary.toSeq}")
+    assert(FileStats.listFallbacks.get() == 0L,
+      "a statted lake's fragmentation listing must not LIST any entry")
+    assert(ManifestLake.read(spark, lake).count() == 400)
+    // in-place imported (@root) entries always relocate, statted or not
+    val legacy = tmpLake()
+    (0 until 40).map(i => (i.toLong, (i % 4).toString))
+      .toDF("id", "bucket").withColumn("ingest_seq", lit(1L))
+      .write.partitionBy("bucket").parquet(legacy)
+    ManifestLake.importLockLake(spark, legacy)
+    assert(ManifestLake.currentEntries(spark, legacy).values.toSet == Set("@root"))
+    Compactor.compactManifest(spark, legacy, maxFiles = 100)
+    val txns = ManifestLake.currentEntries(spark, legacy).values.toSet
+    assert(!txns.contains("@root"),
+      s"compaction must relocate @root entries under data/: $txns")
+    assert(ManifestLake.read(spark, legacy).count() == 40)
+    // the legacy root directories reclaim once unreferenced
+    ManifestLake.vacuum(spark, legacy, txnGraceMillis = 0L)
+    assert(!new java.io.File(legacy).listFiles()
+      .exists(f => f.isDirectory && f.getName.contains("=")),
+      "vacuum must reclaim the superseded in-place root partitions")
+    assert(ManifestLake.read(spark, legacy).count() == 40)
+  }
 }
