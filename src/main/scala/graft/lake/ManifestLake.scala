@@ -752,15 +752,31 @@ object ManifestLake {
                                         order: Seq[org.apache.spark.sql.Column],
                                         commitTag: Option[String] = None,
                                         maxAttempts: Int = 3): DataFrame = {
+    val fs = fsFor(spark, path)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     var attempt = 1
     while (true) {
+      val vBefore = currentVersion(fs, path)
       try return mergeKeyed(spark, tagged, path, keys, dedupKeys, order, commitTag)
       catch {
         case e: IllegalStateException
             if e.getMessage.contains("commit conflict") && attempt < maxAttempts =>
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"ManifestLake: commit conflict at $path (attempt $attempt/$maxAttempts) " +
-              "— re-resolving current version and retrying")
+          log.info(s"ManifestLake: commit conflict at $path " +
+            s"(attempt $attempt/$maxAttempts) — re-resolving and retrying")
+          attempt += 1
+        case scala.util.control.NonFatal(e)
+            if attempt < maxAttempts && currentVersion(fs, path) > vBefore =>
+          // the chain ADVANCED during our attempt: a concurrent writer
+          // took our target version, which also licenses vacuum to
+          // reclaim our now-≤-current private txn dir MID-WRITE (the
+          // in-flight guard's documented fail-stop seam) — the attempt
+          // was doomed regardless of how it died, so re-resolving and
+          // re-running is the correct response, exactly as for a clean
+          // commit conflict. A failure with NO version advance is a
+          // real error and rethrows.
+          log.info(s"ManifestLake: merge attempt at $path failed while the " +
+            s"version chain advanced (attempt $attempt/$maxAttempts, " +
+            s"${e.getClass.getSimpleName}) — retrying against the new state")
           attempt += 1
       }
     }
@@ -910,6 +926,14 @@ object ManifestLake {
     * reference. A snapshot within the retained horizon survives any
     * number of vacuums; one past it fails LOUD at resolve time.
     * `retainVersions = 1` (the default) keeps only the current state.
+    * RETENTION MUST COVER READER DURATION: an in-flight read that
+    * resolved version v is only safe while v stays within the horizon —
+    * sweeping to current with live readers (retain=1 at commit cadence)
+    * can reclaim a just-superseded version's files under a mid-flight
+    * job, which then fails FAIL-STOP (FAILED_READ_FILE, never a wrong
+    * answer; the full-protocol storm rehearsal pins exactly this).
+    * Size `retainVersions` ≥ commit rate × longest reader — Delta's
+    * VACUUM-retention-vs-snapshot-duration contract.
     *
     * Removed: txn dirs no retained manifest points into, partition dirs
     * inside referenced txns that every retained manifest has remapped

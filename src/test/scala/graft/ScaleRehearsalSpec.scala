@@ -997,4 +997,90 @@ class ScaleRehearsalSpec extends SparkSpec {
     ManifestLake.vacuum(spark, lake, txnGraceMillis = 0L)
     assert(ManifestLake.read(spark, lake).select($"id").as[Long].collect().toSet == expected)
   }
+
+  test("full-protocol storm: concurrent retrying writers x a vacuum sweeper x a reader - convergence with reclamation", SlowTag) {
+    // The two prior storms each hold one variable still (single writer
+    // vs sweeper; multi-writer without vacuum). This one runs ALL the
+    // moving parts at once, which exercises the in-flight guard's
+    // documented fail-stop seam on purpose: a slow writer whose target
+    // version gets taken becomes <=-current garbage that the sweeper may
+    // reclaim MID-WRITE - mergeKeyedRetrying must absorb that as a
+    // retry (the chain advanced, the attempt was doomed regardless),
+    // never a terminal error, and the final state must hold every
+    // writer's every batch with all references on disk.
+    import graft.lake.ManifestLake
+    val lake = java.nio.file.Files
+      .createTempDirectory("fullstorm").toString + "/lake"
+    ManifestLake.mergeKeyed(spark,
+      Seq((-1L, 0.0, 0L, "p0")).toDF("id", "v", "seq", "part"),
+      lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweepErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[String]()
+    val sweeper = new Thread(() => {
+      while (!stop.get()) {
+        // retainVersions=5: still reclaims continuously (writers' loser
+        // dirs are version <= current garbage regardless of retention),
+        // but leaves in-flight READERS a horizon - the protocol's
+        // documented contract (retention must cover reader duration;
+        // retain-to-current with live readers is the Delta VACUUM
+        // RETAIN 0 footgun, reproduced by this storm's first draft)
+        try { ManifestLake.vacuum(spark, lake, retainVersions = 5); Thread.sleep(30L) }
+        catch { case t: Throwable => sweepErr.set(t); stop.set(true) }
+      }
+    }, "storm-sweeper")
+    val raceRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      var last = 0L
+      while (!stop.get() && readerErr.get() == null) {
+        try {
+          val n = ManifestLake.read(spark, lake).count()
+          if (n < last) readerErr.set(s"row count shrank $last -> $n")
+          last = n
+        } catch {
+          case t: org.apache.spark.SparkException
+              if String.valueOf(t.getMessage).contains("FAILED_READ_FILE") =>
+            // the residual retention race: this read resolved a version
+            // that fell past the horizon MID-FLIGHT. Fail-stop (never a
+            // wrong answer) - a real consumer re-reads the new current.
+            raceRetries.incrementAndGet()
+          case t: Throwable => readerErr.set(t.toString)
+        }
+      }
+    }, "storm-reader")
+    sweeper.start(); reader.start()
+    val writers = 3; val mergesEach = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { t =>
+      new Thread(() => {
+        try (1 to mergesEach).foreach { i =>
+          val seq = (t * 100 + i).toLong
+          ManifestLake.mergeKeyedRetrying(spark,
+            Seq((t * 1000L + i, 1.0, seq, "p0"),
+              (t * 1000L + i + 500, 1.0, seq, "p1"))
+              .toDF("id", "v", "seq", "part"),
+            lake, keys = Seq("part"), dedupKeys = Seq($"id"),
+            order = Seq($"seq", $"id"), maxAttempts = 200)
+          ()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(600000L))
+    stop.set(true); sweeper.join(60000L); reader.join(60000L)
+    assert(errs.isEmpty, s"writer failed under the full storm: ${errs.peek()}")
+    assert(sweepErr.get() == null, s"vacuum threw under the full storm: ${sweepErr.get()}")
+    assert(readerErr.get() == null, s"reader saw a bad state: ${readerErr.get()}")
+    // every writer's every batch survived the writer x sweeper races
+    val ids = ManifestLake.read(spark, lake).select($"id").as[Long].collect().toSet
+    val expected = (for { t <- 0 until writers; i <- 1 to mergesEach }
+      yield Seq(t * 1000L + i, t * 1000L + i + 500)).flatten.toSet + -1L
+    assert(ids == expected, s"missing=${expected -- ids} extra=${ids -- expected}")
+    // and the final committed state is fully materialized on disk
+    ManifestLake.vacuum(spark, lake)
+    val entries = ManifestLake.currentEntries(spark, lake)
+    entries.foreach { case (rel, txn) =>
+      assert(new java.io.File(s"$lake/data/$txn/$rel").exists(),
+        s"committed manifest references a missing file: $txn/$rel")
+    }
+  }
 }
