@@ -48,9 +48,9 @@ object PerfSteady {
     "q202_change_data_feed" -> 5.0,
     "q203_cdf_view_maintenance" -> 5.5,
     // round-14: syncTo coalesces catch-up into one endpoint hop — 3
-    // replica commits instead of ~8 (normalized-from-degraded estimate,
-    // re-anchored on the next authoritative bench)
-    "q204_cdf_replication" -> 6.0,
+    // replica commits instead of ~8 (authoritative round-14 record:
+    // 4.93 s, calib 0.20/0.17, 0 outliers)
+    "q204_cdf_replication" -> 5.4,
     "q205_bloom_point_lookup" -> 6.0,
     "q206_partition_evolution" -> 4.8,
     "q207_transform_with_state" -> 5.0,
@@ -61,8 +61,8 @@ object PerfSteady {
     // round-14: TWO AvailableNow streaming passes (engine checkpoint
     // restart is the point) + 3 source commits + per-span view merges —
     // stream-startup + commit-latency bound by design (authoritative
-    // round-14 draw: 8.69 s inside a ~1.4x ambient window)
-    "q210_streaming_cdf_view" -> 9.0,
+    // round-14 record: 5.77 s; headroom for trigger-timing wobble)
+    "q210_streaming_cdf_view" -> 6.5,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,
