@@ -107,6 +107,21 @@ object ManifestLake {
     */
   @volatile private[graft] var checkpointInterval: Int = 10
 
+  /** Checkpoint cadence for this session: the
+    * `spark.graft.lake.checkpointInterval` conf (an int ≥ 1) when set,
+    * else [[checkpointInterval]] — the deployment knob for the
+    * commit-bytes vs ledger-walk-opens trade. Oversizing it degrades
+    * header lookups toward O(versions) until the next checkpoint;
+    * undersizing pays a full-map write per commit.
+    */
+  private def confCheckpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.lake.checkpointInterval").map { v =>
+      val i = scala.util.Try(v.trim.toInt).getOrElse(-1)
+      require(i >= 1,
+        s"spark.graft.lake.checkpointInterval must be an integer >= 1, got '$v'")
+      i
+    }.getOrElse(checkpointInterval)
+
   /** The newest this-many commit tags survive in a checkpoint's
     * accumulated ledger — bounds checkpoint size under streaming
     * cadence. A batch redelivered from beyond the horizon re-applies
@@ -543,7 +558,8 @@ object ManifestLake {
   private def commitManifest(fs: FileSystem, path: String, v: Long,
                              entries: Map[String, String],
                              headers: Seq[(String, String)],
-                             base: Option[Map[String, String]] = None): Unit = {
+                             base: Option[Map[String, String]] = None,
+                             interval: Int = checkpointInterval): Unit = {
     val target = v + 1
     // crashed-import guard (round-13 advice, medium): _manifest exists
     // but nothing is committed AND the root still carries legacy k=v
@@ -559,7 +575,6 @@ object ManifestLake {
             "at its root (a crashed importLockLake?) — re-run importLockLake " +
             "before merging, or this commit would orphan the legacy data")
     }
-    val interval = checkpointInterval
     val isFull = base.isEmpty || target == 1L ||
       (interval > 0 && target % interval == 0)
     val headerSb = new StringBuilder
@@ -726,7 +741,7 @@ object ManifestLake {
     val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))
     val next = manifest -- touched ++ written.map(_ -> txnName).toMap
     commitManifest(fs, path, v, next, commitTag.map("tag" -> _).toSeq,
-      base = Some(manifest))
+      base = Some(manifest), interval = confCheckpointInterval(spark))
     // advance the tracked schema only after the commit succeeded — a
     // lost race or torn merge leaves the OLD sidecar, matching the
     // still-current manifest
@@ -867,7 +882,8 @@ object ManifestLake {
     beforeCommitHook()
     val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))
     val next = manifest -- touchedRels ++ written.map(_ -> txnName).toMap
-    commitManifest(fs, path, expectedVersion, next, headers, base = Some(manifest))
+    commitManifest(fs, path, expectedVersion, next, headers,
+      base = Some(manifest), interval = confCheckpointInterval(spark))
   }
 
   /** The current manifest's (relPath → txnDir) entries — bounded by
@@ -900,7 +916,8 @@ object ManifestLake {
     val fs = fsFor(spark, path)
     val v = currentVersion(fs, path)
     val entries = readManifest(fs, path, v)
-    commitManifest(fs, path, v, entries, headers, base = Some(entries))
+    commitManifest(fs, path, v, entries, headers, base = Some(entries),
+      interval = confCheckpointInterval(spark))
     v + 1
   }
 

@@ -700,4 +700,37 @@ class ManifestLakeSpec extends SparkSpec {
     assert(anomaly.isEmpty, s"reader saw a partial import: $anomaly")
     assert(ManifestLake.read(spark, lake).count() == 3L)
   }
+
+  test("checkpoint cadence is a session conf: spark.graft.lake.checkpointInterval") {
+    val lake = tmpLake()
+    def merge(i: Int): Unit = {
+      ManifestLake.mergeKeyed(spark,
+        Seq((i.toLong, i.toDouble, "a", i.toLong)).toDF("id", "v", "part", "seq"),
+        lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+      ()
+    }
+    spark.conf.set("spark.graft.lake.checkpointInterval", "3")
+    try {
+      (1 to 7).foreach(merge)
+      val md = new java.io.File(s"$lake/_manifest")
+      def kindOf(v: Long): String = {
+        val body = md.listFiles()
+          .filter(_.getName.matches(s"m$v\\.[0-9a-f]{8}\\.body")).head
+        scala.io.Source.fromFile(body, "UTF-8").getLines()
+          .find(_.startsWith("#kind=")).get.stripPrefix("#kind=")
+      }
+      assert((1L to 7L).map(kindOf) ==
+        Seq("full", "delta", "full", "delta", "delta", "full", "delta"),
+        "K=3 must checkpoint at v1 and every 3rd version")
+      assert(ManifestLake.readAt(spark, lake, 5L).count() == 5L,
+        "a mid-chain snapshot under the custom cadence resolves checkpoint+suffix")
+      // a malformed value fails loud, never silently defaults
+      spark.conf.set("spark.graft.lake.checkpointInterval", "zero")
+      val e = intercept[IllegalArgumentException] { merge(8) }
+      assert(e.getMessage.contains("checkpointInterval"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+    // back on the default cadence, commits keep working
+    merge(9)
+    assert(ManifestLake.read(spark, lake).count() == 8L) // ids 1..7 and 9
+  }
 }
