@@ -113,4 +113,37 @@ class CdfStreamSpec extends SparkSpec {
     assert(ManifestLake.latestVersion(spark, view) == versions,
       "an up-to-date view must not churn versions")
   }
+
+  test("a maintenance span crossing the source's vacuum horizon fails loud, never silently skips") {
+    // The streaming consumer's retention contract: its offset must stay
+    // within the source vacuum's retainVersions. If commits are vacuumed
+    // past the view's offset while the query is down, the next span
+    // CANNOT be reconstructed - the query must fail naming the knob,
+    // and the view must stay untouched at its old offset (an operator
+    // rebuilds or re-bases explicitly; silent skipping would corrupt
+    // the maintained aggregate forever).
+    val lake = tmpDir("vsrc") + "/lake"
+    val view = tmpDir("vview") + "/view"
+    val ckpt = tmpDir("vckpt")
+    merge(lake, bucketed(1, Seq((1L, "A", 10.0))))
+    CdfStream.maintainAgg(spark, lake, view, keyCols = Seq("id"),
+      dims = Seq("status"), valueCol = "price", checkpoint = ckpt)
+      .awaitTermination()
+    assert(graft.lake.ChangeFeed.lastSyncedVersion(spark, view) == 1L)
+    // two commits land and are vacuumed past while the query is down
+    merge(lake, bucketed(2, Seq((2L, "B", 20.0))))
+    merge(lake, bucketed(3, Seq((3L, "C", 30.0))))
+    graft.lake.ManifestLake.vacuum(spark, lake) // retain=1: horizon -> 3
+    val stateBefore = viewState(view)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdfStream.maintainAgg(spark, lake, view, keyCols = Seq("id"),
+        dims = Seq("status"), valueCol = "price", checkpoint = ckpt)
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      String.valueOf(e.getCause).contains("vacuumed"), e.getMessage)
+    assert(viewState(view) == stateBefore, "the failed span must not half-apply")
+    assert(graft.lake.ChangeFeed.lastSyncedVersion(spark, view) == 1L,
+      "the offset must hold at the last applied span")
+  }
 }
