@@ -1,9 +1,92 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // ───────── crash-proof artifact state (round-14 verdict item 1) ─────────
+  // BENCH_r14.json was `rc 124, parsed: null`: a degraded-host window made
+  // warm + pass 1 outlast the harness's patience and the process died with
+  // the ONLY println still ahead of it. The artifact must survive ANY host:
+  // every per-query timing lands in this shared map the moment it exists,
+  // and a JVM shutdown hook emits the final JSON line (with "partial":true)
+  // from whatever is here when the harness TERMs the JVM. rc 124 can still
+  // happen; parsed:null cannot.
+  private val best = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var calibStart = -1.0
+  @volatile private var calibEnd = -1.0
+  @volatile private var warmRan = 0
+  @volatile private var passesDone = 0
+  private val passTotals = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+
+  private def record(name: String, dt: Double): Unit = {
+    best.compute(name, (_, prev) =>
+      // a failed pass marks the query failed (-1), sticky over later passes
+      if (dt < 0 || (prev != null && prev.doubleValue < 0)) java.lang.Double.valueOf(-1.0)
+      else if (prev == null) java.lang.Double.valueOf(dt)
+      else java.lang.Double.valueOf(math.min(prev.doubleValue, dt)))
+    ()
+  }
+
+  /** Build and print the two artifact lines exactly once — from the normal
+    * end of the run, or from the shutdown hook on an external TERM.
+    * `partial=true` marks an interrupted run: totals cover only the queries
+    * with at least one completed timing, and the line self-flags
+    * non-authoritative so the judge re-runs instead of adjudicating it.
+    */
+  private def emitFinal(partial: Boolean, sfDir: String): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
+    import scala.jdk.CollectionConverters._
+    val results: Map[String, Double] =
+      best.asScala.toMap.map { case (k, v) => k -> v.doubleValue }
+    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    val atSf01 = sfDir.contains("0.1")
+    val outliers = results.toSeq.collect {
+      case (name, t) if t > math.max(3.5 * PerfSteady.at(name), 3.5) =>
+        name -> t / PerfSteady.at(name)
+    }.sortBy(-_._2)
+    val calibMax = math.max(calibStart, calibEnd)
+    val pts = passTotals.asScala.map(_.doubleValue).toSeq
+    val dispersion = if (pts.size < 2) 1.0 else pts.max / pts.min
+    val degraded = partial || calibMax > 1.6 || calibMax < 0 || dispersion > 1.75
+    val singlePassClean = calibStart >= 0 && calibEnd >= 0 &&
+      calibMax <= 0.30 && (!atSf01 || outliers.size <= 2)
+    val authoritative = !partial && !degraded &&
+      (pts.size >= 2 || singlePassClean)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedJson = failedNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val passJson = pts.map(t => f"$t%.1f").mkString("[", ",", "]")
+    val outJson = outliers.take(5)
+      .map { case (k, r) => f""""$k":$r%.1f""" }.mkString("{", ",", "}")
+    // Output contract: the harness keeps only a bounded TAIL of stdout
+    // (observed: 2000 chars) and parses the LAST JSON object in it. So:
+    // per-query detail first on its own line (fine if its head is
+    // clipped), then a compact final line whose length is independent of
+    // query count (slowest-20 only).
+    println(s"""{"metric":"queries","queries":$qs}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_registered":${SparkEntry.queries.size},"partial":$partial,"warm_runs":$warmRan,"timed_runs":$passesDone,"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibStart%.2f,"calib_end_s":$calibEnd%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"outlier_count":${outliers.size},"outliers_x_steady":$outJson,"slowest":$slow,"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    // Process-wide WALL budget (round-14 verdict item 1): in the host's
+    // degraded 2–3× windows, warm + pass 1 over 200+ queries can outlast
+    // the harness's ~30 min patience. The budget is consulted per-query in
+    // the WARM loop (remaining warms are skipped once exceeded — unwarmed
+    // queries then absorb their warmup inside pass 1, worse numbers but a
+    // COMPLETE artifact) and per-query inside each timed pass (a pass
+    // interrupted at the wall stops early; every completed query already
+    // recorded). Default 1200 s leaves headroom under any observed
+    // harness deadline; healthy full runs finish in ~330 s.
+    val wallSec = sys.env.get("SPARK_GRAFT_BENCH_WALL").map(_.toDouble).getOrElse(1200.0)
+    val shutdownHook = new Thread(() => emitFinal(partial = true, sfDir))
+    Runtime.getRuntime.addShutdownHook(shutdownHook)
     // Warm pass: run EVERY query once, untimed, before the timed loop.
     // Two distinct one-time costs would otherwise land on arbitrary
     // queries: (a) JVM/codegen/parquet-footer warmup, and (b) this
@@ -15,7 +98,7 @@ object Bench {
     // JMH-style. SPARK_GRAFT_BENCH_NOWARM=1 restores single-pass timing.
     // Between queries, drop every persisted RDD (localCheckpoint blocks:
     // the dedup/graph/MMR pipelines each materialize bounded relations).
-    // Without this, blocks from all ~150 queries accumulate in the 6 GB
+    // Without this, blocks from all ~200 queries accumulate in the 6 GB
     // fixed heap until driver GC happens to trigger the ContextCleaner —
     // storage pressure and GC churn that NO production run of a single
     // query would see (Verify, Debug, and any real job run one query per
@@ -31,12 +114,31 @@ object Bench {
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) {
+      var warned = false
       SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warm $name failed: ${e.getClass.getSimpleName}")
+        if (elapsedSec > wallSec * 0.5) {
+          // warm may use at most half the wall — the timed passes are the
+          // artifact and must never be starved by their own warmup
+          if (!warned) {
+            System.err.println(f"[bench] wall budget: skipping remaining warms at $elapsedSec%.0fs (wall ${wallSec}%.0fs)")
+            warned = true
+          }
+        } else {
+          // a warm run executes the identical full plan, so its duration
+          // is a valid (upper-bound) timing: record it, so a kill DURING
+          // warm still leaves per-query data in the artifact. Healthy
+          // runs overwrite these with the timed passes' minima.
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            warmRan += 1
+            record(name, (System.nanoTime() - t0) / 1e9)
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getClass.getSimpleName}")
+          }
+          dropCheckpoints()
         }
-        dropCheckpoints()
       }
     }
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -74,6 +176,7 @@ object Bench {
         }
       // a failed query must not masquerade as a fast one
       val dt = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
+      record(name, dt)
       dropCheckpoints()
       if (debug) {
         val rt = Runtime.getRuntime
@@ -92,7 +195,7 @@ object Bench {
     // PREDICTIVE deadline guard: in the host's degraded page-fault mode
     // a single pass has taken 430+ s; extra passes must never push the
     // run past the harness's patience and cost the round its ONLY bench
-    // output. Pass 1 always runs; each further pass starts only if
+    // output. Pass 1 always starts; each further pass starts only if
     // elapsed + the PREVIOUS pass's duration still fits inside
     // SPARK_GRAFT_BENCH_DEADLINE seconds (default 480) — the old
     // elapsed-only check could admit a pass at deadline−ε and overrun
@@ -117,21 +220,37 @@ object Bench {
         .selectExpr("sum(l_quantity)", "count(distinct l_returnflag)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val calibS = calibProbe()
-    val benchStart = System.nanoTime()
+    calibStart = calibProbe()
+    val timedT0 = System.nanoTime()
     var lastPassSec = 0.0
-    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
-    val passes = (1 to timedRuns).flatMap { i =>
-      val elapsedSec = (System.nanoTime() - benchStart) / 1e9
-      if (i > 1 && elapsedSec + lastPassSec > deadlineSec) {
-        System.err.println(f"[bench] skipping pass $i ($elapsedSec%.0fs elapsed + $lastPassSec%.0fs forecast > ${deadlineSec}s deadline)")
-        None
+    (1 to timedRuns).foreach { i =>
+      val timedElapsed = (System.nanoTime() - timedT0) / 1e9
+      if (i > 1 && timedElapsed + lastPassSec > deadlineSec) {
+        System.err.println(f"[bench] skipping pass $i ($timedElapsed%.0fs elapsed + $lastPassSec%.0fs forecast > ${deadlineSec}s deadline)")
       } else {
         val p0 = System.nanoTime()
-        val r = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
-        lastPassSec = (System.nanoTime() - p0) / 1e9
-        passTotals += lastPassSec
-        Some(r)
+        var wallHit = false
+        SparkEntry.queries.foreach { case (name, fn) =>
+          // per-query WALL check inside the pass: a pass that would
+          // cross the process budget stops where it is — everything
+          // timed so far is already in the artifact map. The
+          // `best.isEmpty` guard keeps the very first query timed even
+          // if warm alone exceeded an absurdly low wall.
+          if (!wallHit) {
+            if (elapsedSec > wallSec && !best.isEmpty) {
+              System.err.println(f"[bench] wall budget hit at $elapsedSec%.0fs inside pass $i — stopping early")
+              wallHit = true
+            } else timeOnce(name, fn)
+          }
+        }
+        passesDone += 1
+        if (!wallHit) {
+          // an interrupted pass still counted for the queries it timed,
+          // but must not feed the pass-dispersion host signal or the
+          // min-of-2 authority rule — only FULL passes land here
+          lastPassSec = (System.nanoTime() - p0) / 1e9
+          passTotals.add(lastPassSec)
+        } else lastPassSec = wallSec * 2 // forecast: no further pass fits
       }
     }
     // Second calibration probe AFTER the timed passes: the host's
@@ -139,86 +258,9 @@ object Bench {
     // start of a run whose tail queries drew multi-second stalls) — a
     // clean start probe alone under-adjudicates. Either probe elevated
     // ⇒ the fault mode touched the run.
-    val calibEndS = calibProbe()
-    val calibMax = math.max(calibS, calibEndS)
-    // Degraded-host verdict, from HOST signals only: a refused pass is
-    // no longer one of them — at 170+ registered queries a healthy pass
-    // exceeds deadline/3 by construction, so pass count conflates
-    // registry size with host health (timed_runs stays on the line for
-    // readers). Pass-total dispersion is a host signal: passes are
-    // identical work, so pass_max/pass_min > 1.75 means a storm hit at
-    // least one of them (min-of-K still measures the plan if the FASTER
-    // pass was clean — the calibration probes adjudicate that).
-    val dispersion =
-      if (passTotals.size < 2) 1.0 else passTotals.max / passTotals.min
-    val degraded = calibMax > 1.6 || dispersion > 1.75
-    val results = SparkEntry.queries.map { case (name, _) =>
-      val times = passes.map(_(name))
-      // any failed pass marks the query failed (-1); otherwise min over passes
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
-    // Per-query outlier check against the PerfSteady healthy ladder
-    // (round-11 verdict item 3): at ≥195 queries a single pass is
-    // ~deadline/2, so healthy runs are often min-of-1 — which has no
-    // pass-dispersion signal, and two clean bracketing probes cannot
-    // see a storm that opened and closed BETWEEN them. A query over
-    // max(3.5 × steady, 3.5 s) is an outlier; the ratios are emitted so
-    // a degraded artifact self-explains its slow entries against the
-    // steady ladder instead of leaving raw seconds for the reader to
-    // adjudicate by hand. The ladder is sf0.1-calibrated — at other
-    // scales the check reports but does not gate.
-    val atSf01 = sfDir.contains("0.1")
-    val outliers = results.toSeq.collect {
-      case (name, t) if t > math.max(3.5 * PerfSteady.at(name), 3.5) =>
-        name -> t / PerfSteady.at(name)
-    }.sortBy(-_._2)
-    // Round-10 verdict item 1 (reworked for the ≥195-query era): a
-    // min-of-K total is only a measurement of the PLAN when at least one
-    // pass ran in a healthy window. min-of-2+ adjudicates via pass
-    // dispersion + probes; a SINGLE pass is authoritative only when
-    // bracketed by TWO healthy probes (calib_s AND calib_end_s ≤ 0.30 —
-    // healthy envelope 0.15–0.25 s on this host, rounds 7–11) AND the
-    // per-query outlier check is clean (≤ 2, allowing a new unlisted
-    // query or one ambient blip; a mid-run storm inflates many).
-    // authoritative=false means "re-run on a clean window before
-    // adjudicating; this number is an upper bound only".
-    val singlePassClean = calibMax <= 0.30 && (!atSf01 || outliers.size <= 2)
-    val authoritative = !degraded && (passes.size >= 2 || singlePassClean)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries keep their -1 marker per-query but must not be
-    // summed into the headline metric — subtracting 1 s per crash would
-    // make a broken build "faster" than a clean one
-    val failedNames = results.collect { case (k, v) if v < 0 => k }
-    val total = results.values.filter(_ >= 0).sum
-    // the failed list is the one variable-length field left on the final
-    // line — cap it at 5 names (full list is recoverable from the
-    // per-query line's -1 markers and the stderr FAILED lines)
-    val failedJson = failedNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val warm = if (sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) 0 else 1
-    // Output contract: the harness keeps only a bounded TAIL of stdout
-    // (observed: 2000 chars) and parses the LAST JSON object in it. A
-    // single line carrying the per-query map grows linearly with query
-    // count and crossed that bound at ~75 queries, truncating away the
-    // {"metric":"total"...} prefix and losing the round's headline
-    // number. So: per-query detail first on its own line (fine if its
-    // head is clipped), then a compact final line whose length is
-    // independent of query count — worst case well under 500 chars.
-    // The harness tail keeps the LAST json object intact but clips the
-    // per-query line's head, so the hot tier's timings must live on the
-    // FINAL line to survive as an artifact: slowest-20 queries, 2-decimal
-    // (≈ 700 chars for 20 entries — final line stays well under the
-    // observed 2000-char tail window even with the fixed fields)
-    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(20)
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    val passJson = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
-    // outlier ratios (time / PerfSteady ladder), worst 5: lets a slow
-    // artifact self-explain which entries are host artifacts vs plan
-    // cost without a reader re-deriving the steady tier by hand
-    val outJson = outliers.take(5)
-      .map { case (k, r) => f""""$k":$r%.1f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"queries","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warm_runs":$warm,"timed_runs":${passes.size},"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibS%.2f,"calib_end_s":$calibEndS%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"outlier_count":${outliers.size},"outliers_x_steady":$outJson,"slowest":$slow,"sf":"$sfDir"}""")
+    calibEnd = calibProbe()
+    emitFinal(partial = false, sfDir)
+    try Runtime.getRuntime.removeShutdownHook(shutdownHook) catch { case _: IllegalStateException => () }
     spark.stop()
   }
 }
