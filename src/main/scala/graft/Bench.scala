@@ -66,8 +66,23 @@ object Bench {
     // clipped), then a compact final line whose length is independent of
     // query count (slowest-20 only).
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_registered":${SparkEntry.queries.size},"partial":$partial,"warm_runs":$warmRan,"timed_runs":$passesDone,"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibStart%.2f,"calib_end_s":$calibEnd%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"outlier_count":${outliers.size},"outliers_x_steady":$outJson,"slowest":$slow,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_registered":${queries.size},"partial":$partial,"warm_runs":$warmRan,"timed_runs":$passesDone,"agg":"min","failed_count":${failedNames.size},"failed":$failedJson,"calib_s":$calibStart%.2f,"calib_end_s":$calibEnd%.2f,"pass_totals":$passJson,"degraded":$degraded,"authoritative":$authoritative,"outlier_count":${outliers.size},"outliers_x_steady":$outJson,"slowest":$slow,"sf":"$sfDir"}""")
     System.out.flush()
+  }
+
+  /** The benched registry: all of SparkEntry.queries, or the
+    * SPARK_GRAFT_BENCH_ONLY=name,name subset (dev loop: time a new
+    * query against its steady anchors without a full-registry run).
+    */
+  private lazy val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    val all = SparkEntry.queries
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        scala.collection.immutable.ListMap(
+          all.toSeq.filter { case (n, _) => keep(n) }: _*)
+      case None => scala.collection.immutable.ListMap(all.toSeq: _*)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,7 +130,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) {
       var warned = false
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         if (elapsedSec > wallSec * 0.5) {
           // warm may use at most half the wall — the timed passes are the
           // artifact and must never be starved by their own warmup
@@ -230,7 +245,7 @@ object Bench {
       } else {
         val p0 = System.nanoTime()
         var wallHit = false
-        SparkEntry.queries.foreach { case (name, fn) =>
+        queries.foreach { case (name, fn) =>
           // per-query WALL check inside the pass: a pass that would
           // cross the process budget stops where it is — everything
           // timed so far is already in the artifact map. The

@@ -63,6 +63,12 @@ object PerfSteady {
     // stream-startup + commit-latency bound by design (authoritative
     // round-14 record: 5.77 s; headroom for trigger-timing wobble)
     "q210_streaming_cdf_view" -> 6.5,
+    // round-15: the LIVE ProcessingTime trigger — one continuous query
+    // following two commits + an erasure at 250 ms cadence, stopped on
+    // the durable offset reaching the source head (round-15 calibration:
+    // 6.95 s raw at anchor ratio 1.18, ≈ 5.9 normalized; headroom for
+    // trigger-timing wobble)
+    "q211_streaming_cdf_live" -> 7.0,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

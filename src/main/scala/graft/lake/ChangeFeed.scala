@@ -71,7 +71,7 @@ object ChangeFeed {
 
     (side(mOld), side(mNew)) match {
       case (None, None) =>
-        val schema = MergeWriter.readStoredSchema(fs, path).getOrElse(
+        val schema = ManifestLake.trackedSchema(fs, path).getOrElse(
           throw new IllegalStateException(
             s"ChangeFeed: no changed partitions and no tracked schema at $path"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

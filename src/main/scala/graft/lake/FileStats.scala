@@ -308,10 +308,10 @@ object FileStats {
     val grouped = byTxnFiles.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (txn, gs) => txn -> gs.flatMap(_._2) }
     ManifestLake.readGroupedPaths(spark, path, grouped).getOrElse {
-      val schema = MergeWriter.readStoredSchema(fs, path).getOrElse(
+      val schema = ManifestLake.trackedSchema(fs, path).getOrElse(
         throw new IllegalStateException(
           s"FileStats: every file pruned at $path and no tracked schema " +
-            "sidecar to type the empty relation"))
+            "to type the empty relation"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
   }

@@ -669,7 +669,73 @@ object LakeOps {
   /** Same final state as q203 — streamed maintenance ≡ recomputation. */
   val q210Sql: String = q203Sql
 
+  /** q211 — the LIVE `Trigger.ProcessingTime` path of the streaming CDF
+    * source (round-14 verdict item 6: q210 proves AvailableNow restart;
+    * this registers continuous maintenance): the maintenance query
+    * STAYS RUNNING while the corrections merge (v2) and the GDPR
+    * erasure (v3) commit against the live source — Spark's trigger
+    * cadence discovers each commit's pointer file and the view follows
+    * span by span with no driver loop and no restart. Determinism under
+    * replay: span BOUNDARIES depend on trigger timing (the v2 and v3
+    * commits may maintain as one span or two), but the maintained state
+    * is span-composition-invariant — the sign algebra is associative
+    * and each span's endpoints come from the durable offset ledger —
+    * so the FINAL view is bit-equal to recomputation on every run; the
+    * query stops once the view's durable offset reaches the source's
+    * final version (bounded await, loud on timeout).
+    *
+    * Scale: this is the deployment shape — a materialized aggregate
+    * over a 100 TB lake following 15-minute commit cadence forever,
+    * each span costing O(its delta + touched view buckets).
+    */
+  def q211StreamingCdfLive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice",
+        year($"o_orderdate").as("yr"),
+        pmod(hash($"o_orderkey"), lit(4)).cast("string").as("bucket"))
+      .localCheckpoint()
+    val lake = scratch(s, d, "cdflive_src")
+    val view = scratch(s, d, "cdflive_view")
+    val ckpt = scratch(s, d, "cdflive_ckpt")
+    def merge(batch: DataFrame, seq: Long): Unit = {
+      graft.lake.ManifestLake.mergeKeyed(s,
+        batch.drop("yr").withColumn("ingest_seq", lit(seq)), lake,
+        keys = Seq("bucket"), dedupKeys = Seq($"o_orderkey"),
+        order = Seq($"ingest_seq", $"o_orderkey"))
+      ()
+    }
+    merge(o.filter($"yr" <= 1997), 1L) // v1 — the source exists before the stream starts
+    val q = graft.streaming.CdfStream.maintainAgg(s, lake, view,
+      keyCols = Seq("o_orderkey"), dims = Seq("status"),
+      valueCol = "o_totalprice", checkpoint = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      val corrections = o.filter($"yr" <= 1997 && $"o_orderkey" % 10 < 3)
+        .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+      merge(corrections.unionByName(o.filter($"yr" === 1998)), 2L) // v2, live
+      graft.lake.Eraser.eraseKeys(s, lake, "o_orderkey",
+        o.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"), buckets = 4) // v3, live
+      val deadline = System.currentTimeMillis() + 120000L
+      while (graft.lake.ChangeFeed.lastSyncedVersion(s, view) < 3L &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      require(graft.lake.ChangeFeed.lastSyncedVersion(s, view) == 3L,
+        "q211: the live maintenance query never caught up to source v3")
+    } finally q.stop()
+    graft.streaming.CdfStream.readView(s, view, Seq("status"))
+      .select($"status", $"n_rows".as("n_orders"),
+        (floor($"rev" * 10000).cast("double") / 10000.0).as("revenue"))
+      .orderBy($"status")
+  }
+
+  /** Same final state again — live-trigger maintenance ≡ recomputation. */
+  val q211Sql: String = q203Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_streaming_cdf_live" -> (q211StreamingCdfLive _),
     "q210_streaming_cdf_view" -> (q210StreamingCdfView _),
     "q209_lock_import" -> (q209LockImportReplay _),
     "q208_zorder_box_scan" -> (q208ZorderBoxScan _),
@@ -682,6 +748,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q211_streaming_cdf_live" -> q211Sql,
     "q210_streaming_cdf_view" -> q210Sql,
     "q209_lock_import" -> q209Sql,
     "q208_zorder_box_scan" -> q208Sql,

@@ -114,6 +114,63 @@ class CdfStreamSpec extends SparkSpec {
       "an up-to-date view must not churn versions")
   }
 
+  test("a maintenance span commits merge, tag, and offset ATOMICALLY - the double-apply crash window does not exist") {
+    // Round-14 advice (high): advance used to commit the tagged view
+    // merge and the offset SEPARATELY. A crash between them, with the
+    // source advancing before restart, redelivered a WIDER span under a
+    // DIFFERENT tag - the tag no-op could not fire and the already-
+    // merged prefix's signed deltas applied twice (increments, unlike
+    // syncTo's keep-last-idempotent absolute rows). Now one commit
+    // carries all three, so either the whole span landed (offset moved
+    // with it) or none of it did.
+    val lake = tmpDir("asrc") + "/lake"
+    val view = tmpDir("aview") + "/view"
+    val ckpt = tmpDir("ackpt")
+    merge(lake, bucketed(1, Seq((1L, "A", 10.0), (2L, "B", 20.0))))
+    merge(lake, bucketed(2, Seq((1L, "A", 11.0), (3L, "B", 30.0)))) // source at v2
+    def pass(): Unit =
+      CdfStream.maintainAgg(spark, lake, view, keyCols = Seq("id"),
+        dims = Seq("status"), valueCol = "price", checkpoint = ckpt)
+        .awaitTermination()
+    // crash DURING the span's commit: NOTHING half-applies - no view
+    // rows, no offset, no tag (the old shape could strand the merge
+    // committed with the offset behind)
+    ManifestLake.beforeCommitHook = () => {
+      ManifestLake.beforeCommitHook = () => ()
+      throw new IllegalStateException("injected view-commit crash")
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { pass() }
+    assert(String.valueOf(e.getCause).contains("injected") ||
+      e.getMessage.contains("injected"), e.getMessage)
+    assert(viewState(view).isEmpty, "a failed span must not half-apply")
+    assert(graft.lake.ChangeFeed.lastSyncedVersion(spark, view) == 0L,
+      "a failed span must not advance the offset")
+    // the source advances while the query is down - the redelivered
+    // span is WIDER (0 -> 3], the old bug's exact trigger
+    merge(lake, bucketed(3, Seq((4L, "C", 40.0))))
+    // count view-lake commits during catch-up: the whole span must be
+    // ONE commit carrying merge + tag + offset together
+    val commits = new java.util.concurrent.atomic.AtomicLong(0L)
+    ManifestLake.beforeCommitHook = () => { commits.incrementAndGet(); () }
+    try pass() finally ManifestLake.beforeCommitHook = () => ()
+    assert(commits.get() == 1L,
+      s"a span must be exactly ONE view merge commit, saw ${commits.get()}")
+    assert(ManifestLake.latestVersion(spark, view) == 1L,
+      "the view chain must hold exactly one committed version for the " +
+        "whole span — no separate offset commit")
+    assert(viewState(view) == recompute(lake),
+      s"the wider redelivered span must apply exactly once: " +
+        s"${viewState(view)} vs ${recompute(lake)}")
+    assert(graft.lake.ChangeFeed.lastSyncedVersion(spark, view) == 3L)
+    // and that one commit's own headers carry BOTH the tag and offset
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hs = ManifestLake.resolveHeaders(fs, view,
+      ManifestLake.latestVersion(spark, view))
+    assert(hs.tags.exists(_ == "cdfview-0-3"), s"span tag missing: ${hs.tags}")
+    assert(hs.from.get("from").contains(3L), s"offset header missing: ${hs.from}")
+  }
+
   test("a maintenance span crossing the source's vacuum horizon fails loud, never silently skips") {
     // The streaming consumer's retention contract: its offset must stay
     // within the source vacuum's retainVersions. If commits are vacuumed

@@ -733,4 +733,132 @@ class ManifestLakeSpec extends SparkSpec {
     merge(9)
     assert(ManifestLake.read(spark, lake).count() == 8L) // ids 1..7 and 9
   }
+
+  test("the tracked schema rides the commit CAS: reads survive a lost, stale, or corrupted sidecar") {
+    // Round-14 advice (low): the sidecar publish is decoupled from the
+    // manifest commit, so a content race could publish a sidecar missing
+    // a just-evolved column — and readGroupedPaths projects THROUGH the
+    // tracked schema, silently dropping that column's data from reads.
+    // The fix: an evolving merge commits a #schema= header atomic with
+    // its CAS, checkpoints re-carry it (#schemaacc=), and reads prefer
+    // the header over the sidecar. The sidecar is now a best-effort
+    // cache whose loss or corruption must not change any read.
+    spark.conf.set("spark.graft.lake.checkpointInterval", "2")
+    try {
+      val lake = tmpLake()
+      ManifestLake.mergeKeyed(spark,
+        Seq((1L, 1.0, "a", 1L)).toDF("id", "v", "part", "seq"), lake,
+        keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+      // v2 evolves the schema with a new nullable column
+      ManifestLake.mergeKeyed(spark,
+        Seq((2L, 2.0, "a", 2L, "extra")).toDF("id", "v", "part", "seq", "w"),
+        lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+      val sidecar = new java.io.File(s"$lake/_graft_schema.json")
+      assert(sidecar.exists(), "test premise: the cache sidecar is written")
+      def readW(): Map[Long, String] =
+        ManifestLake.read(spark, lake).select($"id", $"w")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(readW() == Map(1L -> null, 2L -> "extra"))
+      // sidecar LOST: the header schema still surfaces the evolved column
+      assert(sidecar.delete())
+      assert(readW() == Map(1L -> null, 2L -> "extra"),
+        "a lost sidecar must not drop the evolved column from reads")
+      // sidecar STALE (the race's outcome: pre-evolution content wins the
+      // publish): the header remains authoritative
+      val staleJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType))).json
+      java.nio.file.Files.write(sidecar.toPath, staleJson.getBytes("UTF-8"))
+      assert(readW() == Map(1L -> null, 2L -> "extra"),
+        "a stale sidecar must not shadow the committed header schema")
+      // the schema survives into the checkpoint ledger: v2 was a
+      // checkpoint (K=2), and later commits without their own #schema=
+      // keep resolving it through #schemaacc=
+      ManifestLake.mergeKeyed(spark,
+        Seq((3L, 3.0, "a", 3L)).toDF("id", "v", "part", "seq"), lake,
+        keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"))
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hs = ManifestLake.resolveHeaders(fs, lake, 3L)
+      assert(hs.schema.exists(_.contains("\"w\"")),
+        s"the evolved schema must resolve from the header ledger: ${hs.schema}")
+      assert(ManifestLake.read(spark, lake).columns.contains("w"))
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+  }
+
+  test("a redelivery from beyond the tag-ledger horizon re-applies LOUDLY and converges") {
+    // Round-14 verdict item 5: maxAccTags bounds the checkpoint dedup
+    // ledger, so a batch redelivered from beyond that horizon re-applies
+    // silently-but-convergently. The residual must be VISIBLE: a tag
+    // miss while the ledger is at capacity warns and bumps the
+    // agedTagRedeliveryRisk counter, so an operator sees the
+    // at-least-once residual instead of trusting the no-op blindly.
+    val savedTags = ManifestLake.maxAccTags
+    spark.conf.set("spark.graft.lake.checkpointInterval", "2")
+    ManifestLake.maxAccTags = 3
+    try {
+      val lake = tmpLake()
+      def merge(id: Long, v: Double, seq: Long, tag: String): Unit = {
+        ManifestLake.mergeKeyed(spark,
+          Seq((id, v, "a", seq)).toDF("id", "v", "part", "seq"), lake,
+          keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"),
+          commitTag = Some(tag))
+        ()
+      }
+      (1 to 6).foreach(i => merge(i.toLong, i.toDouble, i.toLong, s"t$i"))
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hs = ManifestLake.resolveHeaders(fs, lake, 6L)
+      assert(!hs.tags.contains("t1") && hs.tags.size == 3,
+        s"test premise: t1 must have aged out of the capped ledger: ${hs.tags}")
+      // beyond-horizon redelivery: t1's batch again, with its ORIGINAL
+      // (old) seq — it re-applies as a new version, keep-last keeps the
+      // newer row, and the residual is counted + warned
+      val riskBefore = ManifestLake.agedTagRedeliveryRisk.get()
+      merge(1L, 1.0, 1L, "t1")
+      assert(ManifestLake.agedTagRedeliveryRisk.get() == riskBefore + 1,
+        "a tag miss at ledger capacity must count as an aging risk")
+      assert(ManifestLake.latestVersion(spark, lake) == 7L,
+        "the beyond-horizon redelivery re-applies (at-least-once residual)")
+      val state = ManifestLake.read(spark, lake)
+        .select($"id", $"v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(state == (1 to 6).map(i => i.toLong -> i.toDouble).toMap,
+        s"keep-last must converge the re-applied batch: $state")
+      // a WITHIN-horizon redelivery still no-ops without touching the counter
+      val v7 = ManifestLake.latestVersion(spark, lake)
+      merge(6L, 6.0, 6L, "t6")
+      assert(ManifestLake.latestVersion(spark, lake) == v7, "t6 must no-op")
+      assert(ManifestLake.agedTagRedeliveryRisk.get() == riskBefore + 1,
+        "a ledger hit must not count as an aging risk")
+    } finally {
+      ManifestLake.maxAccTags = savedTags
+      spark.conf.unset("spark.graft.lake.checkpointInterval")
+    }
+  }
+
+  test("a checkpoint's own tag occupies exactly one ledger slot (no double count)") {
+    // Round-14 advice (low): resolveHeaders collected a ledger-carrying
+    // manifest's own #tag= from BOTH the header walk and its #tagsacc=,
+    // so every checkpointed tag consumed two maxAccTags slots — halving
+    // the effective redelivery-dedup horizon at checkpoint cadence.
+    spark.conf.set("spark.graft.lake.checkpointInterval", "2")
+    try {
+      val lake = tmpLake()
+      def merge(i: Int): Unit = {
+        ManifestLake.mergeKeyed(spark,
+          Seq((i.toLong, i.toDouble, "a", i.toLong)).toDF("id", "v", "part", "seq"),
+          lake, keys = Seq("part"), dedupKeys = Seq($"id"), order = Seq($"seq"),
+          commitTag = Some(s"t$i"))
+        ()
+      }
+      (1 to 5).foreach(merge) // checkpoints at v2 and v4 carry ledgers
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hs = ManifestLake.resolveHeaders(fs, lake, 5L)
+      assert(hs.tags == Vector("t1", "t2", "t3", "t4", "t5"),
+        s"each tag must appear exactly once, in commit order: ${hs.tags}")
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+  }
 }
