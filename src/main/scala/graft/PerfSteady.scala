@@ -69,6 +69,11 @@ object PerfSteady {
     // 6.95 s raw at anchor ratio 1.18, ≈ 5.9 normalized; headroom for
     // trigger-timing wobble)
     "q211_streaming_cdf_live" -> 7.0,
+    // round-15: TWO AvailableNow streaming passes driving syncTo's
+    // merge + erase + offset commit cycles on the replica — the
+    // heaviest replay query by commit count (round-15 calibration:
+    // 9.09 s raw at anchor ratio 1.22, ≈ 7.5 normalized)
+    "q212_streaming_replication" -> 9.0,
     // iterative / heavy-verify tier
     "q165_frequent_triples" -> 4.7,
     "q88_semdedup" -> 4.0,

@@ -734,7 +734,75 @@ object LakeOps {
   /** Same final state again — live-trigger maintenance ≡ recomputation. */
   val q211Sql: String = q203Sql
 
+  /** q212 — CONTINUOUS replication as a streaming query
+    * ([[graft.streaming.CdfStream.replicate]]): q204's syncTo verb
+    * (rows, not aggregates; GDPR erasures replicate) driven by the
+    * version feed instead of a driver call — the deployment shape of a
+    * cross-region mirror that follows its source forever. The replay
+    * proves the restart path streaming replication actually lives or
+    * dies on: pass 1 (`AvailableNow`) mirrors v1; the corrections (v2)
+    * and an erasure (v3) commit while the mirror is DOWN; pass 2
+    * resumes from the same engine checkpoint and syncTo coalesces the
+    * whole backlog into ONE endpoint hop — ≤ 3 replica commits however
+    * far behind the mirror fell. The output aggregates BOTH lakes
+    * side-by-side, so the hash proves replica ≡ source cell-for-cell
+    * across inserts, updates, a delete wave, and a consumer restart.
+    *
+    * Scale: each hop ships only changed rows (source-side CDF metadata
+    * pruning, replica-side touched-partition merges); the trigger
+    * cadence is Spark's; offsets are durable in BOTH the engine
+    * checkpoint and the replica's own manifest ledger — losing either
+    * one costs a no-op redelivery, never divergence.
+    */
+  def q212StreamingReplication(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderkey".isNotNull && $"o_orderstatus".isNotNull &&
+        $"o_totalprice".isNotNull && $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_totalprice",
+        year($"o_orderdate").as("yr"),
+        pmod(hash($"o_orderkey"), lit(4)).cast("string").as("bucket"))
+      .localCheckpoint()
+    val source = scratch(s, d, "srepl_src")
+    val replica = scratch(s, d, "srepl_dst")
+    val ckpt = scratch(s, d, "srepl_ckpt")
+    def merge(batch: DataFrame, seq: Long): Unit = {
+      graft.lake.ManifestLake.mergeKeyed(s,
+        batch.drop("yr").withColumn("ingest_seq", lit(seq)), source,
+        keys = Seq("bucket"), dedupKeys = Seq($"o_orderkey"),
+        order = Seq($"ingest_seq", $"o_orderkey"))
+      ()
+    }
+    def pass(): Unit =
+      graft.streaming.CdfStream.replicate(s, source, replica,
+        keyCol = "o_orderkey", partitionKeys = Seq("bucket"),
+        orderCols = Seq("ingest_seq", "o_orderkey"), checkpoint = ckpt,
+        eraseBuckets = 4).awaitTermination()
+    merge(o.filter($"yr" <= 1997), 1L) // v1
+    pass() // mirror at v1
+    val corrections = o.filter($"yr" <= 1997 && $"o_orderkey" % 10 < 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+    merge(corrections.unionByName(o.filter($"yr" === 1998)), 2L) // v2, mirror down
+    graft.lake.Eraser.eraseKeys(s, source, "o_orderkey",
+      o.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"), buckets = 4) // v3
+    pass() // restart: one coalesced hop (1 → 3]
+    require(graft.lake.ChangeFeed.lastSyncedVersion(s, replica) == 3L,
+      "q212: the mirror must record source v3 as applied")
+    def stateOf(lake: String, nCol: String, revCol: String): DataFrame =
+      graft.lake.ManifestLake.read(s, lake)
+        .groupBy($"status")
+        .agg(count(lit(1)).as(nCol), Exact.dsum($"o_totalprice").as(revCol))
+    stateOf(source, "n_orders", "revenue")
+      .join(stateOf(replica, "n_orders_replica", "revenue_replica"),
+        Seq("status"), "full_outer")
+      .orderBy($"status")
+  }
+
+  /** Streamed mirror ≡ source — same side-by-side shape as q204. */
+  val q212Sql: String = q204Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_streaming_replication" -> (q212StreamingReplication _),
     "q211_streaming_cdf_live" -> (q211StreamingCdfLive _),
     "q210_streaming_cdf_view" -> (q210StreamingCdfView _),
     "q209_lock_import" -> (q209LockImportReplay _),
@@ -748,6 +816,7 @@ object LakeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_streaming_replication" -> q212Sql,
     "q211_streaming_cdf_live" -> q211Sql,
     "q210_streaming_cdf_view" -> q210Sql,
     "q209_lock_import" -> q209Sql,

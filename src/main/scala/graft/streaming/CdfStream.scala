@@ -214,4 +214,32 @@ object CdfStream {
     ManifestLake.read(spark, viewLake)
       .filter(col("n_rows") > 0)
       .select(dims.map(col) :+ col("n_rows") :+ col("rev"): _*)
+
+  /** Continuous ROW replication: the version feed drives
+    * [[ChangeFeed.syncTo]] once per micro-batch, so a replica lake (the
+    * q204 verb — rows, not aggregates; erasures replicate) follows its
+    * source commit-by-commit with no driver polling loop. All the
+    * consistency machinery is syncTo's own: span tags make redelivered
+    * hops no-op, the durable `from` offset lives in the replica's
+    * manifest ledger, and catch-up coalesces to ONE endpoint hop — the
+    * batch content is only a trigger here, exactly as in
+    * [[maintainAgg]]. Restarting with the same `checkpoint` resumes;
+    * even a LOST engine checkpoint only costs re-triggering, never
+    * consistency, because the offsets are replica-durable.
+    */
+  def replicate(spark: SparkSession, source: String, replica: String,
+                keyCol: String, partitionKeys: Seq[String],
+                orderCols: Seq[String], checkpoint: String,
+                trigger: Trigger = Trigger.AvailableNow(),
+                eraseBuckets: Int = 16, sourceId: String = ""): StreamingQuery =
+    versions(spark, source)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        ChangeFeed.syncTo(spark, source, replica, keyCol, partitionKeys,
+          orderCols, eraseBuckets = eraseBuckets, sourceId = sourceId)
+        ()
+      }
+      .start()
 }

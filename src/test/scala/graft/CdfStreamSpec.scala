@@ -171,6 +171,44 @@ class CdfStreamSpec extends SparkSpec {
     assert(hs.from.get("from").contains(3L), s"offset header missing: ${hs.from}")
   }
 
+  test("continuous replication: a live mirror follows merges and erasures; restart applies backlog once") {
+    // CdfStream.replicate = the version feed driving ChangeFeed.syncTo
+    // per micro-batch - q204's row-level mirror (erasures replicate) as
+    // a standing streaming query. The consistency story is syncTo's
+    // own durable offsets + span tags; the stream only supplies the
+    // trigger cadence.
+    val lake = tmpDir("rpsrc") + "/lake"
+    val replica = tmpDir("rpdst") + "/replica"
+    val ckpt = tmpDir("rpckpt")
+    def rows(l: String): Set[(Long, String, Double)] =
+      ManifestLake.read(spark, l).select($"id", $"status", $"price")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    merge(lake, bucketed(1, Seq((1L, "A", 10.0), (2L, "B", 20.0))))
+    val q = CdfStream.replicate(spark, lake, replica, keyCol = "id",
+      partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+      checkpoint = ckpt, trigger = Trigger.ProcessingTime("300 milliseconds"),
+      eraseBuckets = 4)
+    try {
+      assert(await(60000L) { ManifestLake.latestVersion(spark, replica) > 0 &&
+        rows(replica) == rows(lake) }, "mirror never reached v1")
+      // a live correction + insert, then an erasure, while running
+      merge(lake, bucketed(2, Seq((1L, "A", 15.0), (3L, "C", 30.0))))
+      graft.lake.Eraser.eraseKeys(spark, lake, "id", Seq(2L).toDF("id"), buckets = 4)
+      assert(await(60000L) { rows(replica) == rows(lake) },
+        s"mirror never converged: ${rows(replica)} vs ${rows(lake)}")
+      assert(!rows(replica).exists(_._1 == 2L), "the erasure must replicate")
+    } finally q.stop()
+    // restart path: commits land while the mirror is down; one
+    // AvailableNow pass coalesces the backlog and the offset advances
+    merge(lake, bucketed(3, Seq((4L, "D", 40.0))))
+    CdfStream.replicate(spark, lake, replica, keyCol = "id",
+      partitionKeys = Seq("bucket"), orderCols = Seq("seq", "id"),
+      checkpoint = ckpt, eraseBuckets = 4).awaitTermination()
+    assert(rows(replica) == rows(lake))
+    assert(graft.lake.ChangeFeed.lastSyncedVersion(spark, replica) ==
+      ManifestLake.latestVersion(spark, lake))
+  }
+
   test("a maintenance span crossing the source's vacuum horizon fails loud, never silently skips") {
     // The streaming consumer's retention contract: its offset must stay
     // within the source vacuum's retainVersions. If commits are vacuumed

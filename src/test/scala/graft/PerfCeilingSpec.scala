@@ -50,6 +50,7 @@ class PerfCeilingSpec extends SparkSpec {
     "q209_lock_import" -> 2.40,
     "q210_streaming_cdf_view" -> 5.20,
     "q211_streaming_cdf_live" -> 5.00,
+    "q212_streaming_replication" -> 8.20,
     "q160_first_wins_replay" -> 1.40,
     "q167_stream_neardup_gate" -> 1.60,
     "q169_stream_join_replay" -> 1.20,
