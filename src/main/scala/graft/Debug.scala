@@ -35,12 +35,14 @@ object Debug {
       import org.apache.spark.scheduler._
       import scala.collection.mutable
       case class J(var t0: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
-                   var taskMs: Long = 0L)
+                   var taskMs: Long = 0L, var site: String = "")
       val jobs = mutable.LinkedHashMap[Int, J]()
       val stageToJob = mutable.HashMap[Int, Int]()
       val listener = new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
-          val j = J(e.time, e.stageIds.size)
+          val j = J(e.time, e.stageIds.size,
+            site = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
           jobs(e.jobId) = j
           e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
         }
@@ -55,10 +57,12 @@ object Debug {
           val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield (c - s) / 1e3).getOrElse(-1.0)
           if (wall > 0.2) // only the stages worth reading
             System.err.println(f"[stage] id=${si.stageId}%3d wall=$wall%5.2fs tasks=${si.numTasks}%4d ${si.name.take(60)} | ${si.details.linesIterator.filter(_.contains("graft")).take(2).mkString(" <- ")}")
+          if (wall > 1.0) // deep stack for the truly slow ones
+            System.err.println("[stack] " + si.details.linesIterator.take(14).mkString("\n[stack] "))
         }
         override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
           jobs.get(e.jobId).foreach { j =>
-            System.err.println(f"[jobs] job=${e.jobId}%3d wall=${(e.time - j.t0) / 1e3}%6.2fs stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%6.2fs")
+            System.err.println(f"[jobs] job=${e.jobId}%3d wall=${(e.time - j.t0) / 1e3}%6.2fs stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%6.2fs  ${j.site}")
           }
         }
       }

@@ -221,12 +221,32 @@ object Compactor {
     val (baseVersion, entries) = ManifestLake.currentState(spark, path)
     if (entries.isEmpty) return
     val keys = entries.keysIterator.next().split("/").map(_.split("=", 2)(0)).toSeq
+    // Round-15 (guide §8 step 3 — placement is a packing problem): the
+    // old shape (`repartition(keys)` + sequential maxRecordsPerFile
+    // rolls) wrote EVERY file of a partition from ONE task — at a
+    // 512-row file target a 150 k-row partition serialized ~300 parquet
+    // file creations in a single task (measured 3.7 s of q205's 6 s),
+    // and at 100 TB a partition's whole rewrite would hang off one
+    // core. Instead: a window assigns each row its output FILE NUMBER
+    // (rank within the key ordered by the cluster expression, divided
+    // by maxRecordsPerFile — files stay value-contiguous by
+    // construction), then the write redistributes by (keys, __file) so
+    // every output file is cut by its own task in parallel. The rank
+    // pass costs one extra exchange of the rewritten data — maintenance
+    // cadence, bought for write parallelism ∝ file count.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(sortCols.map(expr): _*)
     val affected = ManifestLake.readEntriesGrouped(spark, path, entries).get
       .localCheckpoint()
-      // one task per partition, rows sorted so sequential maxRecordsPerFile
-      // rolls produce value-contiguous files
-      .repartition(keys.map(col): _*)
+      .withColumn("__file",
+        ((row_number().over(w) - 1L) / maxRecordsPerFile).cast("bigint"))
+      // explicit N (the q79/q165 lesson): without it AQE coalesces this
+      // small-bytes exchange to ONE partition and the file writes
+      // serialize right back into a single task
+      .repartition(spark.sparkContext.defaultParallelism,
+        (keys :+ "__file").map(col): _*)
       .sortWithinPartitions(keys.map(col) ++ sortCols.map(expr): _*)
+      .drop("__file")
     ManifestLake.replacePartitions(spark, path, entries.keySet, affected,
       keys, Map("maxRecordsPerFile" -> maxRecordsPerFile.toString),
       expectedVersion = baseVersion)

@@ -802,10 +802,17 @@ object ManifestLake {
       }
       relPath(keys, values)
     }.toSet
+    // No localCheckpoint on the affected read (round-15): unlike the
+    // lock path (which must cut lineage because dynamic overwrite
+    // refuses to write a path its own plan reads), this merge writes a
+    // NEW immutable txn dir — the write action streams the affected
+    // partitions straight from their (immutable, still-referenced)
+    // parquet files, so materializing them first is one extra job and
+    // one extra pass of block writes per merge, bought for nothing.
     val affected =
       readEntriesGrouped(spark, path, manifest.view.filterKeys(touched).toMap)
     val combined = affected match {
-      case Some(a) => a.localCheckpoint().unionByName(tagged, allowMissingColumns = true)
+      case Some(a) => a.unionByName(tagged, allowMissingColumns = true)
       case None    => tagged
     }
     val deduped = KeepLast.dedup(combined, dedupKeys, order)
