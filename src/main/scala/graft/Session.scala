@@ -37,6 +37,17 @@ object Session {
       // defense-in-depth we forgo knowingly; every streaming query here
       // re-verifies end state against a batch oracle anyway.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Output-commit overhead (guide §6): the replay tier is priced by
+      // real write-commit cycles — v2 commits rename each task's files
+      // to the destination at task commit instead of re-walking and
+      // renaming the whole attempt tree again at job commit (one less
+      // rename pass per file). Safe here for the same reason it is the
+      // common production setting: every lake write lands in a private
+      // immutable txn dir (or behind the writer lock) whose visibility
+      // is gated by the manifest/lock commit, so a torn job can never
+      // expose partial files to a reader. _SUCCESS markers stay ON:
+      // materializeOnce uses the marker as its torn-build publish gate.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.driver.maxResultSize", "4g")
       // bucketed-table queries (q122) write through the session catalog;

@@ -231,32 +231,45 @@ object ChangeFeed {
       val upserts = changes
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
-      if (!upserts.isEmpty) {
+      val deletes = changes.filter(col("_change_type") === "delete")
+        .select(col(keyCol))
+      val hasUpserts = !upserts.isEmpty
+      val hasDeletes = !deletes.isEmpty
+      // The durable offset rides the hop's LAST data commit (round-15:
+      // one fewer manifest commit per hop, and a shorter replica version
+      // chain). Ordering is what makes this safe: the offset must not
+      // advance before every effect of the span is durable, so it rides
+      // the erase when there are deletes, the merge otherwise, and a
+      // metadata-only commit when the span carried no row changes. A
+      // crash between merge and erase leaves the offset at `from`; the
+      // redelivered span's merge no-ops on its tag and the erase
+      // re-applies idempotently before the offset lands.
+      val off = Seq(offsetKey(sourceId) -> to.toString)
+      if (hasUpserts) {
         ManifestLake.mergeKeyedRetrying(spark, upserts, replica,
           keys = partitionKeys, dedupKeys = Seq(col(keyCol)),
           order = orderCols.map(col),
           commitTag = Some(
             if (to == from + 1) s"cdf-sync$ns-hop-$to"
             else s"cdf-sync$ns-span-$from-$to"),
-          maxAttempts = maxAttempts)
+          maxAttempts = maxAttempts,
+          extraHeaders = if (hasDeletes) Nil else off)
         ()
       }
-      val deletes = changes.filter(col("_change_type") === "delete")
-        .select(col(keyCol))
-      if (!deletes.isEmpty) {
+      if (hasDeletes) {
         // idempotent per attempt: each erase re-snapshots the replica
         retrying("syncTo erase", maxAttempts) {
-          Eraser.eraseKeys(spark, replica, keyCol, deletes, buckets = eraseBuckets)
+          Eraser.eraseKeys(spark, replica, keyCol, deletes,
+            buckets = eraseBuckets, extraHeaders = off)
         }
         ()
       }
-      // durable offset: a metadata-only commit in the REPLICA's chain —
-      // atomic with its version history, re-carried by every checkpoint
-      retrying("syncTo offset commit", maxAttempts) {
-        ManifestLake.commitMetadata(spark, replica,
-          Seq(offsetKey(sourceId) -> to.toString))
+      if (!hasUpserts && !hasDeletes) {
+        retrying("syncTo offset commit", maxAttempts) {
+          ManifestLake.commitMetadata(spark, replica, off)
+        }
+        ()
       }
-      ()
     }
 
     if (coalesce) { if (last < target) applyHop(last, target) }

@@ -56,8 +56,11 @@ object Eraser {
     * `bucket` as written by a `pmod(hash(keyCol), buckets)` writer.
     */
   def eraseKeys(spark: SparkSession, lake: String, keyCol: String,
-                ids: DataFrame, buckets: Int = 16): DataFrame = {
+                ids: DataFrame, buckets: Int = 16,
+                extraHeaders: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
+    require(extraHeaders.isEmpty || ManifestLake.isManifestLake(spark, lake),
+      "Eraser: extraHeaders need a manifest lake (headers ride the commit)")
     val eraseIds = ids.select(col(keyCol))
       .filter(col(keyCol).isNotNull).distinct()
       .localCheckpoint() // cut lineage: usually derived from `lake` itself
@@ -66,7 +69,7 @@ object Eraser {
       .distinct().as[String].collect().toSeq // bounded by `buckets`
 
     if (ManifestLake.isManifestLake(spark, lake))
-      return eraseManifest(spark, lake, keyCol, eraseIds, touched)
+      return eraseManifest(spark, lake, keyCol, eraseIds, touched, extraHeaders)
 
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,7 +119,8 @@ object Eraser {
     * then VACUUM for physical reclamation).
     */
   private def eraseManifest(spark: SparkSession, lake: String, keyCol: String,
-                            eraseIds: DataFrame, touched: Seq[String]): DataFrame = {
+                            eraseIds: DataFrame, touched: Seq[String],
+                            extraHeaders: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
     // version and entries resolve TOGETHER and the version rides into the
     // commit CAS: a merge landing between this snapshot and the commit
@@ -124,16 +128,28 @@ object Eraser {
     val (baseVersion, entries) = ManifestLake.currentState(spark, lake)
     val touchedRels = touched.map(b => s"bucket=$b").toSet
     val present = entries.view.filterKeys(touchedRels).toMap
+    // No localCheckpoints on this path (round-15): the rewrite lands in
+    // a NEW immutable txn dir, so nothing here overwrites what it reads
+    // (the lock path above does, and keeps its checkpoints). `before`
+    // and the returned stats re-read the superseded txn files lazily —
+    // still referenced until vacuum, and immutable, so the counts are
+    // the pre-erasure truth; two materialization jobs per erasure gone.
     val affected = ManifestLake.readEntriesGrouped(spark, lake, present)
-      .getOrElse(return spark.emptyDataset[(String, Long)]
-        .toDF("bucket", "rows_removed"))
-      .localCheckpoint()
+      .getOrElse {
+        // no touched partitions exist — nothing to rewrite, but headers
+        // a caller asked to ride THIS erasure's commit (e.g. syncTo's
+        // durable offset) must still land: downgrade to a metadata commit
+        if (extraHeaders.nonEmpty)
+          ManifestLake.commitMetadata(spark, lake, extraHeaders)
+        return spark.emptyDataset[(String, Long)]
+          .toDF("bucket", "rows_removed")
+      }
     val before = affected.groupBy($"bucket").agg(count(lit(1)).as("n_before"))
     val surviving = affected.join(eraseIds, Seq(keyCol), "left_anti")
-      .localCheckpoint()
     beforeRewriteHook()
     ManifestLake.replacePartitions(spark, lake, present.keySet,
-      surviving, Seq("bucket"), expectedVersion = baseVersion)
+      surviving, Seq("bucket"), expectedVersion = baseVersion,
+      headers = extraHeaders)
     stats(surviving, before)
   }
 

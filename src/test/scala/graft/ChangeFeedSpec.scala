@@ -242,12 +242,14 @@ class ChangeFeedSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSet
     assert(state(a) == state(src), "coalesced replica must equal the source")
     assert(state(a) == state(b), "coalesced and hop-by-hop must converge identically")
-    // the whole catch-up cost: merge + erase + offset = 3 replica commits
-    assert(ManifestLake.latestVersion(spark, a) <= 3L,
+    // the whole catch-up cost: one merge + one erase, the durable offset
+    // riding the erase commit (round-15) = 2 replica commits
+    assert(ManifestLake.latestVersion(spark, a) <= 2L,
       s"coalesced catch-up committed ${ManifestLake.latestVersion(spark, a)} " +
         "replica versions - the span was not coalesced")
-    assert(ManifestLake.latestVersion(spark, b) > 10L,
-      "hop-by-hop mode must keep per-version history effects")
+    assert(ManifestLake.latestVersion(spark, b) >= 10L,
+      "hop-by-hop mode must keep per-version history effects (>= one " +
+        "replica commit per source version; offsets ride the data commits)")
   }
 
   test("syncTo under replica contention: commits retry and fold the competitor in, never abort") {
