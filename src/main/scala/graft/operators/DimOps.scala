@@ -877,9 +877,14 @@ object DimOps {
     */
   def q194TableStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val o = orders(s, d).select($"o_orderkey", $"o_custkey",
-      $"o_orderstatus", $"o_orderpriority",
-      expr("unix_micros(o_orderdate)").as("o_orderdate_us"))
+    // widen before the multi-distinct aggregate: Spark plans k exact NDVs
+    // via Expand (6 rows per input row), which would otherwise run inside
+    // the bench input's single-split scan task; no-op on a real scan
+    val o = Fanout.widen(
+      orders(s, d).select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus", $"o_orderpriority",
+        expr("unix_micros(o_orderdate)").as("o_orderdate_us")),
+      $"o_orderkey")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority", "o_orderdate_us")
     val aggs = cols.flatMap { c =>

@@ -134,7 +134,10 @@ object LmOps {
   }
 
   def q105DupShingleFraction(s: SparkSession, d: String): DataFrame =
-    dupShingleFraction(documents(s, d))
+    // widen: the per-doc shingle explode + distinct fuses into the scan
+    // stage and serializes on the bench input's single split; no-op on a
+    // real multi-split scan (Fanout gate)
+    dupShingleFraction(Fanout.widen(documents(s, d), col("doc_id")))
 
   val q105Sql: String =
     """WITH docs AS (

@@ -23,8 +23,15 @@ object Relational {
     */
   def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lineitem(s, d)
-      .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+    // widen before the aggregate: the exact-decimal partial aggregation
+    // (BigDecimal at precision 38 — the oracle-exactness contract) is the
+    // expensive part of this plan and would otherwise run inside the
+    // bench input's single-split scan stage; no-op on a real multi-split
+    // scan (Fanout gate)
+    Fanout.widen(
+      lineitem(s, d)
+        .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp")),
+      $"l_orderkey")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
