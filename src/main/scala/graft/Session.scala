@@ -37,17 +37,13 @@ object Session {
       // defense-in-depth we forgo knowingly; every streaming query here
       // re-verifies end state against a batch oracle anyway.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      // Output-commit overhead (guide §6): the replay tier is priced by
-      // real write-commit cycles — v2 commits rename each task's files
-      // to the destination at task commit instead of re-walking and
-      // renaming the whole attempt tree again at job commit (one less
-      // rename pass per file). Safe here for the same reason it is the
-      // common production setting: every lake write lands in a private
-      // immutable txn dir (or behind the writer lock) whose visibility
-      // is gated by the manifest/lock commit, so a torn job can never
-      // expose partial files to a reader. _SUCCESS markers stay ON:
-      // materializeOnce uses the marker as its torn-build publish gate.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Output-commit algorithm stays the v1 default session-wide: an
+      // A/B over the replay tier showed v2 HELPS new-immutable-dir
+      // writes (fewer job-commit renames) but HURTS dynamic-partition-
+      // overwrite writes (q168 6.7 → 7.4 s, q160 2.8 → 3.3 s — the
+      // staging-move interplay), so the manifest txn writes opt into v2
+      // per-write (ManifestLake) and the lock path keeps v1. _SUCCESS
+      // markers stay ON: materializeOnce's torn-build publish gate.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.driver.maxResultSize", "4g")
       // bucketed-table queries (q122) write through the session catalog;

@@ -825,7 +825,13 @@ object ManifestLake {
     // tasks × dirs fragments per merge, each a footer to open on every
     // later read until compactManifest runs
     deduped.repartition(keys.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
+      // committer v2 per-write (guide §6): this is a writer-private NEW
+      // directory whose visibility is gated by the manifest commit, so
+      // task-commit renames straight to the destination are safe and the
+      // v1 job-commit re-walk is pure overhead (session default stays v1
+      // for the lock path's dynamic overwrite, where v2 measured slower)
+      .write.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(txnDir)
 
     beforeCommitHook()
 
@@ -987,6 +993,9 @@ object ManifestLake {
     val txnName = newTxnDirName(expectedVersion)
     val txnDir = s"$path/data/$txnName"
     replacement.write.mode(SaveMode.Overwrite).options(writerOptions)
+      // committer v2: writer-private new dir, manifest-gated visibility
+      // (see mergeKeyed's txn write)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(keys: _*).parquet(txnDir)
     beforeCommitHook()
     val written = leafPartitions(fs, new Path(txnDir), new Path(txnDir))

@@ -351,6 +351,9 @@ object DimOps {
   def q178TableChecksum(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
+    // NOT widened (round-15 negative result): the poly_hash kernel is
+    // cheap enough that shuffling 7 raw columns first measured slightly
+    // worse than the single-task scan stage it replaced
     lineitem(s, d)
       .filter($"l_orderkey".isNotNull && $"l_linenumber".isNotNull &&
         $"l_partkey".isNotNull && $"l_suppkey".isNotNull &&

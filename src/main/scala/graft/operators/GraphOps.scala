@@ -345,20 +345,66 @@ object GraphOps {
       .groupBy($"x", $"y").agg(count(lit(1)).as("psup"))
       .filter($"psup" >= 2)
       .select($"x", $"y")
-      .localCheckpoint() // A-Priori-bounded; broadcast into 3 semi joins
-    val prefixes = baskets
-      .select(posexplode($"ps").as(Seq("i", "x")), $"ps")
-      .select($"x", posexplode(slice($"ps", $"i" + lit(2), size($"ps"))).as(Seq("j", "y")),
-        $"i", $"ps")
-      // prune the (x, y) prefix BEFORE generating z — A-Priori
-      // candidate generation; the explode below runs only on frequent
-      // prefixes
-      .join(broadcast(pairs), Seq("x", "y"), "left_semi")
-    prefixes
-      .select($"x", $"y",
-        explode(slice($"ps", $"i" + $"j" + lit(3), size($"ps"))).as("z"))
-      .join(broadcast(pairs.select($"x", $"y".as("z"))), Seq("x", "z"), "left_semi")
-      .join(broadcast(pairs.select($"x".as("y"), $"y".as("z"))), Seq("y", "z"), "left_semi")
+    // Round-15 (guide §1.2 "the distributed algorithm" + §3.2's
+    // build-probe idea taken to its end): the old candidate generator
+    // RE-exploded every basket into C(n,2) prefix rows, semi-joined
+    // them against a broadcast of the frequent pairs, exploded z, and
+    // semi-joined twice more — three broadcast builds of the same
+    // relation and ~60 task-seconds of Generate/HashAggregate traffic
+    // whose only purpose was membership probing. The frequent-pair
+    // relation must fit in executor memory EITHER way (it was
+    // broadcast 3×); as two parallel sorted arrays it is ~3× smaller
+    // than one broadcast hash relation, and one fused per-basket loop
+    // enumerates exactly the triples whose three sub-pairs are all
+    // frequent — the identical A-Priori candidate set, now produced by
+    // i<j<k loops with binary-search probes (prefix-skip preserves the
+    // 14× (x,y) prune), feeding the same support aggregate. The oracle
+    // still brute-counts ALL triples, so the hash check keeps proving
+    // the pruning exact.
+    val sortedPairs = {
+      val arr = pairs.orderBy($"x", $"y").collect()
+      val xs = new Array[Long](arr.length); val ys = new Array[Long](arr.length)
+      var i = 0
+      while (i < arr.length) { xs(i) = arr(i).getLong(0); ys(i) = arr(i).getLong(1); i += 1 }
+      (xs, ys)
+    }
+    val bc = s.sparkContext.broadcast(sortedPairs)
+    val triples = baskets.select($"ps").as[Seq[Long]].mapPartitions { it =>
+      val (xs, ys) = bc.value
+      def frequent(x: Long, y: Long): Boolean = {
+        var lo = 0; var hi = xs.length - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val cx = xs(mid)
+          if (cx < x || (cx == x && ys(mid) < y)) lo = mid + 1
+          else if (cx == x && ys(mid) == y) return true
+          else hi = mid - 1
+        }
+        false
+      }
+      it.flatMap { psSeq =>
+        val ps = psSeq.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < ps.length - 2) {
+          var j = i + 1
+          while (j < ps.length - 1) {
+            if (frequent(ps(i), ps(j))) { // A-Priori prefix prune
+              var k = j + 1
+              while (k < ps.length) {
+                if (frequent(ps(i), ps(k)) && frequent(ps(j), ps(k)))
+                  out += ((ps(i), ps(j), ps(k)))
+                k += 1
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("x", "y", "z")
+    triples
       .groupBy($"x", $"y", $"z").agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .orderBy($"support".desc, $"x", $"y", $"z")

@@ -711,7 +711,11 @@ object LakeOps {
     val q = graft.streaming.CdfStream.maintainAgg(s, lake, view,
       keyCols = Seq("o_orderkey"), dims = Seq("status"),
       valueCol = "o_totalprice", checkpoint = ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      // 100 ms: the replay's final state is span-composition-invariant
+      // (see scaladoc), so the cadence is pure discovery latency — a
+      // production deployment would run minutes here; the replay only
+      // needs "more than one span", which any cadence gives it
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
     try {
       val corrections = o.filter($"yr" <= 1997 && $"o_orderkey" % 10 < 3)
         .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
@@ -721,7 +725,7 @@ object LakeOps {
       val deadline = System.currentTimeMillis() + 120000L
       while (graft.lake.ChangeFeed.lastSyncedVersion(s, view) < 3L &&
           System.currentTimeMillis() < deadline)
-        Thread.sleep(250L)
+        Thread.sleep(100L)
       require(graft.lake.ChangeFeed.lastSyncedVersion(s, view) == 3L,
         "q211: the live maintenance query never caught up to source v3")
     } finally q.stop()

@@ -217,7 +217,9 @@ object Relational {
   /** Grouped rollup (subtotals + grand total) over return flag/status. */
   def q09Rollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lineitem(s, d)
+    // widen: rollup's Expand (3 rows per input) + the exact-decimal sum
+    // otherwise serialize in the bench input's single-split scan stage
+    Fanout.widen(lineitem(s, d), $"l_orderkey")
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
       .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),

@@ -83,6 +83,11 @@ object Relational3 {
     // sketch buffers for 60 k groups (measured). Split, the approx side
     // shuffles one sketch per (partition × 3 groups) and the exact side
     // shuffles slim (returnflag, partkey) pairs.
+    // NOT widened (round-15 negative result): fanning the scan out costs
+    // two extra full-row exchanges that measured MORE than the saved
+    // scan-stage serialization (1.58 s → 2.13 s isolated) — the partial
+    // distinct/HLL compress 600 k rows to ~60 k pairs before any
+    // exchange, so the single-task stage was already shuffle-minimal
     val exact = lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("exact_parts"))

@@ -51,9 +51,12 @@ object StatsOps {
     */
   def q77CorrStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = lineitem(s, d).select($"l_returnflag",
-      floor($"l_quantity" * 100).cast("decimal(38,0)").as("x"),
-      floor($"l_extendedprice" / 100).cast("decimal(38,0)").as("y"))
+    // widen: five decimal(38,0) co-moment sums per row otherwise
+    // serialize in the single-split scan stage (no-op on a real scan)
+    val e = Fanout.widen(lineitem(s, d), $"l_orderkey")
+      .select($"l_returnflag",
+        floor($"l_quantity" * 100).cast("decimal(38,0)").as("x"),
+        floor($"l_extendedprice" / 100).cast("decimal(38,0)").as("y"))
     val st = e.groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
