@@ -44,15 +44,18 @@ object PerfSteady {
     // round 13 on the grouped single-scan read path (authoritative run:
     // 336.9 s / 207 q, calib 0.18/0.18, 0 outliers); q204 includes the
     // syncTo verb's idempotent second pass
-    "q201_stats_skipping_scan" -> 6.6,
-    "q202_change_data_feed" -> 5.0,
-    "q203_cdf_view_maintenance" -> 5.5,
+    // round-15 re-anchors (parallel clustering rewrites + leaner merge
+    // path + per-write committer v2 — see OPTIMIZATION_r15.md): steady =
+    // round-15 authoritative full-bench draw × ~1.3 headroom
+    "q201_stats_skipping_scan" -> 4.0,
+    "q202_change_data_feed" -> 4.8,
+    "q203_cdf_view_maintenance" -> 4.5,
     // round-14: syncTo coalesces catch-up into one endpoint hop — 3
     // replica commits instead of ~8 (authoritative round-14 record:
     // 4.93 s, calib 0.20/0.17, 0 outliers)
     "q204_cdf_replication" -> 5.4,
-    "q205_bloom_point_lookup" -> 6.0,
-    "q206_partition_evolution" -> 4.8,
+    "q205_bloom_point_lookup" -> 4.5,
+    "q206_partition_evolution" -> 4.0,
     "q207_transform_with_state" -> 5.0,
     "q208_zorder_box_scan" -> 3.2,
     // round-13: lock-path import + post-import merge (two manifest
@@ -62,7 +65,7 @@ object PerfSteady {
     // restart is the point) + 3 source commits + per-span view merges —
     // stream-startup + commit-latency bound by design (authoritative
     // round-14 record: 5.77 s; headroom for trigger-timing wobble)
-    "q210_streaming_cdf_view" -> 6.5,
+    "q210_streaming_cdf_view" -> 6.2,
     // round-15: the LIVE ProcessingTime trigger — one continuous query
     // following two commits + an erasure at 250 ms cadence, stopped on
     // the durable offset reaching the source head (round-15 calibration:
@@ -75,7 +78,7 @@ object PerfSteady {
     // 9.09 s raw at anchor ratio 1.22, ≈ 7.5 normalized)
     "q212_streaming_replication" -> 9.0,
     // iterative / heavy-verify tier
-    "q165_frequent_triples" -> 4.7,
+    "q165_frequent_triples" -> 4.3,
     "q88_semdedup" -> 4.0,
     "q118_simhash_clusters" -> 3.5,
     "q78_curation_pipeline" -> 3.4,
@@ -85,7 +88,7 @@ object PerfSteady {
     "q74_pq_adc" -> 2.9,
     "q59_dedup_clusters" -> 2.8,
     "q136_kcore_peel" -> 2.8,
-    "q194_table_stats" -> 2.7,
+    "q194_table_stats" -> 2.3,
     "q101_pagerank" -> 2.6,
     "q150_cross_source_dups" -> 2.5,
     "q163_ann_recall_audit" -> 2.5,
