@@ -12,8 +12,28 @@ import org.apache.spark.sql.types.LongType
   * partition pruning keys off the directory layout, not this code.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema memo, keyed by full path. Every `spark.read.parquet`
+    * call pays a driver-side footer read for schema inference; a bench or
+    * verify run resolves the same nine immutable test tables hundreds of
+    * times, so the first resolution per path caches the inferred schema
+    * and later reads supply it explicitly (identical StructType — the
+    * memo stores exactly what inference produced, per path, so a
+    * different sfDir can never see a stale schema). Pure plan-time
+    * metadata: no data or results are cached.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaMemo.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.putIfAbsent(path, df.schema)
+      df
+    }
+  }
 
   /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`:
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
