@@ -36,7 +36,8 @@ object CorpusOps {
   def q71RepetitionSignals(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks: Column = TextOps.tokens($"text")
-    documents(s, d)
+    // Fanout.widen: see q73.
+    Fanout.widen(documents(s, d), $"doc_id")
       .select($"doc_id",
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
@@ -117,7 +118,13 @@ object CorpusOps {
     */
   def q73TextScrub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    scrubbed(documents(s, d))
+    // Fanout.widen: on a single-split scan the scrub kernel would run
+    // TWICE on one core (the final sort's range-sampling pass re-executes
+    // the un-materialized map child, then the shuffle write runs it
+    // again); widening materializes a stage below the sort and spreads
+    // both kernel passes across the session. Identity on any multi-split
+    // real scan — a pure map never shuffles the corpus at scale.
+    scrubbed(Fanout.widen(documents(s, d), $"doc_id"))
       .select($"doc_id", $"n_tokens", $"n_kept", $"n_collapsed", $"clean_text")
       .orderBy($"doc_id")
   }
@@ -172,8 +179,8 @@ object CorpusOps {
     import s.implicits._
     val size = 64
     val stride = 48 // = size − overlap(16)
-    documents(s, d)
-      .filter($"doc_id".isNotNull)
+    // Fanout.widen: see q73.
+    Fanout.widen(documents(s, d).filter($"doc_id".isNotNull), $"doc_id")
       .withColumn("toks", TextOps.tokens($"text"))
       .withColumn("n_tokens", org.apache.spark.sql.functions.size($"toks").cast("long"))
       .withColumn("n_chunks",

@@ -154,7 +154,9 @@ object Curation {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-    val docs = documents(s, d).filter($"doc_id".isNotNull)
+    // Fanout.widen: see q73 — parallelizes the regex kernel's two
+    // executions under the final sort; identity on a multi-split scan.
+    val docs = Fanout.widen(documents(s, d).filter($"doc_id".isNotNull), $"doc_id")
       .withColumn("t2", concat($"text",
         lit(" contact user"), $"doc_id", lit("@example.com at 10.0."),
         $"doc_id" % 256, lit(".7 or 555-867-5309")))

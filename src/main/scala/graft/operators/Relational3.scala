@@ -38,7 +38,10 @@ object Relational3 {
     */
   def q45MapArrayFuncs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    events(s, d)
+    // Fanout.widen (see CorpusOps.q73): the JSON-parse kernel otherwise
+    // runs twice on the single-split scan under the final sort's
+    // range-sampling pass. Identity on a multi-split scan.
+    Fanout.widen(events(s, d), $"event_id")
       .withColumn("m", from_json($"props", MapType(StringType, LongType)))
       .withColumn("arr", array($"value", $"value" * 2, -$"value"))
       .select(

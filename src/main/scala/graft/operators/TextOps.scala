@@ -63,7 +63,10 @@ object TextOps {
     */
   def q30TextStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
+    // Fanout.widen: see CorpusOps.q73 — the final sort's range-sampling
+    // pass re-executes an un-materialized map child, so a single-split
+    // scan runs the token kernel twice on one core. Identity at scale.
+    Fanout.widen(documents(s, d), $"doc_id")
       .withColumn("toks", tokens($"text"))
       .select(
         $"doc_id", $"lang",
@@ -92,7 +95,8 @@ object TextOps {
     */
   def q31QualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    qualityScored(documents(s, d))
+    // Fanout.widen: see q30.
+    qualityScored(Fanout.widen(documents(s, d), $"doc_id"))
       .select($"doc_id", $"n_toks", $"stop_ratio", $"digit_ratio", $"quality")
       .orderBy($"doc_id")
   }
@@ -146,7 +150,8 @@ object TextOps {
     val toks = tokens($"text")
     def hits(ws: Seq[String]): Column =
       size(filter(toks, t => t.isin(ws: _*))).cast("long")
-    documents(s, d)
+    // Fanout.widen: see q30.
+    Fanout.widen(documents(s, d), $"doc_id")
       .withColumn("en_hits", hits(markers("en")))
       .withColumn("es_hits", hits(markers("es")))
       .withColumn("fr_hits", hits(markers("fr")))
