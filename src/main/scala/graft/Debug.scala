@@ -66,6 +66,13 @@ object Debug {
           }
         }
       }
+      // "warm" arg: run the query once BEFORE attaching the listener so
+      // the profiled pass sees steady state (codegen compiled, footers
+      // read, JIT warm) — cold-run job walls misattribute one-time costs
+      if (args.contains("warm")) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       spark.sparkContext.addSparkListener(listener)
       val w0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

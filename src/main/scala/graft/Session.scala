@@ -50,8 +50,16 @@ object Session {
       // keep the warehouse out of the repo working tree
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    // Dev-loop A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies
+    // extra session confs (measurement experiments only — nothing in the
+    // driver contract sets it, so default behavior is unchanged).
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(spark) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val built = withExtra.getOrCreate()
+    built.sparkContext.setLogLevel("WARN")
+    built
   }
 }
